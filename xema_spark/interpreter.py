@@ -1,0 +1,262 @@
+"""Pure-Python rule interpreter over plain Python values.
+
+Three jobs:
+1. compile-time constant evaluation (the compiler runs string rules against
+   static struct field names, e.g. `property_names` on a StructType —
+   /root/reference/lib/xema/validator.ex:318-344 done at plan time);
+2. the differential-test oracle: the Column compiler must agree with this
+   interpreter on typed data (tests/test_differential.py);
+3. the dynamic escape hatch: `validate_json_df` runs full draft-7-subset
+   semantics over a JSON string column via an Arrow-vectorized pandas UDF —
+   the engine's analogue of the reference's custom `validator` callback
+   (validator.ex:1020-1041), for payloads whose shape isn't known at plan time.
+
+Unlike the compiler's typed-column convention (NULL == absent), this
+interpreter sees real JSON, so `None` is a JSON null *instance* and draft-7
+semantics apply exactly (a null fails `type: "integer"`, etc.).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Any
+
+from xema_spark import formats as _formats
+from xema_spark.rules import Rule, normalize_rule, resolve_pointer
+
+
+def _is_num(x: Any) -> bool:
+    return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
+def _type_of(v: Any) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, (list, tuple)):
+        return "array"
+    if isinstance(v, dict):
+        return "object"
+    return "unknown"
+
+
+def _type_ok(tname: str, v: Any) -> bool:
+    t = _type_of(v)
+    if tname == "any":
+        return True
+    if tname == "integer":
+        # int-like floats count (validator.ex:250)
+        return t == "integer" or (t == "number" and float(v).is_integer())
+    if tname == "number":
+        return t in ("integer", "number")
+    return t == tname
+
+
+def _eq(a: Any, b: Any) -> bool:
+    """const/enum equality with numeric cross-match but bool != 1
+    (validator.ex:274-292,346-376)."""
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if _is_num(a) and _is_num(b):
+        return float(a) == float(b)
+    if type(a) is not type(b) and not (isinstance(a, (list, tuple)) and isinstance(b, (list, tuple))):
+        return False
+    if isinstance(a, (list, tuple)):
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict):
+        return a.keys() == b.keys() and all(_eq(a[k], b[k]) for k in a)
+    return a == b
+
+
+def _uniq_key(v: Any) -> str:
+    def norm(x: Any) -> Any:
+        if isinstance(x, bool):
+            return ("b", x)
+        if _is_num(x):
+            return ("n", float(x))
+        if isinstance(x, (list, tuple)):
+            return ("a", [norm(e) for e in x])
+        if isinstance(x, dict):
+            return ("o", sorted((k, norm(val)) for k, val in x.items()))
+        return (type(x).__name__, x)
+
+    return json.dumps(norm(v), default=str)
+
+
+def validate_value(rule: Rule, value: Any, root: Rule | None = None,
+                   _depth: int = 0) -> bool:
+    """True iff `value` satisfies the (normalized or raw) rule."""
+    rule = normalize_rule(rule) if not isinstance(rule, bool) else rule
+    if root is None:
+        root = rule
+    return _valid(rule, value, root, _depth)
+
+
+def _valid(rule: Rule, v: Any, root: Rule, depth: int) -> bool:
+    if depth > 64:
+        raise RecursionError("rule recursion too deep")
+    if rule is True:
+        return True
+    if rule is False:
+        return False
+    if "ref" in rule:
+        return _valid(resolve_pointer(root, rule["ref"]), v, root, depth + 1)
+
+    t = rule.get("type")
+    if t is not None:
+        types = t if isinstance(t, list) else [t]
+        if not any(_type_ok(tn, v) for tn in types):
+            return False
+    if "const" in rule and not _eq(v, rule["const"]):
+        return False
+    if "enum" in rule and not any(_eq(v, e) for e in rule["enum"]):
+        return False
+
+    if _is_num(v):
+        ex_min, ex_max = rule.get("exclusive_minimum"), rule.get("exclusive_maximum")
+        if "minimum" in rule:
+            m = rule["minimum"]
+            if (v <= m) if ex_min is True else (v < m):
+                return False
+        if "maximum" in rule:
+            m = rule["maximum"]
+            if (v >= m) if ex_max is True else (v > m):
+                return False
+        if _is_num(ex_min) and not v > ex_min:
+            return False
+        if _is_num(ex_max) and not v < ex_max:
+            return False
+        if "multiple_of" in rule:
+            m = rule["multiple_of"]
+            if isinstance(v, int) and isinstance(m, int):
+                if v % m != 0:
+                    return False
+            else:
+                d = v / m
+                if abs(d - round(d)) > 1e-9 * max(1.0, abs(d)):
+                    return False
+
+    if isinstance(v, str):
+        if "min_length" in rule and len(v) < rule["min_length"]:
+            return False
+        if "max_length" in rule and len(v) > rule["max_length"]:
+            return False
+        if "pattern" in rule and not re.search(rule["pattern"], v):
+            return False
+        if "format" in rule and not _formats.python_check(rule["format"], v):
+            return False
+
+    if isinstance(v, (list, tuple)):
+        if "min_items" in rule and len(v) < rule["min_items"]:
+            return False
+        if "max_items" in rule and len(v) > rule["max_items"]:
+            return False
+        if rule.get("unique_items") and len({_uniq_key(x) for x in v}) != len(v):
+            return False
+        items = rule.get("items")
+        if isinstance(items, (dict, bool)):
+            if not all(_valid(items, x, root, depth + 1) for x in v):
+                return False
+        elif isinstance(items, list):
+            for i, sub in enumerate(items):
+                if i < len(v) and not _valid(sub, v[i], root, depth + 1):
+                    return False
+            extra = rule.get("additional_items")
+            if extra is False and len(v) > len(items):
+                return False
+            if isinstance(extra, (dict, bool)) and extra is not True:
+                if not all(_valid(extra, x, root, depth + 1) for x in v[len(items):]):
+                    return False
+        if "contains" in rule:
+            if not any(_valid(rule["contains"], x, root, depth + 1) for x in v):
+                return False
+
+    if isinstance(v, dict):
+        props = rule.get("properties", {})
+        pattern_props = rule.get("pattern_properties", {})
+        for name, sub in props.items():
+            if name in v and not _valid(sub, v[name], root, depth + 1):
+                return False
+        for regex, sub in pattern_props.items():
+            cre = re.compile(regex)
+            for name, val in v.items():
+                if cre.search(name) and not _valid(sub, val, root, depth + 1):
+                    return False
+        for name in rule.get("required", []):
+            if name not in v:
+                return False
+        if "min_properties" in rule and len(v) < rule["min_properties"]:
+            return False
+        if "max_properties" in rule and len(v) > rule["max_properties"]:
+            return False
+        if "property_names" in rule:
+            if not all(_valid(rule["property_names"], k, root, depth + 1) for k in v):
+                return False
+        extra_rule = rule.get("additional_properties")
+        if extra_rule is not None and extra_rule is not True:
+            pres = [re.compile(r) for r in pattern_props]
+            for name, val in v.items():
+                if name in props or any(r.search(name) for r in pres):
+                    continue
+                if extra_rule is False:
+                    return False
+                if not _valid(extra_rule, val, root, depth + 1):
+                    return False
+        for key, dep in rule.get("dependencies", {}).items():
+            if key in v:
+                if isinstance(dep, list):
+                    if not all(d in v for d in dep):
+                        return False
+                elif not _valid(dep, v, root, depth + 1):
+                    return False
+
+    if "not" in rule and _valid(rule["not"], v, root, depth + 1):
+        return False
+    if "all_of" in rule and not all(_valid(s, v, root, depth + 1) for s in rule["all_of"]):
+        return False
+    if "any_of" in rule and not any(_valid(s, v, root, depth + 1) for s in rule["any_of"]):
+        return False
+    if "one_of" in rule and sum(_valid(s, v, root, depth + 1) for s in rule["one_of"]) != 1:
+        return False
+    if "if" in rule:
+        branch = rule.get("then", True) if _valid(rule["if"], v, root, depth + 1) \
+            else rule.get("else", True)
+        if not _valid(branch, v, root, depth + 1):
+            return False
+    return True
+
+
+def validate_json_df(df, json_col: str, rule: Rule, valid_col: str = "valid"):
+    """Dynamic-shape escape hatch: validate a JSON string column with full
+    draft-7-subset semantics via an Arrow-vectorized pandas UDF (batched; the
+    interpreter runs per value inside the batch — this is the slow path and
+    exists for payloads with no static schema)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    nrule = normalize_rule(rule)
+
+    def batch(s: pd.Series) -> pd.Series:
+        out = []
+        for x in s:
+            if x is None:
+                out.append(None)
+                continue
+            try:
+                out.append(validate_value(nrule, json.loads(x)))
+            except (json.JSONDecodeError, RecursionError):
+                out.append(False)
+        return pd.Series(out, dtype="boolean")
+
+    udf = F.pandas_udf(batch, BooleanType())
+    return df.withColumn(valid_col, udf(F.col(json_col)))

@@ -1,0 +1,260 @@
+"""Rule model: JSON-Schema dicts -> normalized rule trees + meta-validation.
+
+Mirrors the reference's schema-build stage (Xema.new/2 -> init/2 -> schema/2,
+/root/reference/lib/xema.ex:222-364) and its JSON-Schema import key/type
+renaming (/root/reference/lib/xema/json_schema.ex:126-197): camelCase keywords
+become snake_case, JSON type names are canonicalized, and the rule source is
+itself validated before compilation — the reference meta-validates schemas at
+build time (/root/reference/lib/xema/schema_validator.ex:456-464); we do the
+same with `meta_validate`, raising `RuleError` on a malformed rule.
+
+A normalized rule is a plain dict with snake_case keys (or a bool: the
+JSON-Schema boolean schemas true/false, /root/reference/lib/xema/validator.ex:69-71).
+Normalization is pure driver-side Python — it runs once per rule, never per row.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+Rule = dict[str, Any] | bool
+
+
+class RuleError(ValueError):
+    """Raised when a rule fails meta-validation (malformed schema source)."""
+
+
+# camelCase / $-prefixed JSON Schema keyword -> engine snake_case
+# (cf. json_schema.ex:126-197 key renaming on import)
+_KEY_RENAMES = {
+    "minLength": "min_length",
+    "maxLength": "max_length",
+    "minItems": "min_items",
+    "maxItems": "max_items",
+    "minProperties": "min_properties",
+    "maxProperties": "max_properties",
+    "multipleOf": "multiple_of",
+    "exclusiveMinimum": "exclusive_minimum",
+    "exclusiveMaximum": "exclusive_maximum",
+    "uniqueItems": "unique_items",
+    "additionalItems": "additional_items",
+    "additionalProperties": "additional_properties",
+    "patternProperties": "pattern_properties",
+    "propertyNames": "property_names",
+    "allOf": "all_of",
+    "anyOf": "any_of",
+    "oneOf": "one_of",
+    "$ref": "ref",
+    "$defs": "definitions",
+    "$id": "id",
+    "$schema": "schema",
+    "$comment": "comment",
+    "contentEncoding": "content_encoding",
+    "contentMediaType": "content_media_type",
+    "readOnly": "read_only",
+    "writeOnly": "write_only",
+}
+
+# JSON type names + the reference's Elixir aliases (schema.ex:181-214)
+_TYPE_ALIASES = {
+    "list": "array",
+    "map": "object",
+    "float": "number",
+    "keyword": "object",
+    "atom": "string",
+    "any": "any",
+    "nil": "null",
+}
+_VALID_TYPES = {"string", "integer", "number", "boolean", "array", "object", "null", "any"}
+
+# Keywords whose value is a single subschema
+_SUBSCHEMA_KEYS = {
+    "not", "if", "then", "else", "contains", "property_names",
+    "additional_items", "additional_properties",
+}
+# Keywords whose value is a list of subschemas
+_SUBSCHEMA_LIST_KEYS = {"all_of", "any_of", "one_of"}
+# Keywords whose value is a map of name -> subschema
+_SUBSCHEMA_MAP_KEYS = {"properties", "pattern_properties", "definitions"}
+
+# Annotation-only keywords (no validation effect; schema.ex:74-124,
+# docs/unsupported.md:5-6) — carried through untouched.
+_ANNOTATION_KEYS = {
+    "title", "description", "comment", "examples", "default", "id", "schema",
+    "content_encoding", "content_media_type", "read_only", "write_only", "data",
+}
+
+
+def _canon_type(t: Any) -> Any:
+    if isinstance(t, list):
+        return [_canon_type(x) for x in t]
+    if isinstance(t, str):
+        return _TYPE_ALIASES.get(t, t)
+    raise RuleError(f"'type' must be a string or list of strings, got {t!r}")
+
+
+def normalize_rule(rule: Rule) -> Rule:
+    """Normalize a JSON-Schema dict (or bool) into the engine rule form."""
+    if isinstance(rule, bool):
+        return rule
+    if not isinstance(rule, dict):
+        raise RuleError(f"rule must be a dict or bool, got {type(rule).__name__}")
+    out: dict[str, Any] = {}
+    for k, v in rule.items():
+        k = _KEY_RENAMES.get(k, k)
+        if k == "type":
+            v = _canon_type(v)
+        elif k in _SUBSCHEMA_KEYS:
+            v = normalize_rule(v) if isinstance(v, (dict, bool)) else v
+        elif k in _SUBSCHEMA_LIST_KEYS:
+            if not isinstance(v, list):
+                raise RuleError(f"{k} expects a list of schemas")
+            v = [normalize_rule(s) for s in v]
+        elif k in _SUBSCHEMA_MAP_KEYS:
+            if not isinstance(v, dict):
+                raise RuleError(f"{k} expects an object of schemas")
+            v = {name: normalize_rule(s) for name, s in v.items()}
+        elif k == "items":
+            # single-schema form (validator.ex:694-721) vs tuple form
+            # (validator.ex:723-777)
+            if isinstance(v, list):
+                v = [normalize_rule(s) for s in v]
+            else:
+                v = normalize_rule(v)
+        elif k == "dependencies":
+            # key-list form vs schema form (validator.ex:965-1004)
+            if not isinstance(v, dict):
+                raise RuleError("dependencies expects an object")
+            v = {
+                name: (list(dep) if isinstance(dep, (list, tuple)) else normalize_rule(dep))
+                for name, dep in v.items()
+            }
+        out[k] = v
+    return out
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise RuleError(msg)
+
+
+def _is_num(x: Any) -> bool:
+    return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+
+def meta_validate(rule: Rule, path: str = "#") -> None:
+    """Validate a *normalized* rule tree before compiling it.
+
+    The reference validates schema sources against a meta-schema before use
+    (schema_validator.ex:456-464); this is the engine's equivalent, kept to
+    the keyword subset we compile.
+    """
+    if isinstance(rule, bool):
+        return
+    _require(isinstance(rule, dict), f"{path}: rule must be dict/bool")
+
+    t = rule.get("type")
+    if t is not None:
+        types = t if isinstance(t, list) else [t]
+        for x in types:
+            _require(x in _VALID_TYPES, f"{path}/type: unknown type {x!r}")
+
+    for k in ("min_length", "max_length", "min_items", "max_items",
+              "min_properties", "max_properties"):
+        if k in rule:
+            v = rule[k]
+            _require(isinstance(v, int) and not isinstance(v, bool) and v >= 0,
+                     f"{path}/{k}: expected non-negative integer, got {v!r}")
+    for k in ("minimum", "maximum"):
+        if k in rule:
+            _require(_is_num(rule[k]), f"{path}/{k}: expected number")
+    for k in ("exclusive_minimum", "exclusive_maximum"):
+        if k in rule:
+            # draft-4 boolean form (modifies minimum/maximum,
+            # validator.ex:511-550) or draft-6 numeric form
+            # (validator.ex:483-509)
+            v = rule[k]
+            _require(isinstance(v, bool) or _is_num(v),
+                     f"{path}/{k}: expected number or boolean")
+            if isinstance(v, bool) and v:
+                base = "minimum" if k == "exclusive_minimum" else "maximum"
+                _require(base in rule, f"{path}/{k}: boolean form requires {base}")
+    if "multiple_of" in rule:
+        v = rule["multiple_of"]
+        _require(_is_num(v) and v > 0, f"{path}/multiple_of: expected number > 0")
+    if "pattern" in rule:
+        v = rule["pattern"]
+        _require(isinstance(v, str), f"{path}/pattern: expected string")
+        try:
+            re.compile(v)
+        except re.error as e:
+            raise RuleError(f"{path}/pattern: invalid regex {v!r}: {e}") from e
+    if "format" in rule:
+        _require(isinstance(rule["format"], str), f"{path}/format: expected string")
+    if "enum" in rule:
+        v = rule["enum"]
+        _require(isinstance(v, list) and len(v) > 0, f"{path}/enum: expected non-empty list")
+    if "required" in rule:
+        v = rule["required"]
+        _require(isinstance(v, list) and all(isinstance(x, str) for x in v),
+                 f"{path}/required: expected list of strings")
+    if "unique_items" in rule:
+        _require(isinstance(rule["unique_items"], bool),
+                 f"{path}/unique_items: expected boolean")
+    if "ref" in rule:
+        _require(isinstance(rule["ref"], str), f"{path}/ref: expected string")
+
+    for k in _SUBSCHEMA_KEYS:
+        if k in rule and isinstance(rule[k], (dict, bool)):
+            meta_validate(rule[k], f"{path}/{k}")
+    for k in _SUBSCHEMA_LIST_KEYS:
+        if k in rule:
+            _require(isinstance(rule[k], list) and rule[k],
+                     f"{path}/{k}: expected non-empty list")
+            for i, s in enumerate(rule[k]):
+                meta_validate(s, f"{path}/{k}/{i}")
+    for k in _SUBSCHEMA_MAP_KEYS:
+        if k in rule:
+            for name, s in rule[k].items():
+                meta_validate(s, f"{path}/{k}/{name}")
+    items = rule.get("items")
+    if isinstance(items, list):
+        for i, s in enumerate(items):
+            meta_validate(s, f"{path}/items/{i}")
+    elif items is not None:
+        meta_validate(items, f"{path}/items")
+    deps = rule.get("dependencies")
+    if deps:
+        for name, dep in deps.items():
+            if isinstance(dep, list):
+                _require(all(isinstance(x, str) for x in dep),
+                         f"{path}/dependencies/{name}: expected list of keys")
+            else:
+                meta_validate(dep, f"{path}/dependencies/{name}")
+
+
+def resolve_pointer(root: Rule, pointer: str) -> Rule:
+    """Resolve a local JSON pointer ('#', '#/definitions/x', ...) against the
+    normalized root rule. Mirrors Schema.fetch (schema.ex:263-304) for the
+    local-pointer subset; remote URI loading is out of scope (the engine's
+    loader surface is a plain dict-of-rules, cf. loader.ex:9-15).
+    """
+    if pointer == "#" or pointer == "":
+        return root
+    if not pointer.startswith("#/"):
+        raise RuleError(f"unsupported $ref {pointer!r} (local pointers only)")
+    node: Any = root
+    for raw in pointer[2:].split("/"):
+        token = raw.replace("~1", "/").replace("~0", "~")
+        # keys were renamed during normalization
+        token = _KEY_RENAMES.get(token, token)
+        if isinstance(node, list):
+            node = node[int(token)]
+        elif isinstance(node, dict) and token in node:
+            node = node[token]
+        else:
+            raise RuleError(f"$ref {pointer!r}: token {token!r} not found")
+    if not isinstance(node, (dict, bool)):
+        raise RuleError(f"$ref {pointer!r} does not resolve to a schema")
+    return node

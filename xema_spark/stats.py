@@ -1,0 +1,167 @@
+"""Dataset-scope validation operators (SURVEY.md §2.4, driven by north_rule).
+
+The reference has no table scope at all (it validates one value at a time);
+these operators exist only at dataset scope and are expressed directly on the
+public DataFrame API so Catalyst emits partial+final hash aggregation,
+broadcast-vs-SMJ join selection, and HLL sketches for free:
+
+- column stats: one `agg` pass — count / null count / distinct (HLL via
+  approx_count_distinct, exact variant for oracle tests) / min / max / moments
+- quantile sketches: percentile_approx (Spark's built-in approximate
+  quantiles) — the KLL-per-partition-then-merge plan from PAPERS.md collapses
+  to this single built-in
+- uniqueness: groupBy(key).count HAVING >1 — Catalyst's partial (map-side)
+  aggregation is exactly the "salted pre-agg" the north_rule asks for; AQE
+  skew-join handles residual skew
+- referential: left-anti join of fact refs vs the dimension; broadcast hint
+  for small dims, AQE skew split otherwise, optional explicit salting for a
+  pathological hot-key probe side
+- distribution drift: fixed-bin histograms (pure Column arithmetic) compared
+  via PSI, and a quantile-vector distance (KS-ish) variant
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def column_stats(df: DataFrame, cols: list[str] | None = None,
+                 exact_distinct: bool = False) -> DataFrame:
+    """One aggregation pass over all requested columns; long-format output
+    (column, n_rows, n_nulls, n_distinct, min, max)."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) as (column, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def numeric_moments(df: DataFrame, col: str) -> DataFrame:
+    c = F.col(col)
+    return df.agg(
+        F.count(c).alias("n"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("stddev"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.skewness(c).alias("skewness"),
+        F.kurtosis(c).alias("kurtosis"),
+    )
+
+
+def quantile_sketch(df: DataFrame, col: str,
+                    qs: list[float] = (0.01, 0.25, 0.5, 0.75, 0.99),
+                    accuracy: int = 10000) -> list[float]:
+    row = df.agg(F.percentile_approx(col, list(qs), accuracy).alias("q")).head()
+    return list(row["q"])
+
+
+def uniqueness_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keys appearing more than once. Partial+final hash aggregation is what
+    Catalyst already emits for groupBy().count() — the map-side combine IS the
+    salted pre-aggregation at executor granularity."""
+    return (df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_dups"))
+              .filter(F.col("n_dups") > 1))
+
+
+def referential_violations(
+    fact: DataFrame,
+    fk_col: str,
+    dim: DataFrame,
+    key_col: str,
+    broadcast_dim: bool = True,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Fact rows whose fk has no match in dim (left-anti). broadcast_dim=True
+    for small dims (one-sided join, no shuffle of the 100TB side at all).
+    salt_buckets>0 explodes the dim side into N salted copies so a sort-merge
+    anti-join of a skewed probe side spreads hot keys over N reducers
+    (north_rule's explicit skew handling; AQE skew-join is the backstop)."""
+    fact_nn = fact.filter(F.col(fk_col).isNotNull())
+    if broadcast_dim:
+        return fact_nn.join(F.broadcast(dim), fact_nn[fk_col] == dim[key_col], "left_anti")
+    if salt_buckets > 0:
+        salted_fact = fact_nn.withColumn(
+            "__salt", F.pmod(F.xxhash64(*fact_nn.columns), F.lit(salt_buckets)))
+        salted_dim = dim.select(key_col).distinct().withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+        return (salted_fact.join(
+            salted_dim,
+            (salted_fact[fk_col] == salted_dim[key_col])
+            & (salted_fact["__salt"] == salted_dim["__salt"]),
+            "left_anti",
+        ).drop("__salt"))
+    return fact_nn.join(dim.select(key_col).distinct(),
+                        fact_nn[fk_col] == dim[key_col], "left_anti")
+
+
+def histogram(df: DataFrame, col: str, lo: float, hi: float, n_bins: int) -> DataFrame:
+    """Fixed-bin histogram as pure Column arithmetic (one agg pass).
+    Out-of-range values clamp into the edge bins."""
+    c = F.col(col).cast("double")
+    width = (hi - lo) / n_bins
+    bin_id = F.least(F.lit(n_bins - 1),
+                     F.greatest(F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")))
+    return (df.filter(c.isNotNull())
+              .groupBy(bin_id.alias("bin"))
+              .agg(F.count(F.lit(1)).alias("n")))
+
+
+def psi(df_a: DataFrame, df_b: DataFrame, col: str, lo: float, hi: float,
+        n_bins: int = 10, eps: float = 1e-6) -> float:
+    """Population Stability Index between two distributions of `col`.
+    Two small aggregations (n_bins rows each) + driver-side arithmetic — the
+    100TB sides are reduced before anything reaches the driver."""
+    import math
+
+    ha = {r["bin"]: r["n"] for r in histogram(df_a, col, lo, hi, n_bins).collect()}
+    hb = {r["bin"]: r["n"] for r in histogram(df_b, col, lo, hi, n_bins).collect()}
+    ta = max(1, sum(ha.values()))
+    tb = max(1, sum(hb.values()))
+    out = 0.0
+    for b in range(n_bins):
+        pa = max(eps, ha.get(b, 0) / ta)
+        pb = max(eps, hb.get(b, 0) / tb)
+        out += (pa - pb) * math.log(pa / pb)
+    return out
+
+
+def quantile_drift(df_a: DataFrame, df_b: DataFrame, col: str,
+                   qs: list[float] | None = None) -> float:
+    """Max absolute difference between the two quantile vectors, normalized by
+    the pooled IQR — a KS-flavoured drift score from two sketch passes."""
+    qs = qs or [i / 20 for i in range(1, 20)]
+    qa = quantile_sketch(df_a, col, qs)
+    qb = quantile_sketch(df_b, col, qs)
+    iqr = max(1e-9, (qa[int(len(qs) * 0.75)] - qa[int(len(qs) * 0.25)]))
+    return max(abs(a - b) for a, b in zip(qa, qb)) / iqr
+
+
+def per_partition_summary(validated: DataFrame, valid_col: str = "valid",
+                          violations_col: str = "violations") -> DataFrame:
+    """Per-physical-partition pass/fail summary in one groupBy over the
+    already-validated frame (north_rule's per-partition verdict table)."""
+    has_viols = violations_col in validated.columns
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(valid_col).cast("long")).alias("n_valid"),
+        F.sum((~F.col(valid_col)).cast("long")).alias("n_invalid"),
+    ]
+    if has_viols:
+        aggs.append(F.sum(F.size(violations_col)).alias("n_violations"))
+    return (validated
+            .withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id").agg(*aggs))
