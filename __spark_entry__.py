@@ -1,38 +1,608 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()    — flagship single-pass validation over sf0.001, returning per-row
+             verdicts + violation counts on the interleaved shape derived
+             deterministically from the flat documents table.
+queries()  — one entry per implemented operator family (SURVEY.md §2 +
+             training-pipeline ops); each callable takes (spark, sf_dir).
+oracle_sql() — DuckDB-equivalent ANSI SQL for every SQL-expressible query.
+             Column names/aliases match EXACTLY; doubles rounded identically
+             on both sides. Non-SQL-expressible ops (LSH pair generation,
+             per-partition summaries, multimodal decode) have no oracle entry
+             and get the driver's rows-only check.
+
+All engine-side queries are ANSI-mode-safe (the driver session has
+spark.sql.ansi.enabled=true): every fallible cast/parse goes through
+try_cast / try_to_date.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from xema_spark import dedup, multimodal, similarity, stats, text  # noqa: E402
+from xema_spark.compiler import validate_df  # noqa: E402
+from xema_spark.datagen import FLAGSHIP_RULE, gen_assets, gen_documents  # noqa: E402
+from xema_spark.text import _STOPWORDS  # noqa: E402
+
+_T = "documents"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the sf documents table arrives as ONE small parquet file -> one input
+    # partition; repartition so per-row-heavy operators use every core (a
+    # 100TB table arrives in thousands of splits and would skip this)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship single-pass validation
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Read sf0.001 documents, lift the flat table into the interleaved
+    (doc_id, spans) shape deterministically, validate with the flagship rule
+    in one projection, return per-row verdicts + violations."""
+    flat = _docs(spark, "/root/testdata/sf0.001")
+    toks = F.split(F.col("text"), " ")
+    spans = F.transform(
+        toks,
+        lambda t, j: F.struct(
+            F.when(j % 2 == 0, F.lit("text")).otherwise(F.lit("media")).alias("kind"),
+            F.when(j % 2 == 0, t).otherwise(F.lit(None).cast("string")).alias("text"),
+            F.when(j % 2 != 0, F.concat(F.lit("asset-"), F.lpad(F.length(t).cast("string"), 6, "0")))
+            .otherwise(F.lit(None).cast("string")).alias("media_ref"),
+            (j * 10).cast("int").alias("offset"),
+        ),
+    )
+    docs = flat.select(
+        F.format_string("doc-%08d", F.col("doc_id")).alias("doc_id"),
+        spans.alias("spans"),
+    )
+    v = validate_df(docs, FLAGSHIP_RULE)
+    return v.select("doc_id", "valid", F.size("violations").alias("n_violations"))
+
+
+# ---------------------------------------------------------------------------
+# validation-keyword queries (engine-compiled rules; SQL oracles below)
+# ---------------------------------------------------------------------------
+
+def _q_v_enum_lang(spark, sf_dir):
+    rule = {"type": "object",
+            "properties": {"lang": {"type": "string", "enum": ["en", "de", "fr", "es", "it"]}}}
+    d = validate_df(_docs(spark, sf_dir).select("doc_id", "lang"), rule)
+    return d.select("doc_id", "valid")
+
+
+def _q_v_range_nchars(spark, sf_dir):
+    rule = {"type": "object",
+            "properties": {"n_chars": {"type": "integer", "minimum": 50,
+                                       "maximum": 500, "multipleOf": 1}}}
+    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    return d.select("doc_id", "valid")
+
+
+def _q_v_exclusive_range(spark, sf_dir):
+    rule = {"type": "object",
+            "properties": {"n_chars": {"exclusiveMinimum": 100, "exclusiveMaximum": 400}}}
+    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    return d.select("doc_id", "valid")
+
+
+def _q_v_strlen_pattern(spark, sf_dir):
+    rule = {"type": "object", "properties": {
+        "text": {"type": "string", "minLength": 100, "maxLength": 400, "pattern": "spark"},
+        "source": {"type": "string", "pattern": "^src[0-9]+$"},
+    }}
+    d = validate_df(_docs(spark, sf_dir).select("doc_id", "text", "source"), rule)
+    return d.select("doc_id", "valid")
+
+
+def _q_v_array_items(spark, sf_dir):
+    rule = {"type": "object", "properties": {
+        "toks": {"type": "array", "minItems": 5, "maxItems": 200,
+                 "items": {"type": "string", "minLength": 1}},
+    }}
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return validate_df(base, rule).select("doc_id", "valid")
+
+
+def _q_v_contains(spark, sf_dir):
+    rule = {"type": "object",
+            "properties": {"toks": {"contains": {"type": "string", "minLength": 6}}}}
+    base = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return validate_df(base, rule).select("doc_id", "valid")
+
+
+def _q_v_unique_items(spark, sf_dir):
+    rule = {"type": "object", "properties": {"toks": {"uniqueItems": True}}}
+    base = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return validate_df(base, rule).select("doc_id", "valid")
+
+
+def _q_v_one_of(spark, sf_dir):
+    rule = {"type": "object",
+            "properties": {"n_chars": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]}}}
+    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    return d.select("doc_id", "valid")
+
+
+def _q_v_if_then_else(spark, sf_dir):
+    rule = {"type": "object", "properties": {
+        "n_chars": {"if": {"maximum": 200}, "then": {"multipleOf": 2},
+                    "else": {"minimum": 300}}}}
+    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    return d.select("doc_id", "valid")
+
+
+def _q_v_required_dependencies(spark, sf_dir):
+    rule = {"type": "object",
+            "required": ["doc_id", "lang"],
+            "dependencies": {"lang": ["source"]}}
+    d = validate_df(_docs(spark, sf_dir).select("doc_id", "lang", "source"), rule)
+    return d.select("doc_id", "valid")
+
+
+def _q_v_format_ipv4(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    ip = F.format_string("%d.%d.%d.%d",
+                         F.pmod("event_id", F.lit(300)),
+                         F.pmod("event_id", F.lit(256)),
+                         F.pmod("user_id", F.lit(256)),
+                         F.pmod(F.col("event_id") * 7, F.lit(300)))
+    base = e.select("event_id", ip.alias("ip"))
+    rule = {"type": "object", "properties": {"ip": {"format": "ipv4"}}}
+    return validate_df(base, rule).select("event_id", "valid")
+
+
+def _q_v_format_date(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    s = F.format_string("2024-%02d-%02d",
+                        F.pmod("event_id", F.lit(14)),
+                        F.pmod(F.col("event_id") * 3, F.lit(33)))
+    base = e.select("event_id", s.alias("d"))
+    rule = {"type": "object", "properties": {"d": {"format": "date"}}}
+    return validate_df(base, rule).select("event_id", "valid")
+
+
+def _q_violations_explode(spark, sf_dir):
+    """Error-tree parity: exploded violation rows (path, keyword) per doc."""
+    from xema_spark.compiler import explode_violations
+
+    rule = {"type": "object", "properties": {
+        "text": {"type": "string", "minLength": 100, "maxLength": 400,
+                 "pattern": "spark"}}}
+    v = validate_df(_docs(spark, sf_dir).select("doc_id", "text"), rule)
+    return explode_violations(v, ["doc_id"]).select("doc_id", "path", "keyword")
+
+
+def _q_v_json_dynamic(spark, sf_dir):
+    """Dynamic-shape escape hatch: the pandas-UDF interpreter over a JSON
+    string column (the engine's custom-validator surface,
+    validator.ex:1020-1041)."""
+    from xema_spark.interpreter import validate_json_df
+
+    e = _events(spark, sf_dir).select("event_id", "props")
+    rule = {"type": "object", "properties": {"k": {"type": "integer", "minimum": 0,
+                                                   "maximum": 75}},
+            "required": ["k"]}
+    return validate_json_df(e, "props", rule).select("event_id", "valid")
+
+
+def _q_cast_pipeline(spark, sf_dir):
+    """string->int and string->date coercions (Xema.cast analogue)."""
+    from xema_spark.cast import cast_df
+
+    e = _events(spark, sf_dir)
+    base = e.select(
+        "event_id",
+        F.format_string("%d", F.pmod("user_id", F.lit(97))).alias("u_str"),
+        F.format_string("2024-%02d-%02d", F.pmod("event_id", F.lit(14)),
+                        F.pmod(F.col("event_id") * 3, F.lit(33))).alias("d_str"),
+    )
+    rule = {"type": "object", "properties": {
+        "u_str": {"type": "integer", "default": -1},
+        "d_str": {"type": "any", "format": "date"}}}
+    out = cast_df(base, rule)
+    return out.select("event_id", F.col("u_str").alias("u_int"),
+                      F.col("d_str").cast("string").alias("d_date"))
+
+
+# ---------------------------------------------------------------------------
+# dataset-scope queries
+# ---------------------------------------------------------------------------
+
+def _q_stats_documents(spark, sf_dir):
+    return stats.column_stats(_docs(spark, sf_dir), ["lang", "source", "n_chars"],
+                              exact_distinct=True)
+
+
+def _q_moments_quantity(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    m = stats.numeric_moments(li, "l_quantity")
+    return m.select(
+        "n", F.round("mean", 4).alias("mean"), F.round("stddev", 4).alias("stddev"),
+        F.round("min", 2).alias("min"), F.round("max", 2).alias("max"))
+
+
+def _q_quantiles_nchars(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    q = d.agg(F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+              F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+              F.percentile("n_chars", F.lit(0.75)).alias("p75"))
+    return q.select(F.round("p25", 4).alias("p25"), F.round("p50", 4).alias("p50"),
+                    F.round("p75", 4).alias("p75"))
+
+
+def _q_uniqueness_users(spark, sf_dir):
+    return stats.uniqueness_violations(_events(spark, sf_dir), ["user_id"])
+
+
+def _q_referential_users(spark, sf_dir):
+    e = _events(spark, sf_dir).select("user_id").distinct()
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .filter(F.col("c_custkey") < 100).select("c_custkey")
+    return stats.referential_violations(e, "user_id", dim, "c_custkey")
+
+
+def _q_drift_hist_nchars(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("source").rlike("^src[0-9]$"))
+    b = d.filter(~F.col("source").rlike("^src[0-9]$"))
+    ha = stats.histogram(a, "n_chars", 0, 600, 12).withColumnRenamed("n", "n_a")
+    hb = stats.histogram(b, "n_chars", 0, 600, 12).withColumnRenamed("n", "n_b")
+    return (ha.join(hb, "bin", "full")
+            .select("bin", F.coalesce("n_a", F.lit(0)).alias("n_a"),
+                    F.coalesce("n_b", F.lit(0)).alias("n_b")))
+
+
+# ---------------------------------------------------------------------------
+# training-pipeline queries
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    with_dups = d.unionByName(d.filter(F.col("doc_id") < 20))
+    return dedup.exact_dup_groups(with_dups)
+
+
+def _q_text_token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    q = text.quality_features(_docs(spark, sf_dir))
+    return q.select("doc_id", "q_alpha_ratio", "q_punct_ratio", "q_digit_ratio")
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def _q_text_langid(spark, sf_dir):
+    return text.lang_id_table(_docs(spark, sf_dir), "doc_id")
+
+
+def _q_sim_knn_threshold(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    top = similarity.brute_force_topk(emb, q, k=1 << 30)
+    return (top.filter(F.col("cos") >= 0.8)
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_similar")))
+
+
+# --- rows-only (no SQL oracle): LSH pair generation, per-partition
+#     summaries, multimodal decode, ANN top-k, interleaved flagship ---------
+
+def _q_flagship_interleaved(spark, sf_dir):
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    docs = gen_documents(spark, n)
+    v = validate_df(docs, FLAGSHIP_RULE)
+    return stats.per_partition_summary(v)
+
+
+def _q_referential_spans(spark, sf_dir):
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    docs = gen_documents(spark, n)
+    assets = gen_assets(spark, n)
+    refs = docs.select("doc_id", F.explode("spans.media_ref").alias("media_ref")) \
+        .filter(F.col("media_ref").isNotNull())
+    return stats.referential_violations(refs, "media_ref", assets, "media_ref") \
+        .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
+
+
+def _q_dedup_minhash_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    with_dups = d.unionByName(
+        d.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = dedup.lsh_candidate_pairs(with_dups, "doc_id")
+    return dedup.ngram_jaccard(with_dups, pairs, "doc_id", threshold=0.8)
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir).limit(200)
+    with_dups = d.unionByName(
+        d.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 1000000))
+    return dedup.simhash_near_dups(with_dups, "doc_id", max_hamming=3)
+
+
+def _q_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = 64
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.lsh_topk(emb, q, dim=dim, k=10, n_planes=16, bands=8)
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    assets = gen_assets(spark, n)
+    decoded = multimodal.decode_media(multimodal.synth_media_payloads(assets.limit(500)))
+    sampled = multimodal.frame_sample_offsets(decoded)
+    return sampled.select("media_ref", "media_meta.width", "media_meta.height",
+                          "media_meta.decoder", F.size("frame_offsets_ms").alias("n_frames_sampled"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # keyword validation (oracle-checked)
+        "v_enum_lang": _q_v_enum_lang,
+        "v_range_nchars": _q_v_range_nchars,
+        "v_exclusive_range": _q_v_exclusive_range,
+        "v_strlen_pattern": _q_v_strlen_pattern,
+        "v_array_items": _q_v_array_items,
+        "v_contains": _q_v_contains,
+        "v_unique_items": _q_v_unique_items,
+        "v_one_of": _q_v_one_of,
+        "v_if_then_else": _q_v_if_then_else,
+        "v_required_dependencies": _q_v_required_dependencies,
+        "v_format_ipv4": _q_v_format_ipv4,
+        "v_format_date": _q_v_format_date,
+        "violations_explode": _q_violations_explode,
+        "v_json_dynamic": _q_v_json_dynamic,
+        "cast_pipeline": _q_cast_pipeline,
+        # dataset scope (oracle-checked)
+        "stats_documents": _q_stats_documents,
+        "moments_quantity": _q_moments_quantity,
+        "quantiles_nchars": _q_quantiles_nchars,
+        "uniqueness_users": _q_uniqueness_users,
+        "referential_users": _q_referential_users,
+        "drift_hist_nchars": _q_drift_hist_nchars,
+        # training-pipeline ops (oracle-checked)
+        "dedup_exact": _q_dedup_exact,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_langid": _q_text_langid,
+        "sim_knn_threshold": _q_sim_knn_threshold,
+        # rows-only (non-SQL-expressible)
+        "flagship_interleaved": _q_flagship_interleaved,
+        "referential_spans": _q_referential_spans,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "ann_topk": _q_ann_topk,
+        "multimodal_meta": _q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_IPV4_SQL_RE = (
+    r"^(25[0-5]|2[0-4]\d|[0-1]?\d{1,2})(\.(25[0-5]|2[0-4]\d|[0-1]?\d{1,2})){3}$"
+)
+
+_LANG_SQL = None  # built lazily below
+
+
+def _langid_sql() -> str:
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    score = {}
+    for lang, words in _STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score[lang] = (f"(CASE WHEN len({toks}) > 0 THEN "
+                       f"len(list_filter({toks}, t -> list_contains({arr}, t)))"
+                       f"::DOUBLE / len({toks}) ELSE 0.0 END)")
+    langs = list(_STOPWORDS)
+    m = "greatest(" + ", ".join(f"s_{x}" for x in langs) + ")"
+    case = f"CASE WHEN {m} <= 0.05 THEN 'und' "
+    for x in langs:
+        case += f"WHEN s_{x} = {m} THEN '{x}' "
+    case += "END"
+    inner = ", ".join(f"{score[x]} AS s_{x}" for x in langs)
+    return (f"SELECT doc_id, {case} AS lang_pred FROM "
+            f"(SELECT doc_id, {inner} FROM documents)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
+    toks = "string_split(text, ' ')"
+    return {
+        "v_enum_lang": f"""
+            SELECT doc_id,
+                   (lang IS NULL OR lang IN ('en','de','fr','es','it')) AS valid
+            FROM {_T}""",
+        "v_range_nchars": f"""
+            SELECT doc_id,
+                   (n_chars IS NULL OR (n_chars >= 50 AND n_chars <= 500
+                    AND n_chars % 1 = 0)) AS valid
+            FROM {_T}""",
+        "v_exclusive_range": f"""
+            SELECT doc_id,
+                   (n_chars IS NULL OR (n_chars > 100 AND n_chars < 400)) AS valid
+            FROM {_T}""",
+        "v_strlen_pattern": f"""
+            SELECT doc_id,
+                   ((text IS NULL OR (length(text) >= 100 AND length(text) <= 400
+                     AND regexp_matches(text, 'spark')))
+                    AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))) AS valid
+            FROM {_T}""",
+        "v_array_items": f"""
+            SELECT doc_id,
+                   (text IS NULL OR (len({toks}) >= 5 AND len({toks}) <= 200
+                    AND len(list_filter({toks}, x -> length(x) < 1)) = 0)) AS valid
+            FROM {_T}""",
+        "v_contains": f"""
+            SELECT doc_id,
+                   (text IS NULL OR len(list_filter({toks}, x -> length(x) >= 6)) > 0) AS valid
+            FROM {_T}""",
+        "v_unique_items": f"""
+            SELECT doc_id,
+                   (text IS NULL OR len(list_distinct({toks})) = len({toks})) AS valid
+            FROM {_T}""",
+        "v_one_of": f"""
+            SELECT doc_id,
+                   (n_chars IS NULL OR
+                    ((n_chars % 2 = 0)::INT + (n_chars % 3 = 0)::INT) = 1) AS valid
+            FROM {_T}""",
+        "v_if_then_else": f"""
+            SELECT doc_id,
+                   (n_chars IS NULL OR
+                    CASE WHEN n_chars <= 200 THEN n_chars % 2 = 0
+                         ELSE n_chars >= 300 END) AS valid
+            FROM {_T}""",
+        "v_required_dependencies": f"""
+            SELECT doc_id,
+                   (doc_id IS NOT NULL AND lang IS NOT NULL
+                    AND (lang IS NULL OR source IS NOT NULL)) AS valid
+            FROM {_T}""",
+        "v_format_ipv4": f"""
+            SELECT event_id,
+                   regexp_matches(printf('%d.%d.%d.%d',
+                       event_id % 300, event_id % 256, user_id % 256,
+                       (event_id * 7) % 300), '{_IPV4_SQL_RE}') AS valid
+            FROM events""",
+        "v_format_date": """
+            SELECT event_id,
+                   (regexp_matches(s, '^\\d{4}-[01]\\d-[0-3]\\d$')
+                    AND try_cast(s AS DATE) IS NOT NULL) AS valid
+            FROM (SELECT event_id,
+                         printf('2024-%02d-%02d', event_id % 14, (event_id * 3) % 33) AS s
+                  FROM events)""",
+        "violations_explode": f"""
+            SELECT doc_id, '$.text' AS path, 'min_length' AS keyword
+            FROM {_T} WHERE text IS NOT NULL AND length(text) < 100
+            UNION ALL
+            SELECT doc_id, '$.text', 'max_length'
+            FROM {_T} WHERE text IS NOT NULL AND length(text) > 400
+            UNION ALL
+            SELECT doc_id, '$.text', 'pattern'
+            FROM {_T} WHERE text IS NOT NULL AND NOT regexp_matches(text, 'spark')""",
+        "v_json_dynamic": """
+            SELECT event_id,
+                   coalesce(json_type(props::JSON, '$.k') IN ('UBIGINT', 'BIGINT')
+                            AND try_cast(json_extract_string(props::JSON, '$.k') AS BIGINT)
+                                BETWEEN 0 AND 75, false) AS valid
+            FROM events""",
+        "cast_pipeline": """
+            SELECT event_id,
+                   coalesce(try_cast(printf('%d', user_id % 97) AS BIGINT), -1) AS u_int,
+                   try_cast(printf('2024-%02d-%02d', event_id % 14,
+                                   (event_id * 3) % 33) AS DATE)::VARCHAR AS d_date
+            FROM events""",
+        "stats_documents": f"""
+            SELECT col AS "column", n_rows, n_nulls, n_distinct, min_value, max_value
+            FROM (
+              SELECT 'lang' AS col, count(*) AS n_rows,
+                     sum((lang IS NULL)::INT) AS n_nulls,
+                     count(DISTINCT lang) AS n_distinct,
+                     min(lang)::VARCHAR AS min_value, max(lang)::VARCHAR AS max_value
+              FROM {_T}
+              UNION ALL
+              SELECT 'source', count(*), sum((source IS NULL)::INT),
+                     count(DISTINCT source), min(source)::VARCHAR, max(source)::VARCHAR
+              FROM {_T}
+              UNION ALL
+              SELECT 'n_chars', count(*), sum((n_chars IS NULL)::INT),
+                     count(DISTINCT n_chars), min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+              FROM {_T}
+            )""",
+        "moments_quantity": """
+            SELECT count(l_quantity) AS n,
+                   round(avg(l_quantity), 4) AS mean,
+                   round(stddev_samp(l_quantity), 4) AS stddev,
+                   round(min(l_quantity), 2) AS min,
+                   round(max(l_quantity), 2) AS max
+            FROM lineitem""",
+        "quantiles_nchars": f"""
+            SELECT round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   round(quantile_cont(n_chars, 0.50), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS p75
+            FROM {_T}""",
+        "uniqueness_users": """
+            SELECT user_id, count(*) AS n_dups
+            FROM events GROUP BY user_id HAVING count(*) > 1""",
+        "referential_users": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_custkey < 100)""",
+        "drift_hist_nchars": f"""
+            WITH binned AS (
+              SELECT least(11, greatest(0, floor(n_chars / 50.0)))::INT AS bin,
+                     regexp_matches(source, '^src[0-9]$') AS is_a
+              FROM {_T} WHERE n_chars IS NOT NULL
+            )
+            SELECT bin,
+                   sum(is_a::INT) AS n_a,
+                   sum((NOT is_a)::INT) AS n_b
+            FROM binned GROUP BY bin""",
+        "dedup_exact": f"""
+            SELECT md5({norm}) AS text_hash, count(*) AS n_docs
+            FROM (SELECT text FROM {_T}
+                  UNION ALL SELECT text FROM {_T} WHERE doc_id < 20)
+            WHERE text IS NOT NULL
+            GROUP BY 1 HAVING count(*) > 1""",
+        "text_token_stats": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+            FROM {_T}""",
+        "text_quality": f"""
+            SELECT doc_id,
+                   round(CASE WHEN length(text) > 0 THEN
+                       len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text)
+                       ELSE 0.0 END, 4) AS q_alpha_ratio,
+                   round(CASE WHEN length(text) > 0 THEN
+                       len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE / length(text)
+                       ELSE 0.0 END, 4) AS q_punct_ratio,
+                   round(CASE WHEN length(text) > 0 THEN
+                       len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)
+                       ELSE 0.0 END, 4) AS q_digit_ratio
+            FROM {_T}""",
+        "text_fingerprint": f"""
+            SELECT doc_id, md5({norm}) AS fp FROM {_T}""",
+        "text_langid": _langid_sql(),
+        "sim_knn_threshold": """
+            SELECT a.vec_id AS q_id, count(*) AS n_similar
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 3
+              AND round(list_dot_product(a.embedding, b.embedding) /
+                  (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                   sqrt(list_dot_product(b.embedding, b.embedding)) + 1e-12), 6) >= 0.8
+            GROUP BY a.vec_id""",
+    }

@@ -180,6 +180,13 @@ class TestObjects:
             ({"abc": 1}, True), ({"A1": 1}, False),
         ], as_map=True)
 
+    def test_pattern_properties_map(self, spark):
+        rule = {"patternProperties": {"^str_": {"minimum": 10}}}
+        check_cases(spark, rule, [
+            ({"str_a": 11, "other": 1}, True),
+            ({"str_a": 4}, False),
+        ], as_map=True)
+
     def test_dependencies_list(self, spark):
         # validator.ex:965-1004; draft7/dependencies_test.exs
         rule = {"dependencies": {"credit_card": ["billing_address"]}}

@@ -1,0 +1,124 @@
+"""Datagen determinism, dataset-scope stats, and the single-pass runner with
+bucket-granular resume (FIXTURES.md T1/T2/T4; north_rule checkpoint clause)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from xema_spark import stats
+from xema_spark.compiler import validate_df
+from xema_spark.datagen import FLAGSHIP_RULE, gen_assets, gen_documents, n_assets_for
+from xema_spark.runner import run_validation
+
+N = 3000
+
+
+def test_datagen_deterministic(spark):
+    a = gen_documents(spark, 500).collect()
+    b = gen_documents(spark, 500, n_partitions=7).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    am = {r["doc_id"]: r["spans"] for r in a if r["doc_id"] != "doc-00000100"}
+    bm = {r["doc_id"]: r["spans"] for r in b if r["doc_id"] != "doc-00000100"}
+    assert am == bm  # partitioning must not change content
+
+
+def test_span_sequence_invariant(spark):
+    """input_hint row invariant: validation output preserves the span sequence
+    (kind, text, media_ref, order) per doc."""
+    docs = gen_documents(spark, 500)
+    v = validate_df(docs, FLAGSHIP_RULE)
+    orig = docs.select("doc_id", F.to_json("spans").alias("j")).collect()
+    after = v.select("doc_id", F.to_json("spans").alias("j")).collect()
+    assert sorted((r["doc_id"], r["j"]) for r in orig) == \
+           sorted((r["doc_id"], r["j"]) for r in after)
+
+
+def test_flagship_verdicts(spark):
+    docs = gen_documents(spark, N, with_expectations=True)
+    v = validate_df(docs, FLAGSHIP_RULE)
+    assert v.filter(F.col("valid") != F.col("expected_valid")).count() == 0
+    # every 13th doc with class 0..3 is invalid
+    n_invalid = v.filter(~F.col("valid")).count()
+    expected_invalid = sum(1 for i in range(N) if i % 13 == 0 and (i // 13) % 6 < 4)
+    assert n_invalid == expected_invalid
+
+
+def test_uniqueness(spark):
+    docs = gen_documents(spark, N)
+    dups = stats.uniqueness_violations(docs, ["doc_id"]).collect()
+    expected = sum(1 for i in range(N) if i % 101 == 0 and i > 0)
+    assert len(dups) == expected
+    assert all(r["n_dups"] == 2 for r in dups)
+
+
+def test_referential(spark):
+    docs = gen_documents(spark, N)
+    assets = gen_assets(spark, N)
+    spans = docs.select("doc_id", F.explode("spans").alias("s")) \
+                .select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    dangling = stats.referential_violations(spans, "media_ref", assets, "media_ref")
+    rows = dangling.collect()
+    assert len(rows) > 0
+    n_assets = n_assets_for(N)
+    assert all(int(r["media_ref"].split("-")[1]) >= n_assets for r in rows)
+    # salted non-broadcast variant agrees
+    salted = stats.referential_violations(spans, "media_ref", assets, "media_ref",
+                                          broadcast_dim=False, salt_buckets=4)
+    assert salted.count() == len(rows)
+
+
+def test_column_stats_and_drift(spark):
+    docs = gen_documents(spark, N)
+    flat = docs.select(F.explode("spans").alias("s")).select("s.*")
+    st = {r["column"]: r for r in stats.column_stats(flat, ["kind", "offset"],
+                                                     exact_distinct=True).collect()}
+    assert st["kind"]["n_distinct"] == 3  # text, media, blob
+    assert int(st["offset"]["min_value"]) == -5
+    mom = stats.numeric_moments(flat, "offset").head()
+    assert mom["n"] > 0 and mom["stddev"] > 0
+    qs = stats.quantile_sketch(flat, "offset")
+    assert qs == sorted(qs)
+    # drift: clean offsets vs shifted copy
+    a = flat.select(F.col("offset").cast("double").alias("x"))
+    b = flat.select((F.col("offset") + 200).cast("double").alias("x"))
+    assert stats.psi(a, a, "x", 0, 700) < 1e-9
+    assert stats.psi(a, b, "x", 0, 700) > 0.1
+    assert stats.quantile_drift(a, b, "x") > 0.1
+
+
+def test_runner_single_pass_and_resume(spark, tmp_path):
+    docs = gen_documents(spark, N)
+    assets = gen_assets(spark, N)
+    out_full = str(tmp_path / "full")
+    m1 = run_validation(spark, docs, FLAGSHIP_RULE, out_full, assets=assets,
+                        n_buckets=8, run_id="r1")
+    assert m1["n_rows"] == N
+    assert m1["n_violations"] > 0 and m1["dangling_refs"] > 0
+
+    # partial run: only buckets 0..3 of the input (simulates a crash after 4
+    # buckets), then resume over the full input
+    out_res = str(tmp_path / "resumed")
+    part = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int") < 4)
+    m2 = run_validation(spark, part, FLAGSHIP_RULE, out_res, assets=assets,
+                        n_buckets=8, run_id="r2")
+    assert m2["resumed_buckets"] == 0
+    m3 = run_validation(spark, docs, FLAGSHIP_RULE, out_res, assets=assets,
+                        n_buckets=8, run_id="r3")
+    assert m3["resumed_buckets"] == 4  # completed buckets were skipped
+    assert m3["n_rows"] == m1["n_rows"]
+    assert m3["n_violations"] == m1["n_violations"]
+    assert m3["dangling_refs"] == m1["dangling_refs"]
+
+    # verdict tables identical
+    va = spark.read.parquet(os.path.join(out_full, "verdicts")) \
+        .select("doc_id", "valid").collect()
+    vb = spark.read.parquet(os.path.join(out_res, "verdicts")) \
+        .select("doc_id", "valid").collect()
+    assert sorted(map(tuple, va)) == sorted(map(tuple, vb))
+
+    # lineage sidecar covers all buckets exactly once
+    lin = spark.read.parquet(os.path.join(out_res, "lineage"))
+    assert lin.select("bucket").distinct().count() == 8
+    assert lin.count() == 8

@@ -1,0 +1,158 @@
+"""Training-data pipeline operators: text analysis, dedup (exact / minhash-LSH
+/ simhash / n-gram jaccard), similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xema_spark import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestText:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([("a b  c",), ("", ), ("one",)], ["text"])
+        got = [r[0] for r in df.select(text.token_count(F.col("text"))).collect()]
+        assert got == [3, 0, 1]
+
+    def test_quality(self, spark, docs):
+        q = text.quality_features(docs)
+        rows = q.select("q_score", "q_n_tokens", "q_alpha_ratio").collect()
+        assert all(0.0 <= r["q_score"] <= 1.0 for r in rows)
+        assert any(r["q_n_tokens"] > 0 for r in rows)
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame([
+            ("the cat sat on the mat and it was happy",),
+            ("der hund ist nicht mit der katze auf dem sofa",),
+            ("le chat est dans la maison avec les enfants",),
+            ("xyzzy qwerty",),
+        ], ["text"])
+        got = [r[0] for r in df.select(text.lang_id(F.col("text"))).collect()]
+        assert got == ["en", "de", "fr", "und"]
+
+    def test_fingerprint(self, spark):
+        df = spark.createDataFrame([("Hello, World!",), ("hello world",), ("other",)], ["text"])
+        fps = [r[0] for r in df.select(text.fingerprint_md5(F.col("text"))).collect()]
+        assert fps[0] == fps[1] != fps[2]  # normalization-invariant
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello World"), (2, "hello, world"), (3, "unique text")],
+            ["doc_id", "text"])
+        groups = dedup.exact_dup_groups(df).collect()
+        assert len(groups) == 1 and groups[0]["n_docs"] == 2
+        kept = dedup.dedupe_exact(df, "doc_id")
+        assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+    def test_minhash_lsh_finds_near_dups(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy")
+        far = "completely different content about spark engines " * 8
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far), (4, base + " tail")],
+            ["doc_id", "text"])
+        pairs = dedup.lsh_candidate_pairs(df, "doc_id")
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        assert (1, 2) in got or (1, 4) in got
+        verified = dedup.ngram_jaccard(df, pairs, "doc_id", threshold=0.5).collect()
+        vp = {(r["doc_a"], r["doc_b"]) for r in verified}
+        assert all(0.5 <= r["jaccard"] <= 1.0 for r in verified)
+        assert (1, 3) not in vp and (2, 3) not in vp
+
+    def test_minhash_dedupe(self, spark):
+        base = "some long enough piece of text that repeats " * 10
+        df = spark.createDataFrame(
+            [(i, base) for i in range(1, 4)] + [(9, "a distinct document " * 10)],
+            ["doc_id", "text"])
+        kept = dedup.minhash_dedupe(df, "doc_id", threshold=0.9)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [1, 9]
+
+    def test_simhash(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+        near = base.replace("zeta", "zetax", 1)  # one token occurrence differs
+        far = "nothing in common with the others at all " * 6
+        df = spark.createDataFrame([(1, base), (2, near), (3, far), (4, base)],
+                                   ["doc_id", "text"])
+        sigs = {r["doc_id"]: r["sim"]
+                for r in df.select("doc_id", dedup.simhash64(F.col("text")).alias("sim")).collect()}
+        ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+        assert ham(1, 4) == 0                 # identical docs -> identical sigs
+        assert ham(1, 2) < ham(1, 3)          # near-dup closer than unrelated
+        assert ham(1, 2) <= 16
+        pairs = dedup.simhash_near_dups(df, "doc_id", max_hamming=ham(1, 2))
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+        assert got.get((1, 4)) == 0
+        assert (1, 3) not in got and (2, 3) not in got
+
+    def test_lsh_on_real_docs(self, spark, docs):
+        pairs = dedup.lsh_candidate_pairs(docs.withColumnRenamed("doc_id", "d"), "d")
+        pairs.count()  # smoke: runs on the sf documents table
+
+
+class TestSimilarity:
+    def _queries(self, spark, emb):
+        return (emb.limit(3)
+                .select(F.col("vec_id").alias("q_id"),
+                        F.col("embedding").alias("q_vec")))
+
+    def test_brute_force_self_top1(self, spark, emb):
+        q = self._queries(spark, emb)
+        top = similarity.brute_force_topk(emb, q, k=3)
+        top1 = {r["q_id"]: r["vec_id"] for r in top.filter("rank=1").collect()}
+        assert all(qid == vid for qid, vid in top1.items())  # self is nearest
+        assert top.groupBy("q_id").count().filter("count != 3").count() == 0
+
+    def test_lsh_topk_recall(self, spark, emb):
+        dim = len(emb.head()["embedding"])
+        q = self._queries(spark, emb)
+        exact = similarity.brute_force_topk(emb, q, k=5)
+        approx = similarity.lsh_topk(emb, q, dim=dim, k=5, n_planes=12, bands=6)
+        e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+        a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.4, f"LSH recall too low: {recall}"
+        # self-match must always survive (identical signatures collide)
+        assert all((qid, qid) in a for qid in (0, 1, 2))
+
+    def test_cosine_near_dups(self, spark, emb):
+        dim = len(emb.head()["embedding"])
+        twin = emb.limit(2).select((F.col("vec_id") + 100000).alias("vec_id"),
+                                   "embedding", "label")
+        both = emb.limit(50).unionByName(twin)
+        pairs = similarity.cosine_near_dups(both, dim=dim, threshold=0.999)
+        got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        assert (0, 100000) in got and (1, 100001) in got
+
+
+class TestMultimodal:
+    def test_decode_stub_deterministic(self, spark):
+        df = spark.createDataFrame([("asset-1",), ("asset-2",)], ["media_ref"])
+        with_payload = multimodal.synth_media_payloads(df)
+        decoded = multimodal.decode_media(with_payload)
+        rows = {r["media_ref"]: r["media_meta"] for r in decoded.collect()}
+        again = {r["media_ref"]: r["media_meta"]
+                 for r in multimodal.decode_media(with_payload).collect()}
+        assert rows == again  # deterministic
+        assert all(m["decoder"] == "stub" and m["width"] >= 64 for m in rows.values())
+
+    def test_frame_sampling(self, spark):
+        df = spark.createDataFrame([("vid-1",)], ["media_ref"])
+        d = multimodal.decode_media(
+            multimodal.synth_media_payloads(df).withColumn("media_type", F.lit("video")))
+        out = multimodal.frame_sample_offsets(d, n_samples=4).head()
+        offs = out["frame_offsets_ms"]
+        assert len(offs) == 4 and offs == sorted(offs) and offs[0] == 0

@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Five families, each with a distinct scale/recall trade-off:
+
+- exact:        md5-groupBy; partial (map-side) aggregation makes the shuffle
+                carry one row per distinct hash per task — skew-proof.
+- minhash+LSH:  shingle -> k minhashes -> band keys -> bucket self-join.
+                Candidate generation touches only band-key collisions; the
+                O(n^2) pair space is never materialized.
+- simhash:      64-bit signature via per-bit majority of token hashes, all in
+                Column expressions; near-dup = small hamming distance
+                (bit_count(a^b)), grouped by simhash band prefix.
+- n-gram jaccard: exact verification on candidate pairs (array_intersect /
+                array_union on shingle sets).
+- embedding cosine: see similarity.py (LSH-bucketed cosine join).
+
+Everything below is deterministic (hash-mixed constants, no RNG) and pure
+Column expressions — no Python on executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from xema_spark.text import normalize_text
+
+# deterministic odd multipliers for the k minhash permutations
+# h_i(x) = (a_i * x + b_i) mod 2^61-1 over xxhash64 shingle hashes
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _perm_constants(k: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(k):
+        a = (0x9E3779B97F4A7C15 * (i + 1) + 0x85EBCA6B) % _MERSENNE61 | 1
+        b = (0xC2B2AE3D27D4EB4F * (i + 1) + 0x27D4EB2F) % _MERSENNE61
+        out.append((a, b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     normalized: bool = True) -> DataFrame:
+    """Groups of byte- (or normalized-) identical texts: (text_hash, n_docs)."""
+    c = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    return (df.filter(F.col(text_col).isNotNull())
+            .groupBy(F.md5(c).alias("text_hash"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > 1))
+
+
+def dedupe_exact(df: DataFrame, id_col: str, text_col: str = "text",
+                 normalized: bool = True) -> DataFrame:
+    """Keep one row (lowest id) per identical text; one shuffle on the hash."""
+    c = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    w = Window.partitionBy(F.md5(c)).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash + LSH
+# ---------------------------------------------------------------------------
+
+def shingles(col: Column, n: int = 5, max_shingles: int = 512) -> Column:
+    """Distinct character n-grams of the normalized text, capped per doc so a
+    pathological 100MB doc can't blow an executor (cap is a documented recall
+    trade-off; raise at will). The normalized text is also length-capped:
+    substr-by-index on UTF8 strings is O(position), so uncapped shingling of
+    a huge doc would be O(len^2)."""
+    norm = F.substring(normalize_text(col), 1, max(4096, max_shingles * 8))
+    length = F.length(norm)
+    count = F.greatest(F.lit(0), length - F.lit(n - 1))
+    grams = F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.least(count, F.lit(max_shingles * 4))),
+                    lambda i: norm.substr(i, F.lit(n)))
+    )
+    return F.slice(F.array_distinct(grams), 1, max_shingles)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
+                       n: int = 5, k: int = 32,
+                       max_shingles: int = 512) -> DataFrame:
+    """k-wide minhash signature per doc as columns mh_0..mh_{k-1}.
+
+    Shape matters at scale: shingles are EXPLODED to one row per (doc,
+    shingle-hash) and the k affine permutations are k `min` aggregates in ONE
+    groupBy. Catalyst's partial (map-side) aggregation collapses each doc to
+    a single row before the shuffle (a doc's shingles are co-partitioned by
+    construction), and the per-shingle work runs once — unlike nested
+    higher-order functions, which are CodegenFallback and would re-evaluate
+    the shingle array for every one of the k permutations."""
+    sh = df.select(F.col(id_col).alias("doc"),
+                   F.explode(shingles(F.col(text_col), n, max_shingles)).alias("s"))
+    h = sh.select("doc", F.xxhash64("s").alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE61))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_perm_constants(k))
+    ]
+    return h.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        n: int = 5, k: int = 32, bands: int = 8,
+                        max_bucket: int = 64) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join on
+    (band_id, band_hash), emit ordered pairs within buckets.
+
+    max_bucket drops degenerate buckets (e.g. thousands of empty docs) —
+    a skew guard: a bucket of B docs yields B^2 pairs, so a single hot
+    bucket of 100k identical boilerplate docs would otherwise emit 10^10
+    pairs. Dropped buckets are exact-dup territory anyway (handled by
+    exact_dup_groups)."""
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    band_structs = [
+        F.struct(F.lit(b).cast("int").alias("band"),
+                 F.xxhash64(F.struct(*[F.col(f"mh_{b * r + j}") for j in range(r)]))
+                 .alias("bucket"))
+        for b in range(bands)
+    ]
+    banded = sig.select("doc", F.explode(F.array(*band_structs)).alias("bk")) \
+        .select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    grouped = (banded.groupBy("band", "bucket")
+               .agg(F.collect_list("doc").alias("docs"))
+               .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket)))
+    pairs = grouped.select(F.explode(_ordered_pairs(F.col("docs"))).alias("p")) \
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")) \
+        .distinct()
+    return pairs
+
+
+def _ordered_pairs(docs: Column) -> Column:
+    """All (a<b) pairs within a bucket as array<struct<a,b>> — flatMap via
+    nested transform, no Python."""
+    srt = F.array_sort(docs)
+    idx = F.sequence(F.lit(1), F.size(srt))
+    return F.flatten(F.transform(
+        idx,
+        lambda i: F.transform(
+            F.slice(srt, i + 1, F.greatest(F.lit(0), F.size(srt) - i)),
+            lambda other: F.struct(F.element_at(srt, i).alias("a"), other.alias("b")),
+        ),
+    ))
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
+                  text_col: str = "text", n: int = 5,
+                  threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs: two hash joins back to
+    the shingle sets, then array_intersect/array_union per pair."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   shingles(F.col(text_col), n).alias("__sh"))
+    a = sh.select(F.col("__id").alias("doc_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("doc_b"), F.col("__sh").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)))
+    return (joined.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
+                   threshold: float = 0.8, **kw) -> DataFrame:
+    """End-to-end near-dup removal: LSH candidates -> exact Jaccard ->
+    keep the lowest id of each matched pair's partner set. (Connected-
+    component transitivity is approximated by repeated pair pruning — exact
+    CC needs an iterative join, out of v1 scope and rarely material at
+    threshold>=0.8.)"""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, **kw)
+    dups = ngram_jaccard(df, pairs, id_col, text_col, threshold=threshold)
+    losers = dups.select(F.greatest("doc_a", "doc_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash64(col: Column) -> Column:
+    """64-bit SimHash of the whitespace token stream: per-bit majority vote
+    of token xxhash64s, built entirely from higher-order functions."""
+    from xema_spark.text import tokens
+
+    hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    # bit positions are compile-time constants (F.shiftrightunsigned only
+    # accepts a literal shift), so the 64 per-bit majority votes are unrolled
+    # on the driver into one wide Column expression
+    def _vote_fn(b: int):
+        # NB: a default-arg lambda (lambda acc, h, _b=b) would break — pyspark
+        # derives the lambda-variable count from the function arity
+        return lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(b))
+        bit_val = (1 << b) if b < 63 else -(1 << 63)  # avoid signed overflow
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
+                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the signature's top prefix_bits,
+    verify hamming distance with bit_count(a^b) inside each block."""
+    sig = df.select(F.col(id_col).alias("doc"),
+                    simhash64(F.col(text_col)).alias("sim"))
+    blocked = sig.withColumn("block", F.shiftrightunsigned("sim", 64 - prefix_bits))
+    a = blocked.select(F.col("doc").alias("doc_a"), F.col("sim").alias("sim_a"), "block")
+    b = blocked.select(F.col("doc").alias("doc_b"), F.col("sim").alias("sim_b"), "block")
+    return (a.join(b, "block")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

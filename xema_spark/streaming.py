@@ -1,0 +1,79 @@
+"""Structured-Streaming adaptation of the validation engine.
+
+The reference is batch-only (no watermarks/windows/state anywhere —
+SURVEY.md §2.7), and the compiled rule trees are stateless per-row Column
+expressions, so they lift onto readStream unchanged. This module adds the
+streaming-only surface: event-time windowed verdict summaries with
+watermarked late-data handling, and a foreachBatch sink that reuses the
+batch runner's verdict-table layout (so a streaming deployment and a batch
+backfill write the same tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from xema_spark.compiler import compile_rule
+from xema_spark.rules import meta_validate, normalize_rule
+
+
+def validate_stream(stream_df: DataFrame, rule: dict,
+                    mode: str = "violations") -> DataFrame:
+    """Apply a compiled rule to a streaming DataFrame (row == value, same as
+    batch validate_df but without triggering analysis that needs a bounded
+    plan)."""
+    from pyspark.sql import types as T
+
+    rule = normalize_rule(rule)
+    meta_validate(rule)
+    dtype = T.StructType([T.StructField(f.name, f.dataType) for f in stream_df.schema.fields])
+    col = F.struct(*[F.col(c) for c in stream_df.columns])
+    compiled = compile_rule(rule, col, dtype)
+    out = stream_df.withColumn("valid", compiled.valid)
+    if mode == "violations":
+        out = out.withColumn("violations", compiled.violations)
+    return out
+
+
+def windowed_verdict_summary(stream_df: DataFrame, rule: dict, ts_col: str,
+                             window: str = "1 minute",
+                             watermark: str = "2 minutes") -> DataFrame:
+    """Per event-time window pass/fail counts with late-data watermark —
+    the streaming analogue of stats.per_partition_summary."""
+    v = validate_stream(stream_df, rule, mode="violations")
+    return (v.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("valid").cast("long")).alias("n_valid"),
+                 F.sum(F.size("violations")).alias("n_violations"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "n_rows", "n_valid", "n_violations"))
+
+
+def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
+                             checkpoint_dir: str, n_buckets: int = 64):
+    """foreachBatch sink writing the SAME layout as runner.run_validation's
+    verdict table, so streaming ingest and batch backfill share consumers.
+    Returns the StreamingQuery (caller owns trigger/termination)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    rule_n = normalize_rule(rule)
+    meta_validate(rule_n)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dtype = T.StructType([T.StructField(f.name, f.dataType) for f in batch_df.schema.fields])
+        col = F.struct(*[F.col(c) for c in batch_df.columns])
+        compiled = compile_rule(rule_n, col, dtype)
+        (batch_df.select(
+            F.col("doc_id"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            compiled.valid.alias("valid"),
+            compiled.violations.alias("violations"),
+        ).write.mode("append").partitionBy("bucket")
+         .parquet(os.path.join(output_dir, "verdicts")))
+
+    return (stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir))

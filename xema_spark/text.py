@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are pure Column trees (JVM, whole-stage codegen):
+tokenization, quality scoring, language-ID and fingerprinting never cross
+into Python. Designed for the flat `documents(doc_id, text, lang, source,
+n_chars)` table but parameterized on the text column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# A BPE-ish word/number/symbol segmentation (letters run | digits run |
+# single non-space symbol) — the token-count proxy used by data pipelines.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "was",
+           "with", "as", "his", "on", "be", "at", "by", "had", "not", "are"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit",
+           "auf", "für", "den", "von", "sich", "dem", "war", "aber", "auch"],
+    "fr": ["le", "la", "les", "et", "de", "des", "un", "une", "est", "dans",
+           "que", "qui", "pour", "pas", "avec", "sur", "au", "il", "elle"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "una",
+           "es", "no", "por", "con", "para", "su", "se", "del", "al"],
+    "it": ["il", "la", "le", "di", "che", "e", "un", "una", "per", "non",
+           "con", "del", "della", "si", "sono", "come", "anche", "questo"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.coalesce(F.regexp_count(col, F.lit(BPE_ISH)), F.lit(0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-shape features + a composite
+    quality score in [0,1] — one projection, no shuffle."""
+    c = F.col(text_col)
+    n_chars = F.coalesce(F.length(c), F.lit(0))
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_alpha = F.coalesce(F.regexp_count(c, F.lit(r"[A-Za-z]")), F.lit(0))
+    n_punct = F.coalesce(F.regexp_count(c, F.lit(r"[^\w\s]")), F.lit(0))
+    n_digit = F.coalesce(F.regexp_count(c, F.lit(r"[0-9]")), F.lit(0))
+    mean_tok_len = F.when(n_tokens > 0,
+                          F.aggregate(toks, F.lit(0).cast("long"),
+                                      lambda a, t: a + F.length(t)).cast("double") / n_tokens
+                          ).otherwise(F.lit(0.0))
+    sw = F.array(*[F.lit(w) for ws in _STOPWORDS.values() for w in ws])
+    stop_ratio = F.when(n_tokens > 0,
+                        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+                        .cast("double") / n_tokens).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0))
+    # composite: favor alpha-heavy, some stopwords, sane word length, low noise
+    score = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 20.0) * 0.25
+        + alpha_ratio * 0.25
+        + F.least(F.lit(1.0), stop_ratio * 5.0) * 0.25
+        + (1.0 - F.least(F.lit(1.0), punct_ratio * 4.0 + digit_ratio * 2.0)) * 0.25
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(mean_tok_len, 4).alias("q_mean_token_len"),
+        F.round(alpha_ratio, 4).alias("q_alpha_ratio"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(digit_ratio, 4).alias("q_digit_ratio"),
+        F.round(stop_ratio, 4).alias("q_stopword_ratio"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-hit ratio of the token stream (n-gram-free
+    heuristic language ID; cheap and fully columnar)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    out = {}
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        out[lang] = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    return out
+
+
+def lang_id(col: Column, min_score: float = 0.05) -> Column:
+    """argmax over lang_scores; 'und' when no language clears min_score."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(float(min_score))
+    for lang, s in scores.items():
+        better = s > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best
+
+
+def lang_id_table(df: DataFrame, id_col: str, text_col: str = "text",
+                  out_col: str = "lang_pred", min_score: float = 0.05) -> DataFrame:
+    """Scalable language-ID: explode tokens once, ONE groupBy(id) with one
+    counting aggregate per language (partial aggregation collapses each doc
+    map-side), then argmax. Equivalent to lang_id() but the token stream is
+    materialized exactly once instead of being re-evaluated per language by
+    the interpreted higher-order functions."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for lang, words in _STOPWORDS.items():
+        aggs.append(F.sum(F.col("__t").isin(words).cast("long")).alias(f"__h_{lang}"))
+    per = toks.groupBy(id_col).agg(*aggs)
+    scores = {lang: F.col(f"__h_{lang}") / F.col("__n") for lang in _STOPWORDS}
+    m = F.greatest(*scores.values())
+    pick = F.when(m <= min_score, F.lit("und"))
+    for lang in _STOPWORDS:  # first max wins, same tie-break as lang_id()
+        pick = pick.when(scores[lang] == m, F.lit(lang))
+    scored = per.select(id_col, pick.alias(out_col))
+    # docs with zero tokens were dropped by the explode -> 'und'
+    return (df.select(id_col).join(scored, id_col, "left")
+            .select(id_col, F.coalesce(out_col, F.lit("und")).alias(out_col)))
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse non-alnum."""
+    return F.regexp_replace(F.lower(col), r"[^a-z0-9]+", "")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (cross-engine stable)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit rolling-hash-style fingerprint (xxhash64 of normalized text)."""
+    return F.xxhash64(normalize_text(col))
