@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the scale properties the engine promises
+must be visible in .explain() — column pruning into the parquet scan,
+predicate pushdown, broadcast join for the referential check, partial
+(map-side) hash aggregation for uniqueness, and no Python in the flagship
+hot path."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from xema_spark import stats
+from xema_spark.compiler import validate_df
+from xema_spark.datagen import FLAGSHIP_RULE, gen_documents
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "docs")
+    gen_documents(spark, 2000).write.parquet(p)
+    return p
+
+
+def test_column_pruning_reaches_scan(spark, docs_parquet):
+    df = spark.read.parquet(docs_parquet)
+    rule = {"type": "object", "properties": {"doc_id": {"pattern": "^doc-"}}}
+    out = validate_df(df, rule, mode="verdict").select("doc_id", "valid")
+    plan = plan_of(out)
+    # the scan must read doc_id only — spans is never touched by this rule
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "spans" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, docs_parquet):
+    df = spark.read.parquet(docs_parquet)
+    out = df.filter(F.col("doc_id") == "doc-00000042").select("doc_id")
+    plan = plan_of(out)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "IsNotNull(doc_id)" in pushed[0] and "EqualTo" in pushed[0]
+
+
+def test_referential_uses_broadcast_join(spark, docs_parquet):
+    from xema_spark.datagen import gen_assets
+
+    df = spark.read.parquet(docs_parquet)
+    refs = df.select(F.explode("spans.media_ref").alias("media_ref")).filter("media_ref is not null")
+    dangling = stats.referential_violations(refs, "media_ref", gen_assets(spark, 2000), "media_ref")
+    plan = plan_of(dangling)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan  # the 100TB side must not shuffle
+
+
+def test_uniqueness_has_partial_aggregation(spark, docs_parquet):
+    df = spark.read.parquet(docs_parquet)
+    plan = plan_of(stats.uniqueness_violations(df, ["doc_id"]), "simple")
+    # partial + final hash aggregate == map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "partial" in plan
+
+
+def test_flagship_hot_path_has_no_python(spark, docs_parquet):
+    df = spark.read.parquet(docs_parquet)
+    v = validate_df(df, FLAGSHIP_RULE)
+    plan = plan_of(v)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert marker not in plan, f"flagship plan contains Python stage: {marker}"
+
+
+def test_verdict_mode_prunes_violation_expressions(spark, docs_parquet):
+    df = spark.read.parquet(docs_parquet)
+    v = validate_df(df, FLAGSHIP_RULE)  # both columns computed
+    only_verdict = v.select("doc_id", "valid")  # Catalyst prunes violations
+    plan = plan_of(only_verdict, "simple")
+    assert "violations" not in plan.lower().replace("project", "")
+
+
+def test_single_pass_stats_is_one_aggregate(spark, docs_parquet):
+    df = spark.read.parquet(docs_parquet).select(F.explode("spans").alias("s")).select("s.*")
+    st = stats.column_stats(df, ["kind", "offset"])
+    plan = plan_of(st, "simple")
+    # one scan feeding one (partial+final) aggregate — no joins/unions of rescans
+    assert plan.count("Scan parquet") == 1

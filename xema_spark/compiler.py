@@ -649,6 +649,10 @@ def validate_df(
     """
     rule = normalize_rule(rule)
     meta_validate(rule)
+    # reference fail-mode names accepted as aliases (behaviour.ex:36):
+    # :immediately == verdict-only short-circuit; :early/:finally == collect
+    mode = {"immediately": "verdict", "early": "violations",
+            "finally": "violations"}.get(mode, mode)
     if target is None:
         col = F.struct(*[F.col(c) for c in df.columns])
         dtype: T.DataType = T.StructType([T.StructField(f.name, f.dataType) for f in df.schema.fields])

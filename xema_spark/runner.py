@@ -108,9 +108,19 @@ def run_validation(
     # happens AFTER the projection dropped the heavy spans column, so the
     # shuffle moves only (doc_id, verdict, violations, refs) — and the write
     # emits one file per bucket instead of n_input_partitions x n_buckets.
-    (enriched.repartition(n_buckets, "bucket")
+    # df.observe collects this run's global counters DURING the write action
+    # (zero extra scans — the Spark-native single-pass metric channel).
+    from pyspark.sql import Observation
+
+    obs = Observation(f"xema_scan_{run_id}")
+    (enriched.observe(obs,
+                      F.count(F.lit(1)).alias("rows"),
+                      F.sum(F.col("valid").cast("long")).alias("valid"),
+                      F.sum(F.size("violations").cast("long")).alias("violations"))
+     .repartition(n_buckets, "bucket")
      .write.mode("append").partitionBy("bucket").parquet(verdict_dir))
     scan_elapsed = time.time() - t0
+    scan_obs = obs.get
 
     verdicts = spark.read.parquet(verdict_dir)
 
@@ -132,11 +142,14 @@ def run_validation(
     ))
     if done:
         new_summary = new_summary.filter(~F.col("bucket").isin(*[int(b) for b in done]))
-    lineage = new_summary.select(
+    # materialize the (<= n_buckets)-row summary ONCE: it feeds the lineage
+    # write AND the global totals, so no read-back aggregation job is needed
+    summary_rows = new_summary.collect()
+    lineage = spark.createDataFrame(summary_rows, new_summary.schema).select(
         "bucket", "n_rows", "n_valid", "n_violations", "n_bytes",
         F.lit(run_id).alias("run_id"),
         F.lit(float(scan_elapsed)).alias("scan_elapsed_sec"),
-    )
+    ).coalesce(1)
     lineage.write.mode("append").parquet(lineage_dir)
 
     metrics: dict = {
@@ -144,16 +157,22 @@ def run_validation(
         "n_buckets": n_buckets,
         "resumed_buckets": len(done),
         "scan_elapsed_sec": scan_elapsed,
+        "scan_rows": scan_obs.get("rows", 0),
+        "scan_valid": scan_obs.get("valid", 0),
+        "scan_violations": scan_obs.get("violations", 0),
     }
 
-    # Global verdict metrics from the (tiny) per-bucket sidecar — no rescan.
-    agg = spark.read.parquet(lineage_dir).agg(
-        F.sum("n_rows").alias("n_rows"),
-        F.sum("n_valid").alias("n_valid"),
-        F.sum("n_violations").alias("n_violations"),
-    ).head()
-    metrics.update(n_rows=agg["n_rows"], n_valid=agg["n_valid"],
-                   n_violations=agg["n_violations"])
+    n_rows = sum(r["n_rows"] for r in summary_rows)
+    n_valid = sum(r["n_valid"] for r in summary_rows)
+    n_viol = sum(r["n_violations"] for r in summary_rows)
+    if done:  # totals include previously-completed buckets from the sidecar
+        prior = (spark.read.parquet(lineage_dir)
+                 .filter(F.col("run_id") != run_id)
+                 .agg(F.sum("n_rows"), F.sum("n_valid"), F.sum("n_violations")).head())
+        n_rows += prior[0] or 0
+        n_valid += prior[1] or 0
+        n_viol += prior[2] or 0
+    metrics.update(n_rows=n_rows, n_valid=n_valid, n_violations=n_viol)
 
     dup = (verdicts.groupBy("doc_id").count().filter("count > 1")
            .agg(F.count(F.lit(1)).alias("k"), F.sum("count").alias("r")).head())
