@@ -1,0 +1,123 @@
+"""Remote-$ref registry inlining, grapheme-exact lengths, multi-rule fused
+validation, and extra draft7 edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.helpers import check_cases
+from xema_spark.compiler import validate_df, validate_many
+from xema_spark.rules import RuleError, inline_remote_refs, normalize_rule
+
+
+class TestRemoteRefs:
+    REGISTRY = {
+        "http://example.com/int": {"type": "integer", "minimum": 0},
+        "http://example.com/nested": {
+            "definitions": {"name": {"type": "string", "minLength": 2}},
+            "properties": {"name": {"$ref": "#/definitions/name"}},
+        },
+    }
+
+    def test_remote_ref_inlined(self, spark):
+        rule = {"type": "object",
+                "properties": {"n": {"$ref": "http://example.com/int"}}}
+        df = spark.createDataFrame([(5,), (-1,), (None,)], "n: long")
+        out = validate_df(df, rule, registry={
+            k: normalize_rule(v) for k, v in self.REGISTRY.items()})
+        got = {r["n"]: r["valid"] for r in out.collect()}
+        assert got[5] is True and got[-1] is False and got[None] is True
+
+    def test_remote_ref_with_internal_local_refs(self, spark):
+        # the remote doc's own '#/definitions/...' must resolve against the
+        # REMOTE root after inlining (behaviour.ex:160-223 semantics)
+        rule = {"$ref": "http://example.com/nested"}
+        df = spark.createDataFrame([("ab",), ("x",)], "name: string")
+        out = validate_df(df, rule, registry={
+            k: normalize_rule(v) for k, v in self.REGISTRY.items()})
+        got = {r["name"]: r["valid"] for r in out.collect()}
+        assert got["ab"] is True and got["x"] is False
+
+    def test_missing_uri_raises(self):
+        with pytest.raises(RuleError, match="registry"):
+            inline_remote_refs(normalize_rule({"$ref": "http://nope/x"}), {})
+
+    def test_circular_remote_raises(self):
+        reg = {"http://a": normalize_rule({"$ref": "http://b"}),
+               "http://b": normalize_rule({"$ref": "http://a"})}
+        with pytest.raises(RuleError, match="circular"):
+            inline_remote_refs(normalize_rule({"$ref": "http://a"}), reg)
+
+
+class TestGraphemes:
+    def test_exact_grapheme_length(self, spark):
+        # é as e + combining acute = 2 codepoints, 1 grapheme; family emoji
+        # with ZWJs = many codepoints, 1 grapheme
+        combining = "é"
+        family = "\U0001F468‍\U0001F469‍\U0001F466"
+        df = spark.createDataFrame([(combining,), (family,), ("ab",)], "s: string")
+        rule = {"type": "object", "properties": {"s": {"maxLength": 1}}}
+        default = {r["s"]: r["valid"] for r in validate_df(df, rule).collect()}
+        exact = {r["s"]: r["valid"]
+                 for r in validate_df(df, rule, exact_graphemes=True).collect()}
+        assert default[combining] is False      # 2 codepoints
+        assert exact[combining] is True         # 1 grapheme (reference semantics)
+        assert exact[family] is True
+        assert exact["ab"] is False
+
+
+class TestValidateMany:
+    def test_fused_multi_rule(self, spark):
+        df = spark.createDataFrame([(5, "abc"), (-1, "x")], "n: long, s: string")
+        out = validate_many(df, {
+            "pos": {"properties": {"n": {"minimum": 0}}},
+            "named": {"properties": {"s": {"minLength": 2}}},
+        })
+        rows = {r["n"]: r for r in out.collect()}
+        assert rows[5]["valid_pos"] and rows[5]["valid_named"]
+        assert not rows[-1]["valid_pos"] and not rows[-1]["valid_named"]
+        assert rows[-1]["violations_pos"][0]["keyword"] == "minimum"
+
+
+class TestDraft7EdgeCases:
+    def test_const_null_and_bool(self, spark):
+        check_cases(spark, {"const": None}, [("x", False)], skip_interp=True)
+        check_cases(spark, {"const": True}, [(True, True), (False, False), (1, False)])
+
+    def test_enum_bool_not_int(self, spark):
+        check_cases(spark, {"enum": [True]}, [(True, True), (1, False)])
+
+    def test_nested_combiners(self, spark):
+        rule = {"allOf": [{"anyOf": [{"minimum": 0}, {"maximum": -10}]},
+                          {"not": {"const": 3}}]}
+        check_cases(spark, rule, [
+            (5, True), (3, False), (-20, True), (-5, False),
+        ])
+
+    def test_contains_empty_array(self, spark):
+        check_cases(spark, {"contains": {"type": "integer"}}, [
+            ([], False), ([1], True),
+        ])
+
+    def test_additional_items_true_ignored(self, spark):
+        check_cases(spark, {"items": [{"type": "integer"}], "additionalItems": True}, [
+            ([1, 2, 3], True),
+        ])
+
+    def test_required_on_map_with_nulls(self, spark):
+        # map key present with null value: present for required (map-key
+        # semantics), but the subschema skips (null == absent value)
+        rule = {"required": ["k"], "properties": {"k": {"minimum": 0}}}
+        check_cases(spark, rule, [
+            ({"k": 1}, True), ({"j": 1}, False),
+        ], as_map=True)
+
+    def test_pattern_unanchored_search(self, spark):
+        check_cases(spark, {"pattern": "b.t"}, [
+            ("rabbit bat", True), ("bit", True), ("ba", False),
+        ])
+
+    def test_min_length_unicode_codepoints(self, spark):
+        # default mode counts codepoints: 'ñ' precomposed is 1
+        check_cases(spark, {"minLength": 2}, [("ñx", True), ("ñ", False)])

@@ -56,6 +56,29 @@ VIOLATION_ARRAY_TYPE = T.ArrayType(VIOLATION_STRUCT_TYPE)
 _MAX_REF_DEPTH = 64
 _FLOAT_EPS = 1e-9
 
+# Compile-scoped options (set by validate_df around compile_rule; a module
+# flag avoids threading one more parameter through every recursion site).
+_OPTS = {"exact_graphemes": False}
+
+
+def _grapheme_length(col: Column) -> Column:
+    """Exact grapheme-cluster count (the reference's String.length semantics,
+    validator.ex:564-586) via an Arrow-vectorized pandas UDF with \\X.
+    Default string lengths use F.length (codepoints) — the documented fast
+    path; this is the opt-in exact mode (SURVEY §2.1 #10)."""
+    from pyspark.sql.types import IntegerType
+
+    def batch(s):  # no hints: pandas is not module-global here
+        import regex as _rx
+        pat = _rx.compile(r"\X")
+        return s.map(lambda x: None if x is None else len(pat.findall(x))).astype("Int32")
+
+    return F.pandas_udf(batch, IntegerType())(col)
+
+
+def _strlen(col: Column) -> Column:
+    return _grapheme_length(col) if _OPTS["exact_graphemes"] else F.length(col)
+
 
 def _tail(col: Column, k: int) -> Column:
     """Elements after position k. Length is computed from size() — a literal
@@ -307,11 +330,11 @@ def compile_rule(
     if isinstance(dtype, T.StringType):
         if "min_length" in rule:
             n = rule["min_length"]
-            checks.append(_check(col, F.length(col) >= n, path, "min_length",
+            checks.append(_check(col, _strlen(col) >= n, path, "min_length",
                                  f"string length must be >= {n}"))
         if "max_length" in rule:
             n = rule["max_length"]
-            checks.append(_check(col, F.length(col) <= n, path, "max_length",
+            checks.append(_check(col, _strlen(col) <= n, path, "max_length",
                                  f"string length must be <= {n}"))
         if "pattern" in rule:
             p = rule["pattern"]
@@ -638,6 +661,8 @@ def validate_df(
     mode: str = "violations",
     valid_col: str = "valid",
     violations_col: str = "violations",
+    registry: dict | None = None,
+    exact_graphemes: bool = False,
 ) -> DataFrame:
     """Validate a DataFrame against a JSON-Schema rule in one projection.
 
@@ -648,6 +673,10 @@ def validate_df(
     mode='violations' appends the violations array too.
     """
     rule = normalize_rule(rule)
+    if registry:
+        from xema_spark.rules import inline_remote_refs
+
+        rule = inline_remote_refs(rule, registry)
     meta_validate(rule)
     # reference fail-mode names accepted as aliases (behaviour.ex:36):
     # :immediately == verdict-only short-circuit; :early/:finally == collect
@@ -659,10 +688,36 @@ def validate_df(
     else:
         col = F.col(target)
         dtype = df.schema[target].dataType
-    compiled = compile_rule(rule, col, dtype)
+    prev = _OPTS["exact_graphemes"]
+    _OPTS["exact_graphemes"] = exact_graphemes
+    try:
+        compiled = compile_rule(rule, col, dtype)
+    finally:
+        _OPTS["exact_graphemes"] = prev
     if mode == "verdict":
         return df.withColumn(valid_col, compiled.valid)
     return df.withColumn(valid_col, compiled.valid).withColumn(violations_col, compiled.violations)
+
+
+def validate_many(df: DataFrame, rules: dict[str, Rule],
+                  mode: str = "violations") -> DataFrame:
+    """Validate one table against N rule documents in ONE projection — one
+    scan produces valid_<name> (+ violations_<name>) per rule. The dataset-
+    scope analogue of running N Xema.validate calls per value, fused so the
+    100TB input is read once."""
+    from pyspark.sql import types as T2
+
+    col = F.struct(*[F.col(c) for c in df.columns])
+    dtype = T2.StructType([T2.StructField(f.name, f.dataType) for f in df.schema.fields])
+    out = df
+    for name, rule in rules.items():
+        nrule = normalize_rule(rule)
+        meta_validate(nrule)
+        compiled = compile_rule(nrule, col, dtype)
+        out = out.withColumn(f"valid_{name}", compiled.valid)
+        if mode == "violations":
+            out = out.withColumn(f"violations_{name}", compiled.violations)
+    return out
 
 
 def explode_violations(df: DataFrame, id_cols: list[str],

@@ -234,16 +234,92 @@ def meta_validate(rule: Rule, path: str = "#") -> None:
                 meta_validate(dep, f"{path}/dependencies/{name}")
 
 
-def resolve_pointer(root: Rule, pointer: str) -> Rule:
-    """Resolve a local JSON pointer ('#', '#/definitions/x', ...) against the
-    normalized root rule. Mirrors Schema.fetch (schema.ex:263-304) for the
-    local-pointer subset; remote URI loading is out of scope (the engine's
-    loader surface is a plain dict-of-rules, cf. loader.ex:9-15).
+def inline_remote_refs(rule: Rule, registry: dict[str, Rule],
+                       _depth: int = 0) -> Rule:
+    """Inline every non-local $ref from the registry into a self-contained
+    rule tree — the engine's version of the reference's default `inline:
+    true` deref pass (behaviour.ex:23,160-223). A remote target's own local
+    refs are resolved against ITS root during inlining; cycles beyond depth
+    32 raise (circular remote refs are not Column-compilable anyway)."""
+    if _depth > 32:
+        raise RuleError("circular remote $ref chain (inline depth exceeded)")
+    if isinstance(rule, bool):
+        return rule
+    ref = rule.get("ref")
+    if isinstance(ref, str) and not ref.startswith("#"):
+        base, _, frag = ref.partition("#")
+        if base not in registry:
+            raise RuleError(f"$ref {ref!r}: URI not in the rule registry")
+        remote_root = normalize_rule(registry[base])
+        target = resolve_pointer(remote_root, "#" + frag if frag else "#")
+        # the subtree leaves its document, so its internal LOCAL refs must be
+        # inlined against the REMOTE root now (they would otherwise resolve
+        # against the host document at compile time)
+        target = _inline_local(target, remote_root, _depth + 1)
+        return inline_remote_refs(target, registry, _depth + 1)
+    out: dict = {}
+    for k, v in rule.items():
+        if isinstance(v, (dict, bool)) and k in (_SUBSCHEMA_KEYS | {"items"}):
+            v = inline_remote_refs(v, registry, _depth + 1)
+        elif k in _SUBSCHEMA_LIST_KEYS or (k == "items" and isinstance(v, list)):
+            v = [inline_remote_refs(s, registry, _depth + 1) for s in v]
+        elif k in _SUBSCHEMA_MAP_KEYS:
+            v = {n: inline_remote_refs(s, registry, _depth + 1) for n, s in v.items()}
+        elif k == "dependencies":
+            v = {n: (d if isinstance(d, list) else inline_remote_refs(d, registry, _depth + 1))
+                 for n, d in v.items()}
+        out[k] = v
+    return out
+
+
+def _inline_local(rule: Rule, doc_root: Rule, _depth: int = 0) -> Rule:
+    """Deref local '#...' pointers of `rule` against `doc_root` (used when a
+    subtree is inlined across documents). Depth-capped for cycles."""
+    if _depth > 32:
+        raise RuleError("circular local $ref chain during cross-document inline")
+    if isinstance(rule, bool):
+        return rule
+    ref = rule.get("ref")
+    if isinstance(ref, str) and ref.startswith("#"):
+        return _inline_local(resolve_pointer(doc_root, ref), doc_root, _depth + 1)
+    out: dict = {}
+    for k, v in rule.items():
+        if isinstance(v, (dict, bool)) and k in (_SUBSCHEMA_KEYS | {"items"}):
+            v = _inline_local(v, doc_root, _depth + 1)
+        elif k in _SUBSCHEMA_LIST_KEYS or (k == "items" and isinstance(v, list)):
+            v = [_inline_local(s, doc_root, _depth + 1) for s in v]
+        elif k in _SUBSCHEMA_MAP_KEYS:
+            v = {n: _inline_local(s, doc_root, _depth + 1) for n, s in v.items()}
+        elif k == "dependencies":
+            v = {n: (d if isinstance(d, list) else _inline_local(d, doc_root, _depth + 1))
+                 for n, d in v.items()}
+        out[k] = v
+    return out
+
+
+def resolve_pointer(root: Rule, pointer: str,
+                    registry: dict[str, Rule] | None = None) -> Rule:
+    """Resolve a JSON pointer against the normalized root rule.
+
+    Local pointers ('#', '#/definitions/x') mirror Schema.fetch
+    (schema.ex:263-304). Non-local refs ('http://host/schema#/frag') resolve
+    through `registry` — the engine's loader surface is a plain dict of
+    pre-normalized rule documents keyed by URI (the driver-side analogue of
+    the reference's Loader behaviour, loader.ex:9-15; no network I/O, by
+    design — fetch happens before compile, as in behaviour.ex:323-386).
     """
     if pointer == "#" or pointer == "":
         return root
+    if not pointer.startswith("#"):
+        base, _, frag = pointer.partition("#")
+        if registry is None or base not in registry:
+            raise RuleError(f"$ref {pointer!r}: URI not in the rule registry")
+        target_root = registry[base]
+        if not frag:
+            return target_root
+        return resolve_pointer(target_root, "#" + frag, registry)
     if not pointer.startswith("#/"):
-        raise RuleError(f"unsupported $ref {pointer!r} (local pointers only)")
+        raise RuleError(f"unsupported $ref {pointer!r}")
     node: Any = root
     for raw in pointer[2:].split("/"):
         token = raw.replace("~1", "/").replace("~0", "~")
