@@ -34,9 +34,13 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+if __package__ in (None, ""):  # executed as a script (spark-submit runner.py)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from xema_spark.compiler import compile_rule
 from xema_spark.rules import meta_validate, normalize_rule
