@@ -177,6 +177,54 @@ def _q_v_format_date(spark, sf_dir):
     return validate_df(base, rule).select("event_id", "valid")
 
 
+def _q_v_not_allof(spark, sf_dir):
+    rule = {"type": "object", "properties": {
+        "n_chars": {"allOf": [{"not": {"multipleOf": 7}},
+                              {"anyOf": [{"maximum": 300}, {"minimum": 450}]}]}}}
+    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    return d.select("doc_id", "valid")
+
+
+def _q_drift_quantile(spark, sf_dir):
+    """Quantile-vector drift between two halves of the corpus, exact
+    percentiles so DuckDB quantile_cont is the oracle."""
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    qa = a.agg(*[F.percentile("n_chars", F.lit(q)).alias(f"a{int(q*100)}")
+                 for q in (0.25, 0.5, 0.75)])
+    qb = b.agg(*[F.percentile("n_chars", F.lit(q)).alias(f"b{int(q*100)}")
+                 for q in (0.25, 0.5, 0.75)])
+    j = qa.crossJoin(qb)
+    return j.select(*[F.round(F.abs(F.col(f"a{p}") - F.col(f"b{p}")), 4).alias(f"d{p}")
+                      for p in (25, 50, 75)])
+
+
+def _q_dedup_jaccard_consecutive(spark, sf_dir):
+    """Exact 3-gram Jaccard between consecutive docs (deterministic pairing;
+    the oracle recomputes it with DuckDB list comprehensions)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    sh = d.select("doc_id", dedup.shingles(F.col("text"), n=3, max_shingles=4096).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("doc_a"), F.col("sh").alias("sh_b"))
+    j = a.join(b, "doc_a")
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)))
+    return j.select("doc_a", F.round(jac, 6).alias("jaccard"))
+
+
+def _q_sim_cosine_pairs(spark, sf_dir):
+    """Exact cosine near-dup pairs among the first 40 vectors (brute force,
+    fully SQL-expressible for the oracle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 40)
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("va") < F.col("vb"))
+    cos = similarity.cosine(F.col("ea"), F.col("eb"))
+    return (pairs.select("va", "vb", F.round(cos, 4).alias("cos"))
+            .filter(F.col("cos") >= 0.2))
+
+
 def _q_violations_explode(spark, sf_dir):
     """Error-tree parity: exploded violation rows (path, keyword) per doc."""
     from xema_spark.compiler import explode_violations
@@ -383,6 +431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_explode": _q_violations_explode,
         "v_json_dynamic": _q_v_json_dynamic,
         "cast_pipeline": _q_cast_pipeline,
+        "v_not_allof": _q_v_not_allof,
+        "drift_quantile": _q_drift_quantile,
+        "dedup_jaccard_consecutive": _q_dedup_jaccard_consecutive,
+        "sim_cosine_pairs": _q_sim_cosine_pairs,
         # dataset scope (oracle-checked)
         "stats_documents": _q_stats_documents,
         "moments_quantity": _q_moments_quantity,
@@ -502,6 +554,50 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id,
                          printf('2024-%02d-%02d', event_id % 14, (event_id * 3) % 33) AS s
                   FROM events)""",
+        "v_not_allof": f"""
+            SELECT doc_id,
+                   (n_chars IS NULL OR (NOT (n_chars % 7 = 0)
+                    AND (n_chars <= 300 OR n_chars >= 450))) AS valid
+            FROM {_T}""",
+        "drift_quantile": f"""
+            WITH a AS (SELECT quantile_cont(n_chars, 0.25) q25,
+                              quantile_cont(n_chars, 0.50) q50,
+                              quantile_cont(n_chars, 0.75) q75
+                       FROM {_T} WHERE doc_id % 2 = 0),
+                 b AS (SELECT quantile_cont(n_chars, 0.25) q25,
+                              quantile_cont(n_chars, 0.50) q50,
+                              quantile_cont(n_chars, 0.75) q75
+                       FROM {_T} WHERE doc_id % 2 = 1)
+            SELECT round(abs(a.q25 - b.q25), 4) AS d25,
+                   round(abs(a.q50 - b.q50), 4) AS d50,
+                   round(abs(a.q75 - b.q75), 4) AS d75
+            FROM a, b""",
+        "dedup_jaccard_consecutive": f"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(n, i, 3)
+                                    for i in range(1, greatest(len(n) - 1, 1))]) AS g
+              FROM (SELECT doc_id,
+                           regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS n
+                    FROM {_T})
+            )
+            SELECT a.doc_id AS doc_a,
+                   round(len(list_intersect(a.g, b.g))::DOUBLE /
+                         greatest(len(list_distinct(list_concat(a.g, b.g))), 1),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
+        "sim_cosine_pairs": """
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   round(list_dot_product(a.embedding, b.embedding) /
+                         (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                          sqrt(list_dot_product(b.embedding, b.embedding)) + 1e-12),
+                         4) AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 40 AND b.vec_id < 40 AND a.vec_id < b.vec_id
+              AND round(list_dot_product(a.embedding, b.embedding) /
+                        (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                         sqrt(list_dot_product(b.embedding, b.embedding)) + 1e-12),
+                        4) >= 0.2""",
         "violations_explode": f"""
             SELECT doc_id, '$.text' AS path, 'min_length' AS keyword
             FROM {_T} WHERE text IS NOT NULL AND length(text) < 100
