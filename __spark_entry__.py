@@ -364,7 +364,9 @@ def _q_sim_knn_threshold(spark, sf_dir):
 def _q_flagship_interleaved(spark, sf_dir):
     n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
         os.path.basename(sf_dir.rstrip("/")), 20000)
-    docs = gen_documents(spark, n)
+    # fixed partition count: the summary's row count must not depend on the
+    # driver session's parallelism
+    docs = gen_documents(spark, n, n_partitions=32)
     v = validate_df(docs, FLAGSHIP_RULE)
     return stats.per_partition_summary(v)
 
@@ -389,7 +391,7 @@ def _q_dedup_minhash_pairs(spark, sf_dir):
 
 
 def _q_dedup_simhash_pairs(spark, sf_dir):
-    d = _docs(spark, sf_dir).limit(200)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)  # deterministic subset
     with_dups = d.unionByName(
         d.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 1000000))
     return dedup.simhash_near_dups(with_dups, "doc_id", max_hamming=3)
@@ -406,8 +408,8 @@ def _q_ann_topk(spark, sf_dir):
 def _q_multimodal_meta(spark, sf_dir):
     n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
         os.path.basename(sf_dir.rstrip("/")), 20000)
-    assets = gen_assets(spark, n)
-    decoded = multimodal.decode_media(multimodal.synth_media_payloads(assets.limit(500)))
+    assets = gen_assets(spark, n).filter(F.col("media_ref") < "asset-000500")
+    decoded = multimodal.decode_media(multimodal.synth_media_payloads(assets))
     sampled = multimodal.frame_sample_offsets(decoded)
     return sampled.select("media_ref", "media_meta.width", "media_meta.height",
                           "media_meta.decoder", F.size("frame_offsets_ms").alias("n_frames_sampled"))
