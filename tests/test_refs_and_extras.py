@@ -118,6 +118,24 @@ class TestDraft7EdgeCases:
             ("rabbit bat", True), ("bit", True), ("ba", False),
         ])
 
+    def test_keywords_ignore_inapplicable_types(self, spark):
+        # draft7: every keyword applies only to its type class; other types pass
+        check_cases(spark, {"minLength": 3}, [(5, True), ([1, 2], True)])
+        check_cases(spark, {"maxItems": 1}, [("abc", True), (9, True)])
+        check_cases(spark, {"minimum": 10}, [("abc", True), ([1], True)])
+        check_cases(spark, {"required": ["x"]}, [(5, True), ("s", True)])
+        check_cases(spark, {"properties": {"x": {"minimum": 0}}}, [(5, True)])
+        check_cases(spark, {"multipleOf": 2}, [("ab", True), ([2], True)])
+
+    def test_int_column_float_multiple_of(self, spark):
+        check_cases(spark, {"multipleOf": 1.5}, [(3, True), (4, False), (0, True)])
+
+    def test_combined_type_and_applicability(self, spark):
+        rule = {"type": ["string", "integer"], "minLength": 2, "minimum": 10}
+        check_cases(spark, rule, [
+            ("ab", True), ("a", False), (11, True), (9, False), (1.5, False),
+        ])
+
     def test_min_length_unicode_codepoints(self, spark):
         # default mode counts codepoints: 'ñ' precomposed is 1
         check_cases(spark, {"minLength": 2}, [("ñx", True), ("ñ", False)])
