@@ -34,11 +34,15 @@ from xema_spark.text import _STOPWORDS  # noqa: E402
 _T = "documents"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     # the sf documents table arrives as ONE small parquet file -> one input
     # partition; repartition so per-row-heavy operators use every core (a
-    # 100TB table arrives in thousands of splits and would skip this)
+    # 100TB table arrives in thousands of splits and would skip this).
+    # Column pruning happens BEFORE the repartition so the parallelize
+    # shuffle moves only the columns the query needs, not the full payload.
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if cols:
+        df = df.select(*cols)
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
@@ -81,7 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_v_enum_lang(spark, sf_dir):
     rule = {"type": "object",
             "properties": {"lang": {"type": "string", "enum": ["en", "de", "fr", "es", "it"]}}}
-    d = validate_df(_docs(spark, sf_dir).select("doc_id", "lang"), rule)
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "lang"), rule)
     return d.select("doc_id", "valid")
 
 
@@ -89,14 +93,14 @@ def _q_v_range_nchars(spark, sf_dir):
     rule = {"type": "object",
             "properties": {"n_chars": {"type": "integer", "minimum": 50,
                                        "maximum": 500, "multipleOf": 1}}}
-    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "n_chars"), rule)
     return d.select("doc_id", "valid")
 
 
 def _q_v_exclusive_range(spark, sf_dir):
     rule = {"type": "object",
             "properties": {"n_chars": {"exclusiveMinimum": 100, "exclusiveMaximum": 400}}}
-    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "n_chars"), rule)
     return d.select("doc_id", "valid")
 
 
@@ -105,7 +109,7 @@ def _q_v_strlen_pattern(spark, sf_dir):
         "text": {"type": "string", "minLength": 100, "maxLength": 400, "pattern": "spark"},
         "source": {"type": "string", "pattern": "^src[0-9]+$"},
     }}
-    d = validate_df(_docs(spark, sf_dir).select("doc_id", "text", "source"), rule)
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "text", "source"), rule)
     return d.select("doc_id", "valid")
 
 
@@ -114,7 +118,7 @@ def _q_v_array_items(spark, sf_dir):
         "toks": {"type": "array", "minItems": 5, "maxItems": 200,
                  "items": {"type": "string", "minLength": 1}},
     }}
-    base = _docs(spark, sf_dir).select(
+    base = _docs(spark, sf_dir, "doc_id", "text").select(
         "doc_id", F.split(F.col("text"), " ").alias("toks"))
     return validate_df(base, rule).select("doc_id", "valid")
 
@@ -122,20 +126,20 @@ def _q_v_array_items(spark, sf_dir):
 def _q_v_contains(spark, sf_dir):
     rule = {"type": "object",
             "properties": {"toks": {"contains": {"type": "string", "minLength": 6}}}}
-    base = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    base = _docs(spark, sf_dir, "doc_id", "text").select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     return validate_df(base, rule).select("doc_id", "valid")
 
 
 def _q_v_unique_items(spark, sf_dir):
     rule = {"type": "object", "properties": {"toks": {"uniqueItems": True}}}
-    base = _docs(spark, sf_dir).select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    base = _docs(spark, sf_dir, "doc_id", "text").select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     return validate_df(base, rule).select("doc_id", "valid")
 
 
 def _q_v_one_of(spark, sf_dir):
     rule = {"type": "object",
             "properties": {"n_chars": {"oneOf": [{"multipleOf": 2}, {"multipleOf": 3}]}}}
-    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "n_chars"), rule)
     return d.select("doc_id", "valid")
 
 
@@ -143,7 +147,7 @@ def _q_v_if_then_else(spark, sf_dir):
     rule = {"type": "object", "properties": {
         "n_chars": {"if": {"maximum": 200}, "then": {"multipleOf": 2},
                     "else": {"minimum": 300}}}}
-    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "n_chars"), rule)
     return d.select("doc_id", "valid")
 
 
@@ -151,7 +155,7 @@ def _q_v_required_dependencies(spark, sf_dir):
     rule = {"type": "object",
             "required": ["doc_id", "lang"],
             "dependencies": {"lang": ["source"]}}
-    d = validate_df(_docs(spark, sf_dir).select("doc_id", "lang", "source"), rule)
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "lang", "source"), rule)
     return d.select("doc_id", "valid")
 
 
@@ -181,14 +185,14 @@ def _q_v_not_allof(spark, sf_dir):
     rule = {"type": "object", "properties": {
         "n_chars": {"allOf": [{"not": {"multipleOf": 7}},
                               {"anyOf": [{"maximum": 300}, {"minimum": 450}]}]}}}
-    d = validate_df(_docs(spark, sf_dir).select("doc_id", "n_chars"), rule)
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "n_chars"), rule)
     return d.select("doc_id", "valid")
 
 
 def _q_drift_quantile(spark, sf_dir):
     """Quantile-vector drift between two halves of the corpus, exact
     percentiles so DuckDB quantile_cont is the oracle."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, "doc_id", "n_chars")
     a = d.filter(F.col("doc_id") % 2 == 0)
     b = d.filter(F.col("doc_id") % 2 == 1)
     qa = a.agg(*[F.percentile("n_chars", F.lit(q)).alias(f"a{int(q*100)}")
@@ -203,7 +207,7 @@ def _q_drift_quantile(spark, sf_dir):
 def _q_dedup_jaccard_consecutive(spark, sf_dir):
     """Exact 3-gram Jaccard between consecutive docs (deterministic pairing;
     the oracle recomputes it with DuckDB list comprehensions)."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir, "doc_id", "text")
     sh = d.select("doc_id", dedup.shingles(F.col("text"), n=3, max_shingles=4096).alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select((F.col("doc_id") - 1).alias("doc_a"), F.col("sh").alias("sh_b"))
@@ -232,7 +236,7 @@ def _q_violations_explode(spark, sf_dir):
     rule = {"type": "object", "properties": {
         "text": {"type": "string", "minLength": 100, "maxLength": 400,
                  "pattern": "spark"}}}
-    v = validate_df(_docs(spark, sf_dir).select("doc_id", "text"), rule)
+    v = validate_df(_docs(spark, sf_dir, "doc_id", "text"), rule)
     return explode_violations(v, ["doc_id"]).select("doc_id", "path", "keyword")
 
 
@@ -273,7 +277,8 @@ def _q_cast_pipeline(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_stats_documents(spark, sf_dir):
-    return stats.column_stats(_docs(spark, sf_dir), ["lang", "source", "n_chars"],
+    return stats.column_stats(_docs(spark, sf_dir, "lang", "source", "n_chars"),
+                              ["lang", "source", "n_chars"],
                               exact_distinct=True)
 
 
@@ -286,7 +291,7 @@ def _q_moments_quantity(spark, sf_dir):
 
 
 def _q_quantiles_nchars(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, "n_chars")
     q = d.agg(F.percentile("n_chars", F.lit(0.25)).alias("p25"),
               F.percentile("n_chars", F.lit(0.5)).alias("p50"),
               F.percentile("n_chars", F.lit(0.75)).alias("p75"))
@@ -306,7 +311,7 @@ def _q_referential_users(spark, sf_dir):
 
 
 def _q_drift_hist_nchars(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, "source", "n_chars")
     a = d.filter(F.col("source").rlike("^src[0-9]$"))
     b = d.filter(~F.col("source").rlike("^src[0-9]$"))
     ha = stats.histogram(a, "n_chars", 0, 600, 12).withColumnRenamed("n", "n_a")
@@ -321,13 +326,13 @@ def _q_drift_hist_nchars(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_dedup_exact(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, "doc_id", "text")
     with_dups = d.unionByName(d.filter(F.col("doc_id") < 20))
     return dedup.exact_dup_groups(with_dups)
 
 
 def _q_text_token_stats(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, "doc_id", "text")
     return d.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -336,30 +341,57 @@ def _q_text_token_stats(spark, sf_dir):
 
 
 def _q_text_quality(spark, sf_dir):
-    q = text.quality_features(_docs(spark, sf_dir))
+    q = text.quality_features(_docs(spark, sf_dir, "doc_id", "text"))
     return q.select("doc_id", "q_alpha_ratio", "q_punct_ratio", "q_digit_ratio")
 
 
 def _q_text_fingerprint(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, "doc_id", "text")
     return d.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp"))
 
 
 def _q_text_langid(spark, sf_dir):
-    return text.lang_id_table(_docs(spark, sf_dir), "doc_id")
+    return text.lang_id_table(_docs(spark, sf_dir, "doc_id", "text"), "doc_id")
 
 
 def _q_sim_knn_threshold(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    top = similarity.brute_force_topk(emb, q, k=1 << 30)
-    return (top.filter(F.col("cos") >= 0.8)
-            .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_similar")))
+    # window-free: filter + partial-aggregated groupBy; a row_number window
+    # partitioned by 3 q_ids would shuffle every scored row into 3 reducers
+    return similarity.threshold_neighbor_counts(emb, q, threshold=0.8)
 
 
-# --- rows-only (no SQL oracle): LSH pair generation, per-partition
-#     summaries, multimodal decode, ANN top-k, interleaved flagship ---------
+def _q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup pairs with exact Jaccard verification, in the
+    'portable' hash flavor (md5-derived 31-bit hashes + affine permutations
+    mod 2^31-1) so the whole chain — shingles, signatures, band buckets,
+    candidate pairs, Jaccard — is reproduced bit-for-bit by the DuckDB
+    oracle. max_shingles is set above the longest sf doc so the per-doc
+    shingle cap (whose tie-break order is engine-specific) never binds."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    with_dups = d.unionByName(
+        d.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 1000000))
+    pairs = dedup.lsh_candidate_pairs(with_dups, "doc_id", max_shingles=4096,
+                                      hash_fn="portable")
+    return dedup.ngram_jaccard(with_dups, pairs, "doc_id", threshold=0.8,
+                               max_shingles=4096)
+
+
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over the FULL sf corpus (portable hash flavor,
+    60-bit signatures, 16-bit block prefix, hamming <= 3) — oracle-checked."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    with_dups = d.unionByName(
+        d.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 1000000))
+    p = dedup.simhash_near_dups(with_dups, "doc_id", max_hamming=3,
+                                hash_fn="portable")
+    return p.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --- rows-only (no SQL oracle): per-partition summaries, multimodal decode,
+#     ANN top-k, interleaved flagship ---------------------------------------
 
 def _q_flagship_interleaved(spark, sf_dir):
     n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
@@ -380,21 +412,6 @@ def _q_referential_spans(spark, sf_dir):
         .filter(F.col("media_ref").isNotNull())
     return stats.referential_violations(refs, "media_ref", assets, "media_ref") \
         .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
-
-
-def _q_dedup_minhash_pairs(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    with_dups = d.unionByName(
-        d.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 1000000))
-    pairs = dedup.lsh_candidate_pairs(with_dups, "doc_id")
-    return dedup.ngram_jaccard(with_dups, pairs, "doc_id", threshold=0.8)
-
-
-def _q_dedup_simhash_pairs(spark, sf_dir):
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)  # deterministic subset
-    with_dups = d.unionByName(
-        d.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 1000000))
-    return dedup.simhash_near_dups(with_dups, "doc_id", max_hamming=3)
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -451,11 +468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_langid": _q_text_langid,
         "sim_knn_threshold": _q_sim_knn_threshold,
+        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         # rows-only (non-SQL-expressible)
         "flagship_interleaved": _q_flagship_interleaved,
         "referential_spans": _q_referential_spans,
-        "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "ann_topk": _q_ann_topk,
         "multimodal_meta": _q_multimodal_meta,
     }
@@ -489,6 +506,109 @@ def _langid_sql() -> str:
     inner = ", ".join(f"{score[x]} AS s_{x}" for x in langs)
     return (f"SELECT doc_id, {case} AS lang_pred FROM "
             f"(SELECT doc_id, {inner} FROM documents)")
+
+
+def _minhash_oracle_sql(k: int = 32, bands: int = 8, max_bucket: int = 64,
+                        n: int = 5, threshold: float = 0.8) -> str:
+    """DuckDB replica of _q_dedup_minhash_pairs' full chain: shingles ->
+    portable 31-bit hashes -> k affine-permutation min-aggregates -> band
+    buckets (polynomial fold) -> windowed bucket-size cap -> candidate pairs
+    -> exact Jaccard. Constants come from the SAME _perm_constants the engine
+    uses, so signatures are bit-identical."""
+    from xema_spark.dedup import _BUCKET_BASE, _P31, _perm_constants
+
+    r = k // bands
+    mh = ",\n                   ".join(
+        f"min(({a} * h + {b}) % {_P31}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_constants(k)))
+
+    def bucket(b: int) -> str:
+        expr = "0"
+        for j in range(r):
+            expr = f"(({expr}) * {_BUCKET_BASE} + mh_{b * r + j}) % {_P31}"
+        return expr
+
+    bands_sql = "\n              UNION ALL\n".join(
+        f"              SELECT doc_id, {b} AS band, {bucket(b)} AS bucket FROM sig"
+        for b in range(bands))
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM {_T} WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM {_T}
+          WHERE doc_id < 10 AND text IS NOT NULL
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([substr(nt, i, {n})
+                                for i in range(1, greatest(len(nt) - {n - 2}, 1))]) AS g
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nt
+                FROM docs)
+        ),
+        hs AS (
+          SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT % {_P31}) AS h
+          FROM (SELECT doc_id, unnest(g) AS s FROM sh)
+        ),
+        sig AS (SELECT doc_id,
+                   {mh}
+                FROM hs GROUP BY doc_id),
+        banded AS (
+{bands_sql}
+        ),
+        sized AS (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS c
+          FROM banded
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sized a JOIN sized b USING (band, bucket)
+          WHERE a.doc_id < b.doc_id AND a.c <= {max_bucket}
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+                 round(len(list_intersect(sa.g, sb.g))::DOUBLE /
+                       greatest(len(list_distinct(sa.g || sb.g)), 1), 6) AS jaccard
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+        ) WHERE jaccard >= {threshold}"""
+
+
+def _simhash_oracle_sql(bits: int = 60, prefix_bits: int = 16,
+                        max_hamming: int = 3, max_bucket: int = 64) -> str:
+    """DuckDB replica of _q_dedup_simhash_pairs: whitespace tokens ->
+    portable 60-bit hashes -> per-bit majority votes (one sum per bit) ->
+    signature -> 16-bit block prefix -> capped block self-join -> hamming."""
+    votes = ",\n                 ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits))
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM {_T} WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM {_T}
+          WHERE doc_id < 10 AND text IS NOT NULL
+        ),
+        tok AS (SELECT doc_id, unnest({toks}) AS t FROM docs),
+        hs AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+        votes AS (SELECT doc_id,
+                 {votes}
+                  FROM hs GROUP BY doc_id),
+        sig AS (SELECT doc_id, ({sig_expr})::BIGINT AS sim FROM votes),
+        blocked AS (
+          SELECT doc_id, sim, (sim >> {bits - prefix_bits}) AS block,
+                 count(*) OVER (PARTITION BY (sim >> {bits - prefix_bits})) AS c
+          FROM sig
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.sim, b.sim))::INT AS hamming
+        FROM blocked a JOIN blocked b USING (block)
+        WHERE a.doc_id < b.doc_id AND a.c <= {max_bucket}
+          AND bit_count(xor(a.sim, b.sim)) <= {max_hamming}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -625,16 +745,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT col AS "column", n_rows, n_nulls, n_distinct, min_value, max_value
             FROM (
               SELECT 'lang' AS col, count(*) AS n_rows,
-                     sum((lang IS NULL)::INT) AS n_nulls,
+                     sum((lang IS NULL)::INT)::BIGINT AS n_nulls,
                      count(DISTINCT lang) AS n_distinct,
                      min(lang)::VARCHAR AS min_value, max(lang)::VARCHAR AS max_value
               FROM {_T}
               UNION ALL
-              SELECT 'source', count(*), sum((source IS NULL)::INT),
+              SELECT 'source', count(*), sum((source IS NULL)::INT)::BIGINT,
                      count(DISTINCT source), min(source)::VARCHAR, max(source)::VARCHAR
               FROM {_T}
               UNION ALL
-              SELECT 'n_chars', count(*), sum((n_chars IS NULL)::INT),
+              SELECT 'n_chars', count(*), sum((n_chars IS NULL)::INT)::BIGINT,
                      count(DISTINCT n_chars), min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
               FROM {_T}
             )""",
@@ -664,8 +784,8 @@ def oracle_sql() -> dict[str, str]:
               FROM {_T} WHERE n_chars IS NOT NULL
             )
             SELECT bin,
-                   sum(is_a::INT) AS n_a,
-                   sum((NOT is_a)::INT) AS n_b
+                   sum(is_a::INT)::BIGINT AS n_a,
+                   sum((NOT is_a)::INT)::BIGINT AS n_b
             FROM binned GROUP BY bin""",
         "dedup_exact": f"""
             SELECT md5({norm}) AS text_hash, count(*) AS n_docs
@@ -695,6 +815,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": f"""
             SELECT doc_id, md5({norm}) AS fp FROM {_T}""",
         "text_langid": _langid_sql(),
+        "dedup_minhash_pairs": _minhash_oracle_sql(),
+        "dedup_simhash_pairs": _simhash_oracle_sql(),
         "sim_knn_threshold": """
             SELECT a.vec_id AS q_id, count(*) AS n_similar
             FROM embeddings a, embeddings b

@@ -22,20 +22,39 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from xema_spark.text import normalize_text
+from xema_spark.text import normalize_text, tokens
 
-# deterministic odd multipliers for the k minhash permutations
-# h_i(x) = (a_i * x + b_i) mod 2^61-1 over xxhash64 shingle hashes
-_MERSENNE61 = (1 << 61) - 1
+# Mersenne prime 2^31-1: the permutation field for the PORTABLE minhash
+# flavor. a,b < 2^31 and hashes reduced below 2^31 keep every intermediate
+# product < 2^62, so the affine permutation is exact under ANSI mode (no
+# silent wrap, no ARITHMETIC_OVERFLOW) AND bit-identical in any engine with
+# 64-bit integers — which is what makes the DuckDB oracle possible.
+_P31 = (1 << 31) - 1
+# polynomial base for combining band rows into a bucket key (portable flavor)
+_BUCKET_BASE = 1_000_003
 
 
 def _perm_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs in [1, 2^31-1) for h_i = (a*h+b) mod P."""
     out = []
     for i in range(k):
-        a = (0x9E3779B97F4A7C15 * (i + 1) + 0x85EBCA6B) % _MERSENNE61 | 1
-        b = (0xC2B2AE3D27D4EB4F * (i + 1) + 0x27D4EB2F) % _MERSENNE61
+        a = (0x9E3779B9 * (i + 1) + 0x85EBCA6B) % _P31 or 1
+        b = (0xC2B2AE3D * (i + 1) + 0x27D4EB2F) % _P31
         out.append((a, b))
     return out
+
+
+def portable_hash60(col: Column) -> Column:
+    """60-bit non-negative hash that DuckDB reproduces bit-for-bit:
+    first 15 hex chars of md5 as a bigint. Oracle expression:
+    ('0x' || substr(md5(x), 1, 15))::BIGINT. Slower than xxhash64 (md5 +
+    string slice) — used only where cross-engine determinism is required."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash31(col: Column) -> Column:
+    """portable_hash60 reduced into the P31 field (still DuckDB-matchable)."""
+    return F.pmod(portable_hash60(col), F.lit(_P31))
 
 
 # ---------------------------------------------------------------------------
@@ -82,30 +101,53 @@ def shingles(col: Column, n: int = 5, max_shingles: int = 512) -> Column:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
-                       n: int = 5, k: int = 32,
-                       max_shingles: int = 512) -> DataFrame:
+                       n: int = 5, k: int = 32, max_shingles: int = 512,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """k-wide minhash signature per doc as columns mh_0..mh_{k-1}.
 
     Shape matters at scale: shingles are EXPLODED to one row per (doc,
-    shingle-hash) and the k affine permutations are k `min` aggregates in ONE
+    shingle-hash) and the k permutations are k `min` aggregates in ONE
     groupBy. Catalyst's partial (map-side) aggregation collapses each doc to
     a single row before the shuffle (a doc's shingles are co-partitioned by
     construction), and the per-shingle work runs once — unlike nested
     higher-order functions, which are CodegenFallback and would re-evaluate
-    the shingle array for every one of the k permutations."""
+    the shingle array for every one of the k permutations.
+
+    hash_fn:
+      'xxhash64'  (default, fast): permutation i = xxhash64(shingle_hash, i).
+                  Hash-remix is as uniform as an affine permutation for
+                  MinHash and has no multiply, hence no overflow under ANSI.
+      'portable'  (oracle-checkable): md5-derived 31-bit shingle hash +
+                  affine permutations mod 2^31-1; every intermediate stays
+                  < 2^62, ANSI-exact, and DuckDB reproduces it bit-for-bit."""
     sh = df.select(F.col(id_col).alias("doc"),
                    F.explode(shingles(F.col(text_col), n, max_shingles)).alias("s"))
-    h = sh.select("doc", F.xxhash64("s").alias("h"))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE61))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_perm_constants(k))
-    ]
+    if hash_fn == "portable":
+        h = sh.select("doc", portable_hash31(F.col("s")).alias("h"))
+        aggs = [
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P31))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_constants(k))
+        ]
+    else:
+        h = sh.select("doc", F.xxhash64("s").alias("h"))
+        aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
+                for i in range(k)]
     return h.groupBy("doc").agg(*aggs)
+
+
+def _portable_bucket(cols: list[Column]) -> Column:
+    """Polynomial fold of band columns into a bucket key, mod 2^31-1.
+    Every step: acc*1e6-ish + mh < 2^51 + 2^31 — ANSI-safe, DuckDB-matchable."""
+    acc = F.lit(0).cast("long")
+    for c in cols:
+        acc = F.pmod(acc * F.lit(_BUCKET_BASE) + c, F.lit(_P31))
+    return acc
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                         n: int = 5, k: int = 32, bands: int = 8,
-                        max_bucket: int = 64) -> DataFrame:
+                        max_bucket: int = 64, max_shingles: int = 512,
+                        hash_fn: str = "xxhash64") -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, bucket-join on
     (band_id, band_hash), emit ordered pairs within buckets.
 
@@ -115,13 +157,21 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     pairs. Dropped buckets are exact-dup territory anyway (handled by
     exact_dup_groups)."""
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
-    band_structs = [
-        F.struct(F.lit(b).cast("int").alias("band"),
-                 F.xxhash64(F.struct(*[F.col(f"mh_{b * r + j}") for j in range(r)]))
-                 .alias("bucket"))
-        for b in range(bands)
-    ]
+    sig = minhash_signatures(df, id_col, text_col, n, k, max_shingles, hash_fn)
+    if hash_fn == "portable":
+        band_structs = [
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     _portable_bucket([F.col(f"mh_{b * r + j}") for j in range(r)])
+                     .alias("bucket"))
+            for b in range(bands)
+        ]
+    else:
+        band_structs = [
+            F.struct(F.lit(b).cast("int").alias("band"),
+                     F.xxhash64(F.struct(*[F.col(f"mh_{b * r + j}") for j in range(r)]))
+                     .alias("bucket"))
+            for b in range(bands)
+        ]
     banded = sig.select("doc", F.explode(F.array(*band_structs)).alias("bk")) \
         .select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
     grouped = (banded.groupBy("band", "bucket")
@@ -149,11 +199,11 @@ def _ordered_pairs(docs: Column) -> Column:
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
                   text_col: str = "text", n: int = 5,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8, max_shingles: int = 512) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: two hash joins back to
     the shingle sets, then array_intersect/array_union per pair."""
     sh = df.select(F.col(id_col).alias("__id"),
-                   shingles(F.col(text_col), n).alias("__sh"))
+                   shingles(F.col(text_col), n, max_shingles).alias("__sh"))
     a = sh.select(F.col("__id").alias("doc_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("doc_b"), F.col("__sh").alias("sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -180,15 +230,51 @@ def minhash_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
 # simhash
 # ---------------------------------------------------------------------------
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash of the whitespace token stream: per-bit majority vote
-    of token xxhash64s, built entirely from higher-order functions."""
-    from xema_spark.text import tokens
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
+                       bits: int | None = None,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash signature per doc: (doc, sim) where bit b of `sim` is the
+    majority vote of bit b across the doc's token hashes.
 
+    Same scale shape as minhash_signatures: explode(tokens) -> ONE groupBy
+    with `bits` sum-aggregates (map-side combine collapses each doc before
+    the shuffle; the token stream is materialized exactly once — the nested
+    higher-order-function formulation re-evaluated it per bit, ~64x).
+
+    hash_fn 'portable' uses the md5-derived 60-bit hash (bits<=60) so DuckDB
+    reproduces the signature exactly; 'xxhash64' uses all 64 bits.
+    Docs with zero tokens (or NULL text) produce no signature row — they are
+    exact-dup territory, not simhash territory."""
+    if bits is None:
+        bits = 60 if hash_fn == "portable" else 64
+    tok = df.select(F.col(id_col).alias("doc"),
+                    F.explode(tokens(F.col(text_col))).alias("t"))
+    hcol = (portable_hash60(F.col("t")) if hash_fn == "portable"
+            else F.xxhash64(F.col("t")))
+    h = tok.select("doc", hcol.alias("h"))
+    # one sum aggregate per bit: vote_b = sum(2*bit_b(h) - 1)
+    aggs = [
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per = h.groupBy("doc").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        # b==63 is the sign bit; adding -(2^63) assembles the two's-complement
+        # pattern without overflow (positive partial sums are <= 2^63-1)
+        bit_val = (1 << b) if b < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"v{b}") > 0, F.lit(bit_val).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return per.select("doc", sig.alias("sim"))
+
+
+def simhash64(col: Column) -> Column:
+    """DEPRECATED single-Column SimHash (interpreted higher-order functions
+    re-evaluate the token stream per bit — ~64x slower than
+    simhash_signatures; kept for per-row/streaming use on small inputs)."""
     hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
-    # bit positions are compile-time constants (F.shiftrightunsigned only
-    # accepts a literal shift), so the 64 per-bit majority votes are unrolled
-    # on the driver into one wide Column expression
+
     def _vote_fn(b: int):
         # NB: a default-arg lambda (lambda acc, h, _b=b) would break — pyspark
         # derives the lambda-variable count from the function arity
@@ -204,16 +290,25 @@ def simhash64(col: Column) -> Column:
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
-                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+                      max_hamming: int = 3, prefix_bits: int = 16,
+                      max_bucket: int = 64,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: block on the signature's top prefix_bits,
-    verify hamming distance with bit_count(a^b) inside each block."""
-    sig = df.select(F.col(id_col).alias("doc"),
-                    simhash64(F.col(text_col)).alias("sim"))
-    blocked = sig.withColumn("block", F.shiftrightunsigned("sim", 64 - prefix_bits))
-    a = blocked.select(F.col("doc").alias("doc_a"), F.col("sim").alias("sim_a"), "block")
-    b = blocked.select(F.col("doc").alias("doc_b"), F.col("sim").alias("sim_b"), "block")
-    return (a.join(b, "block")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-            .filter(F.col("hamming") <= max_hamming)
-            .select("doc_a", "doc_b", "hamming"))
+    verify hamming distance with bit_count(a^b) inside each block.
+
+    max_bucket caps degenerate blocks (same B^2 skew guard as
+    lsh_candidate_pairs): one hot 16-bit block of boilerplate docs would
+    otherwise explode quadratically in the self-join."""
+    sig = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn)
+    total_bits = 60 if hash_fn == "portable" else 64
+    blocked = sig.withColumn(
+        "block", F.shiftrightunsigned("sim", total_bits - prefix_bits))
+    grouped = (blocked.groupBy("block")
+               .agg(F.collect_list(F.struct(F.col("doc"), F.col("sim"))).alias("ds"))
+               .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket)))
+    pairs = grouped.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p")) \
+        .select(F.col("p.a.doc").alias("doc_a"), F.col("p.b.doc").alias("doc_b"),
+                F.bit_count(F.col("p.a.sim").bitwiseXOR(F.col("p.b.sim"))).alias("hamming"))
+    # each doc lands in exactly one block (block is a prefix of its own sim),
+    # so pairs are already unique — no dedup shuffle needed
+    return pairs.filter(F.col("hamming") <= max_hamming)

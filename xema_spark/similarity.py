@@ -47,6 +47,24 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k))
 
 
+def threshold_neighbor_counts(corpus: DataFrame, queries: DataFrame,
+                              threshold: float,
+                              id_col: str = "vec_id", vec_col: str = "embedding",
+                              q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Per-query count of corpus vectors with cosine >= threshold.
+
+    Deliberately window-free: a row_number window partitioned by q_id would
+    shuffle every scored row into |queries| reducer tasks — worst-case skew
+    at scale. A threshold count needs only filter + partial-aggregated
+    groupBy (map-side combine leaves one row per (task, query))."""
+    j = corpus.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(q_id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"))
+    return (scored.filter(F.col("cos") >= threshold)
+            .groupBy(q_id_col).agg(F.count(F.lit(1)).alias("n_similar")))
+
+
 def _plane(dim: int, p: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane p (no RNG state:
     splitmix64-style hash of (p, d))."""
@@ -121,13 +139,18 @@ def cosine_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
             for b in range(bands)
         ])).alias("bk"),
     ).select("doc", "vec", "bk.band", "bk.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.key") == F.col("b.key"))
-                    & (F.col("a.doc") < F.col("b.doc")))
-             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-                     F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"))
-             .dropDuplicates(["doc_a", "doc_b"])
-             .filter(F.col("cos") >= threshold))
+    # cap degenerate buckets BEFORE the pair explosion (a bucket of B docs
+    # yields B^2 pairs): collect each bucket once, drop singletons and
+    # hot buckets, then unroll ordered pairs — same guard as
+    # dedup.lsh_candidate_pairs
+    from xema_spark.dedup import _ordered_pairs
+
+    grouped = (banded.groupBy("band", "key")
+               .agg(F.collect_list(F.struct(F.col("doc"), F.col("vec"))).alias("ds"))
+               .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket)))
+    pairs = (grouped.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
+             .select(F.col("p.a.doc").alias("doc_a"), F.col("p.b.doc").alias("doc_b"),
+                     F.round(cosine(F.col("p.a.vec"), F.col("p.b.vec")), 6).alias("cos"))
+             .filter(F.col("cos") >= threshold)
+             .dropDuplicates(["doc_a", "doc_b"]))
     return pairs
