@@ -122,3 +122,45 @@ def test_runner_single_pass_and_resume(spark, tmp_path):
     lin = spark.read.parquet(os.path.join(out_res, "lineage"))
     assert lin.select("bucket").distinct().count() == 8
     assert lin.count() == 8
+
+
+def test_runner_crash_window_idempotent(spark, tmp_path):
+    """Resume must be idempotent across the crash window between the verdict
+    write and the lineage append: orphaned verdict files (a run_id with no
+    lineage row) are invisible to read_verdicts, and a resumed run re-scans
+    those buckets without double-counting."""
+    import shutil
+
+    from xema_spark.runner import read_verdicts
+
+    docs = gen_documents(spark, N)
+    out = str(tmp_path / "crash")
+
+    # run 1 completes buckets 0..3 normally
+    part = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int") < 4)
+    run_validation(spark, part, FLAGSHIP_RULE, out, n_buckets=8, run_id="ok1")
+
+    # simulate a crashed attempt: verdict files for buckets 4..7 exist under
+    # run_id=dead but its lineage row was never appended
+    rest = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int") >= 4)
+    run_validation(spark, rest, FLAGSHIP_RULE, out, n_buckets=8, run_id="dead")
+    # remove run_id=dead's commit: drop its lineage rows by rewriting lineage
+    lin_dir = os.path.join(out, "lineage")
+    keep = spark.read.parquet(lin_dir).filter(F.col("run_id") != "dead").collect()
+    shutil.rmtree(lin_dir)
+    lin_schema = ("bucket INT, n_rows BIGINT, n_valid BIGINT, n_violations BIGINT, "
+                  "n_bytes BIGINT, run_id STRING, scan_elapsed_sec DOUBLE")
+    spark.createDataFrame(keep, schema=lin_schema).write.mode("overwrite").parquet(lin_dir)
+
+    # orphaned rows are invisible
+    committed = read_verdicts(spark, out)
+    assert committed.filter(F.col("run_id") == "dead").count() == 0
+    assert committed.count() == part.count()
+
+    # resume re-scans exactly the uncommitted buckets; totals come out exact
+    m = run_validation(spark, docs, FLAGSHIP_RULE, out, n_buckets=8, run_id="ok2")
+    assert m["resumed_buckets"] == 4
+    assert m["n_rows"] == N
+    final = read_verdicts(spark, out)
+    assert final.count() == N
+    assert final.select("doc_id").distinct().count() == docs.select("doc_id").distinct().count()

@@ -461,11 +461,15 @@ def _compile_array(rule: Rule, col: Column, dtype: T.ArrayType, path: Column,
             checks.append(Compiled(ok, viols))
 
     if "contains" in rule:
-        # >=1 element valid (validator.ex:651-675)
+        # >=1 element valid (validator.ex:651-675). A NULL element is
+        # "absent" under the typed-column convention, and an absent element
+        # cannot serve as an existence witness — without the isNotNull guard
+        # [null] would vacuously satisfy any contains subschema (even
+        # contains: false), because per-value keywords null-guard to true.
         sub = rule["contains"]
 
         def any_valid(x: Column) -> Column:
-            return compile_rule(sub, x, elem_dt, path, root, depth + 1).valid
+            return x.isNotNull() & compile_rule(sub, x, elem_dt, path, root, depth + 1).valid
 
         checks.append(_check(col, F.exists(col, any_valid), path, "contains",
                              "no array item matches contains schema"))

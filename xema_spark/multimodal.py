@@ -31,11 +31,9 @@ MEDIA_META_TYPE = T.StructType([
     T.StructField("decoder", T.StringType()),
 ])
 
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+# Real decoding is an explicit opt-in (decode_media(..., real_decode=True)),
+# NOT import-detection: merely having PIL installed must not change behavior
+# (or worse, crash) for callers who expect the deterministic stub.
 
 
 def _stub_meta(payload: bytes, media_type: str) -> dict:
@@ -55,10 +53,12 @@ def _stub_meta(payload: bytes, media_type: str) -> dict:
 def decode_media(df: DataFrame, payload_col: str = "payload",
                  type_col: str = "media_type",
                  out_col: str = "media_meta",
-                 batch_size_hint: int = 1024) -> DataFrame:
+                 batch_size_hint: int = 1024,
+                 real_decode: bool = False) -> DataFrame:
     """Attach decoded metadata via mapInPandas (one Python crossing, Arrow
-    batches). Real decoding would replace the _stub_meta call per media type;
-    the NotImplementedError marks exactly where."""
+    batches). Default is the deterministic stub; real_decode=True is the
+    splice point for an actual decoder (PIL.Image.open(BytesIO(payload)) for
+    images, soundfile for audio) and raises until one is wired in."""
     out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, MEDIA_META_TYPE)])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -69,9 +69,9 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
                     metas.append(None)
                     continue
                 mtype = mtype or "image"
-                if _HAS_PIL and mtype == "image":  # pragma: no cover
+                if real_decode:  # pragma: no cover
                     raise NotImplementedError(
-                        "real image decode goes here (PIL.Image.open(BytesIO(payload)))")
+                        "real media decode goes here (no codec libs in this container)")
                 metas.append(_stub_meta(bytes(payload), mtype))
             out = pdf.copy()
             out[out_col] = metas

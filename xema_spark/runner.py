@@ -15,11 +15,17 @@ referential anti-join, the lineage sidecar) reads the verdict table — which
 is orders of magnitude smaller than the input (no span text) — so the 100TB
 side is scanned exactly once.
 
-Checkpoint/resume is at bucket granularity: the lineage sidecar records one
-row per completed bucket; a resumed run anti-joins the completed bucket set
-and scans only the remainder (the reference has no analogue — its only I/O
-is a schema fetch, /root/reference/lib/xema/loader.ex:9-15 — this operator
-exists for the 10^12-doc shape).
+Checkpoint/resume is at bucket granularity and the lineage sidecar is the
+COMMIT LOG: verdicts are written under verdicts/run_id=<id>/bucket=<b>/ and
+a (run_id, bucket) pair becomes visible only once its lineage row lands.
+If a run dies between the verdict write and the lineage append, the orphan
+files are invisible to every consumer (read_verdicts semi-joins the lineage)
+and the resumed run re-scans those buckets under a fresh run_id — resume is
+idempotent without any rename/manifest machinery. A resumed run anti-joins
+the committed bucket set and scans only the remainder (the reference has no
+analogue — its only I/O is a schema fetch,
+/root/reference/lib/xema/loader.ex:9-15 — this operator exists for the
+10^12-doc shape).
 
 Skew: hot doc_ids don't exist (ids are unique-ish) but hot media_refs do;
 the referential check broadcasts the asset dimension (no shuffle of the big
@@ -54,6 +60,17 @@ def _completed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
         return set()
 
 
+def read_verdicts(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Committed view of the verdict table: only (run_id, bucket) pairs
+    recorded in the lineage sidecar are visible. Verdict files from a run
+    that died between its verdict write and its lineage append (the crash
+    window) are excluded, so re-scanned buckets never appear twice."""
+    v = spark.read.parquet(os.path.join(output_dir, "verdicts"))
+    lin = (spark.read.parquet(os.path.join(output_dir, "lineage"))
+           .select("run_id", "bucket").distinct())
+    return v.join(F.broadcast(lin), ["run_id", "bucket"], "left_semi")
+
+
 def run_validation(
     spark: SparkSession,
     docs: DataFrame,
@@ -68,10 +85,15 @@ def run_validation(
     persisted to the lineage sidecar. Idempotent under resume."""
     rule = normalize_rule(rule)
     meta_validate(rule)
+    import uuid
+
     verdict_dir = os.path.join(output_dir, "verdicts")
     violation_dir = os.path.join(output_dir, "violations")
     lineage_dir = os.path.join(output_dir, "lineage")  # doubles as per-bucket summary
-    run_id = run_id or time.strftime("%Y%m%dT%H%M%S")
+    # unique per attempt: two attempts in the same second must not share a
+    # run_id, or an orphaned attempt would become visible via the other's
+    # lineage row
+    run_id = run_id or f"{time.strftime('%Y%m%dT%H%M%S')}-{uuid.uuid4().hex[:6]}"
 
     done = _completed_buckets(spark, lineage_dir) if resume else set()
 
@@ -121,31 +143,25 @@ def run_validation(
                       F.count(F.lit(1)).alias("rows"),
                       F.sum(F.col("valid").cast("long")).alias("valid"),
                       F.sum(F.size("violations").cast("long")).alias("violations"))
+     .withColumn("run_id", F.lit(run_id))
      .repartition(n_buckets, "bucket")
-     .write.mode("append").partitionBy("bucket").parquet(verdict_dir))
+     .write.mode("append").partitionBy("run_id", "bucket").parquet(verdict_dir))
     scan_elapsed = time.time() - t0
     scan_obs = obs.get
 
-    verdicts = spark.read.parquet(verdict_dir)
-
-    # Exploded violation rows (overwritten from the compact table — cheap).
-    viols = (verdicts.filter(F.size("violations") > 0)
-             .select("doc_id", "bucket", F.explode("violations").alias("v"))
-             .select("doc_id", "bucket", "v.path", "v.keyword", "v.message"))
-    viols.write.mode("overwrite").parquet(violation_dir)
+    # THIS run's rows only (partition-pruned read): orphan files from a
+    # previous crashed attempt carry a different run_id and stay invisible
+    this_run = spark.read.parquet(verdict_dir).filter(F.col("run_id") == run_id)
 
     # Per-bucket summary == per-partition pass/fail table == the lineage
-    # sidecar rows for THIS run (one write serves both consumers; the
-    # summary of completed buckets never changes, so the union of lineage
-    # appends IS the full summary).
-    new_summary = (verdicts.groupBy("bucket").agg(
+    # sidecar rows for THIS run. Its append is the COMMIT: only after it
+    # lands do this run's buckets become visible to read_verdicts.
+    new_summary = (this_run.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("valid").cast("long")).alias("n_valid"),
         F.sum(F.size("violations").cast("long")).alias("n_violations"),
         F.sum("n_bytes").alias("n_bytes"),
     ))
-    if done:
-        new_summary = new_summary.filter(~F.col("bucket").isin(*[int(b) for b in done]))
     # materialize the (<= n_buckets)-row summary ONCE: it feeds the lineage
     # write AND the global totals, so no read-back aggregation job is needed
     summary_rows = new_summary.collect()
@@ -155,6 +171,15 @@ def run_validation(
         F.lit(float(scan_elapsed)).alias("scan_elapsed_sec"),
     ).coalesce(1)
     lineage.write.mode("append").parquet(lineage_dir)
+
+    # Everything below reads the COMMITTED view (prior runs + this run).
+    verdicts = read_verdicts(spark, output_dir)
+
+    # Exploded violation rows (overwritten from the compact table — cheap).
+    viols = (verdicts.filter(F.size("violations") > 0)
+             .select("doc_id", "bucket", F.explode("violations").alias("v"))
+             .select("doc_id", "bucket", "v.path", "v.keyword", "v.message"))
+    viols.write.mode("overwrite").parquet(violation_dir)
 
     metrics: dict = {
         "run_id": run_id,

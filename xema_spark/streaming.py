@@ -55,7 +55,9 @@ def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
                              checkpoint_dir: str, n_buckets: int = 64):
     """foreachBatch sink writing the SAME layout as runner.run_validation's
     verdict table, so streaming ingest and batch backfill share consumers.
-    Returns the StreamingQuery (caller owns trigger/termination)."""
+    Returns the configured DataStreamWriter — the caller picks the trigger
+    and calls .start() (e.g. `.trigger(availableNow=True).start()`), which
+    keeps trigger policy out of the library."""
     import os
 
     from pyspark.sql import types as T
