@@ -93,23 +93,122 @@ def _uniq_key(v: Any) -> str:
 
 
 def validate_value(rule: Rule, value: Any, root: Rule | None = None,
-                   _depth: int = 0) -> bool:
-    """True iff `value` satisfies the (normalized or raw) rule."""
+                   _depth: int = 0, registry: dict[str, Rule] | None = None) -> bool:
+    """True iff `value` satisfies the (normalized or raw) rule.
+
+    `registry` maps absolute URIs to (raw or normalized) remote rule
+    documents for non-local $refs — the interpreter's analogue of the
+    reference's Loader behaviour (loader.ex:9-15). Refs are resolved LAZILY
+    with RFC 3986 base-URI tracking ($id changes the base for refs below
+    it), which — unlike inlining — also supports recursive documents such
+    as the draft meta-schemas."""
     rule = normalize_rule(rule) if not isinstance(rule, bool) else rule
     if root is None:
         root = rule
-    return _valid(rule, value, root, _depth)
+    if registry is not None:
+        registry = {uri: normalize_rule(doc) for uri, doc in registry.items()}
+    return _valid(rule, value, root, _depth, registry, "")
 
 
-def _valid(rule: Rule, v: Any, root: Rule, depth: int) -> bool:
+def _pointer_walk_base(root: Rule, pointer: str, base: str) -> str:
+    """Fold the $id of every node along a local pointer path into `base`
+    (the target node's own $id is applied by _valid itself)."""
+    from urllib.parse import unquote, urljoin
+
+    if isinstance(root, dict) and isinstance(root.get("id"), str):
+        base = urljoin(base, root["id"])
+    if not pointer.startswith("#/"):
+        return base
+    node: Any = root
+    for raw in pointer[2:].split("/")[:-1]:
+        token = unquote(raw).replace("~1", "/").replace("~0", "~")
+        if isinstance(node, list):
+            node = node[int(token)]
+        elif isinstance(node, dict) and token in node:
+            node = node[token]
+        else:
+            return base
+        if isinstance(node, dict) and isinstance(node.get("id"), str):
+            base = urljoin(base, node["id"])
+    return base
+
+
+_DATA_KEYS = {"enum", "const", "examples", "default", "data"}  # values, not schemas
+
+
+def _collect_ids(node: Any, base: str, out: dict[str, Any]) -> None:
+    """Index every subschema that declares an $id under its absolute URI
+    (draft-7 location-by-$id: a subschema with id 'http://h/node' is the
+    target of $ref 'node' resolved against base 'http://h/')."""
+    from urllib.parse import urljoin
+
+    if isinstance(node, dict):
+        if isinstance(node.get("id"), str):
+            base = urljoin(base, node["id"])
+            # full URI (anchors like '#foo' keep their fragment) AND the
+            # fragmentless document URI both address this node
+            out.setdefault(base, node)
+            out.setdefault(base.partition("#")[0], node)
+        for k, v in node.items():
+            if k not in _DATA_KEYS:
+                _collect_ids(v, base, out)
+    elif isinstance(node, list):
+        for v in node:
+            _collect_ids(v, base, out)
+
+
+def _renorm(rule: Rule) -> Rule:
+    """Ref targets reached through unknown keys (e.g. a remote document whose
+    top level is a plain {'name': {...}} map) were never visited by
+    normalize_rule — normalize on the way out (idempotent)."""
+    return rule if isinstance(rule, bool) else normalize_rule(rule)
+
+
+def _deref(ref: str, root: Rule, base: str,
+           registry: dict[str, Rule] | None) -> tuple[Rule, Rule, str]:
+    """Resolve a $ref -> (target_rule, new_document_root, new_base)."""
+    from urllib.parse import urljoin
+
+    if ref == "#" or ref.startswith("#/"):
+        return (_renorm(resolve_pointer(root, ref)), root,
+                _pointer_walk_base(root, ref, base))
+    # everything else — absolute/relative URIs and '#anchor' ids — resolves
+    # against the current base URI
+    absolute = urljoin(base, ref) if base else ref
+    uri, _, frag = absolute.partition("#")
+    if registry is not None and uri in registry:
+        doc = registry[uri]
+        pointer = "#" + frag if frag else "#"
+        target = resolve_pointer(doc, pointer)
+        return _renorm(target), doc, _pointer_walk_base(doc, pointer, uri)
+    # not a known document: try subschemas of the current document that
+    # declare this URI (or this exact anchor) as their $id
+    idx: dict[str, Any] = {}
+    _collect_ids(root, "", idx)
+    if absolute in idx:  # exact match (covers '#anchor'-style ids)
+        return _renorm(idx[absolute]), root, uri
+    if uri in idx:
+        node = idx[uri]
+        target = resolve_pointer(node, "#" + frag) if frag else node
+        return _renorm(target), root, uri
+    from xema_spark.rules import RuleError
+    raise RuleError(f"$ref {ref!r}: URI {uri!r} not in the rule registry")
+
+
+def _valid(rule: Rule, v: Any, root: Rule, depth: int,
+           registry: dict[str, Rule] | None = None, base: str = "") -> bool:
     if depth > 64:
         raise RecursionError("rule recursion too deep")
     if rule is True:
         return True
     if rule is False:
         return False
+    if isinstance(rule.get("id"), str):
+        from urllib.parse import urljoin
+        base = urljoin(base, rule["id"])
     if "ref" in rule:
-        return _valid(resolve_pointer(root, rule["ref"]), v, root, depth + 1)
+        target, new_root, new_base = _deref(rule["ref"], root, base, registry)
+        return _valid(target, v, new_root, depth + 1, registry, new_base)
 
     t = rule.get("type")
     if t is not None:
@@ -164,32 +263,32 @@ def _valid(rule: Rule, v: Any, root: Rule, depth: int) -> bool:
             return False
         items = rule.get("items")
         if isinstance(items, (dict, bool)):
-            if not all(_valid(items, x, root, depth + 1) for x in v):
+            if not all(_valid(items, x, root, depth + 1, registry, base) for x in v):
                 return False
         elif isinstance(items, list):
             for i, sub in enumerate(items):
-                if i < len(v) and not _valid(sub, v[i], root, depth + 1):
+                if i < len(v) and not _valid(sub, v[i], root, depth + 1, registry, base):
                     return False
             extra = rule.get("additional_items")
             if extra is False and len(v) > len(items):
                 return False
             if isinstance(extra, (dict, bool)) and extra is not True:
-                if not all(_valid(extra, x, root, depth + 1) for x in v[len(items):]):
+                if not all(_valid(extra, x, root, depth + 1, registry, base) for x in v[len(items):]):
                     return False
         if "contains" in rule:
-            if not any(_valid(rule["contains"], x, root, depth + 1) for x in v):
+            if not any(_valid(rule["contains"], x, root, depth + 1, registry, base) for x in v):
                 return False
 
     if isinstance(v, dict):
         props = rule.get("properties", {})
         pattern_props = rule.get("pattern_properties", {})
         for name, sub in props.items():
-            if name in v and not _valid(sub, v[name], root, depth + 1):
+            if name in v and not _valid(sub, v[name], root, depth + 1, registry, base):
                 return False
         for regex, sub in pattern_props.items():
             cre = re.compile(regex)
             for name, val in v.items():
-                if cre.search(name) and not _valid(sub, val, root, depth + 1):
+                if cre.search(name) and not _valid(sub, val, root, depth + 1, registry, base):
                     return False
         for name in rule.get("required", []):
             if name not in v:
@@ -199,7 +298,7 @@ def _valid(rule: Rule, v: Any, root: Rule, depth: int) -> bool:
         if "max_properties" in rule and len(v) > rule["max_properties"]:
             return False
         if "property_names" in rule:
-            if not all(_valid(rule["property_names"], k, root, depth + 1) for k in v):
+            if not all(_valid(rule["property_names"], k, root, depth + 1, registry, base) for k in v):
                 return False
         extra_rule = rule.get("additional_properties")
         if extra_rule is not None and extra_rule is not True:
@@ -209,28 +308,28 @@ def _valid(rule: Rule, v: Any, root: Rule, depth: int) -> bool:
                     continue
                 if extra_rule is False:
                     return False
-                if not _valid(extra_rule, val, root, depth + 1):
+                if not _valid(extra_rule, val, root, depth + 1, registry, base):
                     return False
         for key, dep in rule.get("dependencies", {}).items():
             if key in v:
                 if isinstance(dep, list):
                     if not all(d in v for d in dep):
                         return False
-                elif not _valid(dep, v, root, depth + 1):
+                elif not _valid(dep, v, root, depth + 1, registry, base):
                     return False
 
-    if "not" in rule and _valid(rule["not"], v, root, depth + 1):
+    if "not" in rule and _valid(rule["not"], v, root, depth + 1, registry, base):
         return False
-    if "all_of" in rule and not all(_valid(s, v, root, depth + 1) for s in rule["all_of"]):
+    if "all_of" in rule and not all(_valid(s, v, root, depth + 1, registry, base) for s in rule["all_of"]):
         return False
-    if "any_of" in rule and not any(_valid(s, v, root, depth + 1) for s in rule["any_of"]):
+    if "any_of" in rule and not any(_valid(s, v, root, depth + 1, registry, base) for s in rule["any_of"]):
         return False
-    if "one_of" in rule and sum(_valid(s, v, root, depth + 1) for s in rule["one_of"]) != 1:
+    if "one_of" in rule and sum(_valid(s, v, root, depth + 1, registry, base) for s in rule["one_of"]) != 1:
         return False
     if "if" in rule:
-        branch = rule.get("then", True) if _valid(rule["if"], v, root, depth + 1) \
+        branch = rule.get("then", True) if _valid(rule["if"], v, root, depth + 1, registry, base) \
             else rule.get("else", True)
-        if not _valid(branch, v, root, depth + 1):
+        if not _valid(branch, v, root, depth + 1, registry, base):
             return False
     return True
 

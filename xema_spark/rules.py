@@ -320,9 +320,13 @@ def resolve_pointer(root: Rule, pointer: str,
         return resolve_pointer(target_root, "#" + frag, registry)
     if not pointer.startswith("#/"):
         raise RuleError(f"unsupported $ref {pointer!r}")
+    from urllib.parse import unquote
+
     node: Any = root
     for raw in pointer[2:].split("/"):
-        token = raw.replace("~1", "/").replace("~0", "~")
+        # URI-fragment percent-decoding first (RFC 6901 §6: '%25field' ->
+        # '%field'), then the ~-escapes
+        token = unquote(raw).replace("~1", "/").replace("~0", "~")
         # keys were renamed during normalization
         token = _KEY_RENAMES.get(token, token)
         if isinstance(node, list):
