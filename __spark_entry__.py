@@ -363,6 +363,106 @@ def _q_sim_knn_threshold(spark, sf_dir):
     return similarity.threshold_neighbor_counts(emb, q, threshold=0.8)
 
 
+def _q_cast_union(spark, sf_dir):
+    """Combiner cast (xema.ex:1078-1147): anyOf[integer, number] over a
+    string column — first subschema whose cast succeeds wins (coalesce)."""
+    from xema_spark.cast import cast_df
+
+    e = _events(spark, sf_dir)
+    s = (F.when(F.pmod("event_id", F.lit(3)) == 0,
+                F.format_string("%d", F.pmod("user_id", F.lit(97))))
+         .when(F.pmod("event_id", F.lit(3)) == 1,
+               F.format_string("%d.5", F.pmod("user_id", F.lit(97))))
+         .otherwise(F.lit("nope")))
+    base = e.select("event_id", s.alias("u"))
+    rule = {"type": "object",
+            "properties": {"u": {"anyOf": [{"type": "integer"}, {"type": "number"}]}}}
+    out = cast_df(base, rule)
+    return out.select("event_id", F.round(F.col("u"), 4).alias("u_num"))
+
+
+def _q_cast_decimal(spark, sf_dir):
+    """string -> Decimal(10,3) cast (castable.ex:54-60), rendered back to
+    string so the value-hash is scale-exact on both engines."""
+    from xema_spark.cast import cast_df
+
+    e = _events(spark, sf_dir)
+    s = F.format_string("%d.%03d", F.pmod("user_id", F.lit(100)),
+                        F.pmod("event_id", F.lit(1000)))
+    base = e.select("event_id", s.alias("amount"))
+    rule = {"type": "object",
+            "properties": {"amount": {"type": "number",
+                                      "decimal": {"precision": 10, "scale": 3}}}}
+    out = cast_df(base, rule)
+    return out.select("event_id", F.col("amount").cast("string").alias("amount_dec"))
+
+
+def _q_cast_delete(spark, sf_dir):
+    """additional_properties: :delete projection (xema.ex:1007-1019): drop
+    undeclared columns (keeps properties + pattern_properties matches)."""
+    from xema_spark.cast import cast_df
+
+    d = _docs(spark, sf_dir, "doc_id", "lang", "source", "n_chars")
+    rule = {"type": "object",
+            "properties": {"doc_id": {}, "lang": {"type": "string"}},
+            "patternProperties": {"^n_": {}},
+            "additionalProperties": False}
+    return cast_df(d, rule, additional_properties="delete")
+
+
+def _q_cast_custom(spark, sf_dir):
+    """Custom caster hook (xema.ex:779-797): registered Series->Series
+    function compiled to one Arrow-batched pandas UDF."""
+    import pandas as pd
+
+    from xema_spark.cast import cast_df
+    from xema_spark.rules import register_caster
+
+    def digits_to_int(s: "pd.Series") -> "pd.Series":
+        return pd.to_numeric(s.str.replace(r"\D", "", regex=True), errors="coerce") \
+            .astype("Int64")
+
+    register_caster("digits_to_int", digits_to_int)
+    e = _events(spark, sf_dir)
+    s = F.format_string("u-%d-x", F.pmod("user_id", F.lit(997)))
+    base = e.select("event_id", s.alias("uid"))
+    rule = {"type": "object",
+            "properties": {"uid": {"caster": "digits_to_int",
+                                   "caster_type": "bigint"}}}
+    return cast_df(base, rule).select("event_id", F.col("uid").alias("uid_int"))
+
+
+def _q_v_custom_validator(spark, sf_dir):
+    """Custom validator hook (#35 parity, validator.ex:1020-1041): registered
+    vectorized predicate composed into the rule tree as its own keyword."""
+    import pandas as pd
+
+    from xema_spark.rules import register_validator
+
+    def even_text_len(s: "pd.Series") -> "pd.Series":
+        return s.str.len() % 2 == 0
+
+    register_validator("even_text_len", even_text_len)
+    rule = {"type": "object",
+            "properties": {"text": {"type": "string", "validator": "even_text_len"}}}
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "text"), rule)
+    return d.select("doc_id", "valid")
+
+
+def _q_v_tuple_items(spark, sf_dir):
+    """Tuple-form items + additional_items (validator.ex:723-777) on a
+    synthesized fixed-position array column."""
+    d = _docs(spark, sf_dir, "doc_id", "lang", "source", "n_chars")
+    arr = F.array(F.col("lang"), F.col("source"), F.col("n_chars").cast("string"))
+    base = d.select("doc_id", arr.alias("tup"))
+    rule = {"type": "object", "properties": {
+        "tup": {"type": "array",
+                "items": [{"type": "string", "enum": ["en", "de", "fr", "es", "it"]},
+                          {"type": "string", "pattern": "^src[0-9]+$"}],
+                "additionalItems": {"type": "string", "maxLength": 2}}}}
+    return validate_df(base, rule).select("doc_id", "valid")
+
+
 def _q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs with exact Jaccard verification, in the
     'portable' hash flavor (md5-derived 31-bit hashes + affine permutations
@@ -423,10 +523,16 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_multimodal_meta(spark, sf_dir):
+    """Multimodal decode plumbing, oracle-checked: the stub decoder's
+    features are a pure function of md5(payload), and gen_assets' media_type
+    is pmod(id, 3) — both DuckDB-expressible, so the whole mapInPandas
+    pipeline (payload synth -> Arrow decode batches -> frame sampling) gets
+    a value-level oracle even though the decoder itself is a stub."""
     n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
         os.path.basename(sf_dir.rstrip("/")), 20000)
     assets = gen_assets(spark, n).filter(F.col("media_ref") < "asset-000500")
-    decoded = multimodal.decode_media(multimodal.synth_media_payloads(assets))
+    payloads = multimodal.synth_media_payloads(assets, type_col="media_type")
+    decoded = multimodal.decode_media(payloads)
     sampled = multimodal.frame_sample_offsets(decoded)
     return sampled.select("media_ref", "media_meta.width", "media_meta.height",
                           "media_meta.decoder", F.size("frame_offsets_ms").alias("n_frames_sampled"))
@@ -470,11 +576,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_threshold": _q_sim_knn_threshold,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        # cast extensions + custom hooks + tuple items (oracle-checked)
+        "cast_union": _q_cast_union,
+        "cast_decimal": _q_cast_decimal,
+        "cast_delete": _q_cast_delete,
+        "cast_custom": _q_cast_custom,
+        "v_custom_validator": _q_v_custom_validator,
+        "v_tuple_items": _q_v_tuple_items,
+        "multimodal_meta": _q_multimodal_meta,
         # rows-only (non-SQL-expressible)
         "flagship_interleaved": _q_flagship_interleaved,
         "referential_spans": _q_referential_spans,
         "ann_topk": _q_ann_topk,
-        "multimodal_meta": _q_multimodal_meta,
     }
 
 
@@ -817,6 +930,56 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _langid_sql(),
         "dedup_minhash_pairs": _minhash_oracle_sql(),
         "dedup_simhash_pairs": _simhash_oracle_sql(),
+        "cast_union": """
+            SELECT event_id,
+                   round(coalesce(
+                       CASE WHEN regexp_matches(u, '^[+-]?[0-9]+$')
+                            THEN try_cast(u AS BIGINT) END::DOUBLE,
+                       try_cast(u AS DOUBLE)), 4) AS u_num
+            FROM (SELECT event_id,
+                         CASE WHEN event_id % 3 = 0 THEN printf('%d', user_id % 97)
+                              WHEN event_id % 3 = 1 THEN printf('%d.5', user_id % 97)
+                              ELSE 'nope' END AS u
+                  FROM events)""",
+        "cast_decimal": """
+            SELECT event_id,
+                   try_cast(printf('%d.%03d', user_id % 100, event_id % 1000)
+                            AS DECIMAL(10,3))::VARCHAR AS amount_dec
+            FROM events""",
+        "cast_delete": f"""
+            SELECT doc_id, lang, n_chars FROM {_T}""",
+        "cast_custom": """
+            SELECT event_id,
+                   try_cast(regexp_replace(printf('u-%d-x', user_id % 997),
+                                           '[^0-9]', '', 'g') AS BIGINT) AS uid_int
+            FROM events""",
+        "v_custom_validator": f"""
+            SELECT doc_id, (text IS NULL OR length(text) % 2 = 0) AS valid
+            FROM {_T}""",
+        "v_tuple_items": f"""
+            SELECT doc_id,
+                   ((lang IS NULL OR lang IN ('en','de','fr','es','it'))
+                    AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
+                    AND (n_chars IS NULL OR length(n_chars::VARCHAR) <= 2)) AS valid
+            FROM {_T}""",
+        "multimodal_meta": """
+            WITH a AS (
+              SELECT printf('asset-%06d', i) AS media_ref,
+                     ['image','audio','video'][(i % 3) + 1] AS media_type
+              FROM range(0, 2000) t(i) WHERE i < 500
+            ),
+            m AS (
+              SELECT media_ref, media_type,
+                     md5('payload:' || media_ref) AS hx
+              FROM a
+            )
+            SELECT media_ref,
+                   (64 + ('0x' || substr(hx, 1, 2))::INT * 8)::INT AS width,
+                   (64 + ('0x' || substr(hx, 3, 2))::INT * 8)::INT AS height,
+                   'stub' AS decoder,
+                   (CASE WHEN media_type = 'image' THEN 1 ELSE 4 END)::INT
+                       AS n_frames_sampled
+            FROM m""",
         "sim_knn_threshold": """
             SELECT a.vec_id AS q_id, count(*) AS n_similar
             FROM embeddings a, embeddings b

@@ -53,3 +53,100 @@ def test_cast_then_validate(spark):
     out = cast_and_validate(df, rule)
     got = {r["n"]: r["valid"] for r in out.collect()}
     assert got[10] is True and got[3] is False and got[None] is False
+
+
+def test_combiner_cast_any_of(spark):
+    """anyOf cast = first-success coalesce (xema.ex:1078-1147): int-parse
+    wins where it succeeds, number-parse as fallback, NULL when neither."""
+    df = spark.createDataFrame([("7",), ("7.5",), ("x",)], ["v"])
+    rule = {"type": "object", "properties": {
+        "v": {"anyOf": [{"type": "integer"}, {"type": "number"}]}}}
+    out = cast_df(df, rule).collect()
+    assert out[0]["v"] == 7.0 and out[1]["v"] == 7.5 and out[2]["v"] is None
+
+
+def test_combiner_cast_all_of_sequential(spark):
+    """allOf casts compose sequentially (string -> number via the chain)."""
+    df = spark.createDataFrame([("3",)], ["v"])
+    rule = {"type": "object", "properties": {
+        "v": {"allOf": [{"type": "number"}, {"minimum": 0}]}}}
+    assert cast_df(df, rule).collect()[0]["v"] == 3.0
+
+
+def test_decimal_cast(spark):
+    df = spark.createDataFrame([("12.345",), ("bad",)], ["v"])
+    rule = {"type": "object", "properties": {
+        "v": {"type": "number", "decimal": {"precision": 10, "scale": 3}}}}
+    out = cast_df(df, rule)
+    assert "decimal(10,3)" in out.schema["v"].dataType.simpleString()
+    rows = out.collect()
+    assert str(rows[0]["v"]) == "12.345" and rows[1]["v"] is None
+
+
+def test_additional_properties_delete(spark):
+    """:delete drops undeclared columns; pattern_properties matches stay
+    (xema.ex:1007-1019)."""
+    df = spark.createDataFrame([(1, "a", "junk", 5)], ["id", "name", "extra", "n_x"])
+    rule = {"type": "object",
+            "properties": {"id": {}, "name": {"type": "string"}},
+            "patternProperties": {"^n_": {}},
+            "additionalProperties": False}
+    out = cast_df(df, rule, additional_properties="delete")
+    assert out.columns == ["id", "name", "n_x"]
+    # without the opt the projection is untouched
+    assert cast_df(df, rule).columns == ["id", "name", "extra", "n_x"]
+
+
+def test_custom_caster_hook(spark):
+    import pandas as pd
+
+    from xema_spark.rules import register_caster
+
+    def shouty(s):
+        return s.str.upper()
+
+    register_caster("shouty", shouty)
+    df = spark.createDataFrame([("ab",), (None,)], ["v"])
+    rule = {"type": "object", "properties": {"v": {"caster": "shouty"}}}
+    rows = cast_df(df, rule).collect()
+    assert rows[0]["v"] == "AB" and rows[1]["v"] is None
+
+
+def test_custom_validator_hook(spark):
+    """{'validator': name} composes a registered vectorized predicate into
+    the rule tree with its own keyword row (validator.ex:1020-1041)."""
+    from xema_spark.compiler import explode_violations, validate_df
+    from xema_spark.rules import RuleError, register_validator
+
+    register_validator("no_zed", lambda s: ~s.str.contains("z", na=False))
+    rule = {"type": "object", "properties": {
+        "t": {"type": "string", "validator": "no_zed", "minLength": 2}}}
+    df = spark.createDataFrame([("ok",), ("zap",), (None,)], ["t"])
+    out = validate_df(df, rule)
+    rows = {r["t"]: r for r in out.collect()}
+    assert rows["ok"]["valid"] is True
+    assert rows["zap"]["valid"] is False
+    assert rows[None]["valid"] is True  # NULL == absent convention
+    kw = [r["keyword"] for r in explode_violations(out.filter(~F.col("valid")), ["t"]).collect()]
+    assert kw == ["validator"]
+    # unregistered name fails meta-validation at compile time
+    import pytest
+    with pytest.raises(RuleError):
+        validate_df(df, {"type": "object", "properties": {"t": {"validator": "nope"}}})
+
+
+def test_fail_mode_early_vs_finally(spark):
+    """:early truncates to the first failing check per row; :finally collects
+    all; :immediately returns no detail (behaviour.ex:36)."""
+    from xema_spark.compiler import validate_df
+
+    df = spark.createDataFrame([("no",)], ["t"])
+    rule = {"type": "object", "properties": {
+        "t": {"type": "string", "minLength": 5, "pattern": "^yes"}}}
+    finally_rows = validate_df(df, rule, mode="finally").collect()[0]
+    early_rows = validate_df(df, rule, mode="early").collect()[0]
+    imm = validate_df(df, rule, mode="immediately")
+    assert len(finally_rows["violations"]) == 2
+    assert len(early_rows["violations"]) == 1
+    assert early_rows["violations"][0]["keyword"] == finally_rows["violations"][0]["keyword"]
+    assert "violations" not in imm.columns and imm.collect()[0]["valid"] is False

@@ -36,7 +36,42 @@ def cast_column(col: Column, dtype: T.DataType, rule: Rule) -> Column:
     """Coerce one column toward the rule's declared type. Non-coercible
     values become NULL (caught by the subsequent validation pass as a
     `type`/`required` violation, mirroring the reference's {:error, ...})."""
-    if isinstance(rule, bool) or "type" not in rule:
+    if isinstance(rule, bool):
+        return col
+    # custom caster hook (xema.ex:779-797): a registered Series->Series
+    # function, compiled to one Arrow-batched pandas UDF; it REPLACES the
+    # built-in coercion for this node (as the reference's caster does)
+    if "caster" in rule:
+        from xema_spark.rules import get_caster
+
+        cfn = get_caster(rule["caster"])
+
+        def _cbatch(s, _fn=cfn):
+            import pandas as pd
+            out = _fn(s)
+            return out if isinstance(out, pd.Series) else pd.Series(out)
+
+        ret = rule.get("caster_type", "string")
+        return F.pandas_udf(_cbatch, ret)(col)
+    # combiner cast (xema.ex:1078-1147): first subschema (in declaration
+    # order) whose cast succeeds wins — columnar translation: coalesce over
+    # the per-subschema cast expressions (failed casts surface as NULL).
+    # all_of applies its members' casts sequentially.
+    for comb in ("any_of", "one_of"):
+        if comb in rule:
+            branches = [cast_column(col, dtype, s) for s in rule[comb]]
+            return F.coalesce(*branches) if len(branches) > 1 else branches[0]
+    if "all_of" in rule:
+        out = col
+        for s in rule["all_of"]:
+            out = cast_column(out, dtype, s)
+        return out
+    # string -> Decimal(p, s) (castable.ex:54-60 Decimal.new); rule carries
+    # {"decimal": {"precision": p, "scale": s}}
+    if "decimal" in rule and isinstance(dtype, (T.StringType, T.NumericType)):
+        d = rule["decimal"]
+        return col.try_cast(f"decimal({d['precision']},{d['scale']})")
+    if "type" not in rule:
         return col
     t = rule["type"]
     t = t[0] if isinstance(t, list) else t
@@ -67,15 +102,33 @@ def cast_column(col: Column, dtype: T.DataType, rule: Rule) -> Column:
     return col
 
 
-def cast_df(df: DataFrame, rule: Rule, with_defaults: bool = True) -> DataFrame:
+def cast_df(df: DataFrame, rule: Rule, with_defaults: bool = True,
+            additional_properties: str | None = None) -> DataFrame:
     """Coerce every rule-declared property of the frame (one projection),
     applying `default` fill-ins. The caller runs validate_df afterwards, the
-    same cast-then-validate sequence as the reference (xema.ex:720-739)."""
+    same cast-then-validate sequence as the reference (xema.ex:720-739).
+
+    additional_properties='delete' (xema.ex:1007-1019): when the rule says
+    additional_properties: false, columns not declared in `properties` and
+    not matching any pattern_properties regex are DROPPED instead of failing
+    validation — the data-repair projection a pipeline wants. Pure column
+    pruning: at scale this also narrows the scan (Catalyst pushes the
+    projection into the reader)."""
+    import re as _re
+
     rule = normalize_rule(rule)
     meta_validate(rule)
     props: dict[str, Rule] = rule.get("properties", {}) if isinstance(rule, dict) else {}
+    patterns = [_re.compile(p) for p in rule.get("pattern_properties", {})] \
+        if isinstance(rule, dict) else []
+    delete_extra = (additional_properties == "delete"
+                    and isinstance(rule, dict)
+                    and rule.get("additional_properties") is False)
     out = []
     for f in df.schema.fields:
+        if delete_extra and f.name not in props \
+                and not any(p.search(f.name) for p in patterns):
+            continue
         c: Column = F.col(f.name)
         sub = props.get(f.name)
         if isinstance(sub, dict):

@@ -299,6 +299,24 @@ def compile_rule(
         checks.append(_check(col, _enum_pred(rule["enum"], col, dtype), path, "enum",
                              f"value not in enum {rule['enum']!r}"))
 
+    # --- custom validator hook (validator.ex:1020-1041): a registered
+    #     Series->Series function compiled to ONE Arrow-batched pandas UDF,
+    #     composed into the tree as its own keyword row ---
+    if "validator" in rule:
+        from xema_spark.rules import get_validator
+
+        vname = rule["validator"]
+        vfn = get_validator(vname)
+
+        def _vbatch(s, _fn=vfn):
+            import pandas as pd
+            out = _fn(s)
+            return out if isinstance(out, pd.Series) else pd.Series(out)
+
+        vudf = F.pandas_udf(_vbatch, T.BooleanType())
+        checks.append(_check(col, vudf(col), path, "validator",
+                             f"custom validator {vname!r} failed"))
+
     # --- numeric bounds (validator.ex:483-562) ---
     if _numeric(dtype):
         ex_min = rule.get("exclusive_minimum")
@@ -675,6 +693,13 @@ def validate_df(
     target='c' validates just that column. mode='verdict' appends only the
     boolean (the reference's fail: :immediately analogue, behaviour.ex:86);
     mode='violations' appends the violations array too.
+
+    Reference fail-mode mapping (behaviour.ex:36, validator.ex:121-169):
+      :immediately -> 'verdict'     boolean only, no error detail
+      :early       -> 'early'      violations truncated to the FIRST failing
+                                   check per row (the with-chain stops at
+                                   the first error)
+      :finally     -> 'violations' every violation collected per row
     """
     rule = normalize_rule(rule)
     if registry:
@@ -682,10 +707,7 @@ def validate_df(
 
         rule = inline_remote_refs(rule, registry)
     meta_validate(rule)
-    # reference fail-mode names accepted as aliases (behaviour.ex:36):
-    # :immediately == verdict-only short-circuit; :early/:finally == collect
-    mode = {"immediately": "verdict", "early": "violations",
-            "finally": "violations"}.get(mode, mode)
+    mode = {"immediately": "verdict", "finally": "violations"}.get(mode, mode)
     if target is None:
         col = F.struct(*[F.col(c) for c in df.columns])
         dtype: T.DataType = T.StructType([T.StructField(f.name, f.dataType) for f in df.schema.fields])
@@ -700,7 +722,14 @@ def validate_df(
         _OPTS["exact_graphemes"] = prev
     if mode == "verdict":
         return df.withColumn(valid_col, compiled.valid)
-    return df.withColumn(valid_col, compiled.valid).withColumn(violations_col, compiled.violations)
+    viols = compiled.violations
+    if mode == "early":
+        # with-chain semantics: only the first failing check is reported.
+        # The full array is still computed (columnar evaluation is eager),
+        # but the CASE gate behind `valid` short-circuits valid rows — the
+        # truncation changes what is COLLECTED, matching :early vs :finally.
+        viols = F.slice(viols, 1, 1)
+    return df.withColumn(valid_col, compiled.valid).withColumn(violations_col, viols)
 
 
 def validate_many(df: DataFrame, rules: dict[str, Rule],

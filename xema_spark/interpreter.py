@@ -219,6 +219,12 @@ def _valid(rule: Rule, v: Any, root: Rule, depth: int,
         return False
     if "enum" in rule and not any(_eq(v, e) for e in rule["enum"]):
         return False
+    if "validator" in rule:
+        import pandas as pd
+
+        from xema_spark.rules import get_validator
+        if not bool(get_validator(rule["validator"])(pd.Series([v])).iloc[0]):
+            return False
 
     if _is_num(v):
         ex_min, ex_max = rule.get("exclusive_minimum"), rule.get("exclusive_maximum")

@@ -134,6 +134,44 @@ def normalize_rule(rule: Rule) -> Rule:
     return out
 
 
+# ---------------------------------------------------------------------------
+# custom validator / caster registry (the engine's rule-level escape hatch,
+# reference: validator.ex:1020-1041 `validator` and xema.ex:779-797 `caster`).
+# A registered function is VECTORIZED: pandas Series in -> Series out
+# (booleans for validators, coerced values for casters) — it compiles to an
+# Arrow-batched pandas UDF, never a per-row Python call.
+# ---------------------------------------------------------------------------
+
+_VALIDATORS: dict[str, Any] = {}
+_CASTERS: dict[str, Any] = {}
+
+
+def register_validator(name: str, fn: Any) -> None:
+    """Register `fn(values: pd.Series) -> pd.Series[bool]` under `name`;
+    rules reference it as {"validator": name}."""
+    _VALIDATORS[name] = fn
+
+
+def register_caster(name: str, fn: Any) -> None:
+    """Register `fn(values: pd.Series) -> pd.Series` under `name`; rules
+    reference it as {"caster": name} (failures should come back as None)."""
+    _CASTERS[name] = fn
+
+
+def get_validator(name: str) -> Any:
+    if name not in _VALIDATORS:
+        raise RuleError(f"validator {name!r} is not registered "
+                        "(xema_spark.rules.register_validator)")
+    return _VALIDATORS[name]
+
+
+def get_caster(name: str) -> Any:
+    if name not in _CASTERS:
+        raise RuleError(f"caster {name!r} is not registered "
+                        "(xema_spark.rules.register_caster)")
+    return _CASTERS[name]
+
+
 def _require(cond: bool, msg: str) -> None:
     if not cond:
         raise RuleError(msg)
@@ -204,6 +242,19 @@ def meta_validate(rule: Rule, path: str = "#") -> None:
                  f"{path}/unique_items: expected boolean")
     if "ref" in rule:
         _require(isinstance(rule["ref"], str), f"{path}/ref: expected string")
+    if "validator" in rule:
+        _require(isinstance(rule["validator"], str),
+                 f"{path}/validator: expected registered-validator name")
+        get_validator(rule["validator"])
+    if "caster" in rule:
+        _require(isinstance(rule["caster"], str),
+                 f"{path}/caster: expected registered-caster name")
+        get_caster(rule["caster"])
+    if "decimal" in rule:
+        v = rule["decimal"]
+        _require(isinstance(v, dict) and
+                 isinstance(v.get("precision"), int) and isinstance(v.get("scale"), int),
+                 f"{path}/decimal: expected {{precision, scale}} ints")
 
     for k in _SUBSCHEMA_KEYS:
         if k in rule and isinstance(rule[k], (dict, bool)):
