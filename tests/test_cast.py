@@ -150,3 +150,32 @@ def test_fail_mode_early_vs_finally(spark):
     assert len(early_rows["violations"]) == 1
     assert early_rows["violations"][0]["keyword"] == finally_rows["violations"][0]["keyword"]
     assert "violations" not in imm.columns and imm.collect()[0]["valid"] is False
+
+
+def test_nested_struct_and_array_cast(spark):
+    """Children-first reshaping (castable.ex:190-349): struct fields and
+    array items coerce through one projection, NULL containers stay NULL."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(obj=Row(n="7", d="2024-01-02"), xs=["1", "x", "3"]),
+         Row(obj=None, xs=None)])
+    rule = {"type": "object", "properties": {
+        "obj": {"type": "object", "properties": {
+            "n": {"type": "integer", "default": -1},
+            "d": {"type": "any", "format": "date"}}},
+        "xs": {"type": "array", "items": {"type": "integer"}},
+    }}
+    rows = cast_df(df, rule).collect()
+    assert rows[0]["obj"]["n"] == 7
+    assert str(rows[0]["obj"]["d"]) == "2024-01-02"
+    assert rows[0]["xs"] == [1, None, 3]
+    assert rows[1]["obj"] is None and rows[1]["xs"] is None
+
+
+def test_map_value_cast(spark):
+    df = spark.createDataFrame([({"a": "1", "b": "x"},)], ["m"])
+    rule = {"type": "object", "properties": {
+        "m": {"type": "object", "additionalProperties": {"type": "integer"}}}}
+    out = cast_df(df, rule).collect()[0]["m"]
+    assert out == {"a": 1, "b": None}

@@ -139,3 +139,32 @@ class TestDraft7EdgeCases:
     def test_min_length_unicode_codepoints(self, spark):
         # default mode counts codepoints: 'ñ' precomposed is 1
         check_cases(spark, {"minLength": 2}, [("ñx", True), ("ñ", False)])
+
+
+def test_module_struct_check(spark):
+    """`module` keyword (#36, validator.ex:143,258): registered struct shape
+    asserted at compile time; mismatch -> constant per-rule failure row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from xema_spark.compiler import register_module, validate_df
+
+    register_module("Point", T.StructType([
+        T.StructField("x", T.LongType()), T.StructField("y", T.LongType())]))
+    df = spark.createDataFrame([(1, 2)], ["x", "y"]).select(
+        F.struct("x", "y").alias("p"))
+    ok = validate_df(df, {"type": "object",
+                          "properties": {"p": {"module": "Point"}}})
+    assert ok.collect()[0]["valid"] is True
+
+    bad = spark.createDataFrame([("a", 2)], ["x", "y"]).select(
+        F.struct("x", "y").alias("p"))
+    res = validate_df(bad, {"type": "object",
+                            "properties": {"p": {"module": "Point"}}}).collect()[0]
+    assert res["valid"] is False
+    assert res["violations"][0]["keyword"] == "module"
+
+    # unregistered module names are annotation-only
+    assert validate_df(df, {"type": "object",
+                            "properties": {"p": {"module": "Unknown"}}}) \
+        .collect()[0]["valid"] is True

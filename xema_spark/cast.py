@@ -71,6 +71,29 @@ def cast_column(col: Column, dtype: T.DataType, rule: Rule) -> Column:
     if "decimal" in rule and isinstance(dtype, (T.StringType, T.NumericType)):
         d = rule["decimal"]
         return col.try_cast(f"decimal({d['precision']},{d['scale']})")
+    # nested reshaping (castable.ex:190-349 walks children first): structs
+    # rebuild field-by-field with each property's cast applied; map values
+    # cast through transform_values; array items through transform — all
+    # Column expressions, one projection regardless of depth
+    if isinstance(dtype, T.StructType) and "properties" in rule:
+        props = rule["properties"]
+        fields = []
+        for f in dtype.fields:
+            c = col.getField(f.name)
+            sub = props.get(f.name)
+            if isinstance(sub, dict):
+                c = cast_column(c, f.dataType, sub)
+                if "default" in sub:
+                    c = F.coalesce(c, F.lit(sub["default"]))
+            fields.append(c.alias(f.name))
+        rebuilt = F.struct(*fields)
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+    if isinstance(dtype, T.MapType) and isinstance(rule.get("additional_properties"), dict):
+        sub = rule["additional_properties"]
+        return F.transform_values(col, lambda _k, v: cast_column(v, dtype.valueType, sub))
+    if isinstance(dtype, T.ArrayType) and isinstance(rule.get("items"), dict):
+        sub = rule["items"]
+        return F.transform(col, lambda x: cast_column(x, dtype.elementType, sub))
     if "type" not in rule:
         return col
     t = rule["type"]

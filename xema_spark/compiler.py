@@ -228,6 +228,25 @@ def _struct_fields(dtype: T.StructType) -> dict[str, T.DataType]:
     return {f.name: f.dataType for f in dtype.fields}
 
 
+# named struct shapes for the `module` keyword (the reference's Elixir-struct
+# check, validator.ex:143,258: value.__struct__ == module). Spark structs
+# carry no runtime tag, so "which module is this" is a schema property:
+# register the module's expected StructType and the check compiles to a
+# constant shape assertion. Unregistered names are accepted (annotation-only,
+# matching COVERAGE.md §2.1 #36's at-rest-alias stance for unknown modules).
+_MODULES: dict[str, T.StructType] = {}
+
+
+def register_module(name: str, dtype: T.StructType) -> None:
+    _MODULES[name] = dtype
+
+
+def _struct_shape_matches(dtype: T.StructType, expected: T.StructType) -> bool:
+    got = {f.name: f.dataType.simpleString() for f in dtype.fields}
+    want = {f.name: f.dataType.simpleString() for f in expected.fields}
+    return got == want
+
+
 def _struct_present(col: Column, name: str) -> Column:
     # struct-field NULL == absent key (engine convention, see module doc)
     return col.getField(name).isNotNull()
@@ -504,6 +523,17 @@ def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
     fields = _struct_fields(dtype)
     props: dict[str, Rule] = rule.get("properties", {})
     pattern_props: dict[str, Rule] = rule.get("pattern_properties", {})
+
+    # module check (validator.ex:143,258 — value.__struct__ == module): the
+    # columnar analogue is a COMPILE-TIME shape assertion. A module name is
+    # registered with its StructType (register_module); a mismatching
+    # physical schema means no row can ever satisfy the rule, so the check
+    # resolves to a constant per-rule verdict rather than per-row work.
+    if "module" in rule:
+        expected = _MODULES.get(rule["module"])
+        shape_ok = expected is None or _struct_shape_matches(dtype, expected)
+        checks.append(_check(col, F.lit(bool(shape_ok)), path, "module",
+                             f"struct shape does not match module {rule['module']!r}"))
 
     # properties: absent keys skipped (validator.ex:830-859, 846-849)
     for name, sub in props.items():
