@@ -514,6 +514,17 @@ def _q_referential_spans(spark, sf_dir):
         .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
 
 
+def _q_sim_near_dups(spark, sf_dir):
+    """Embedding near-duplicate pairs via random-hyperplane LSH + exact
+    cosine verification — oracle-checked: the hyperplanes are deterministic
+    literals, so DuckDB reproduces signatures, band buckets, the bucket-size
+    cap, and the cosine re-rank exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return similarity.cosine_near_dups(emb, dim=64, threshold=0.3,
+                                       n_planes=16, bands=4)
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = 64
@@ -583,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_custom": _q_cast_custom,
         "v_custom_validator": _q_v_custom_validator,
         "v_tuple_items": _q_v_tuple_items,
+        "sim_near_dups": _q_sim_near_dups,
         "multimodal_meta": _q_multimodal_meta,
         # rows-only (non-SQL-expressible)
         "flagship_interleaved": _q_flagship_interleaved,
@@ -722,6 +734,54 @@ def _simhash_oracle_sql(bits: int = 60, prefix_bits: int = 16,
         FROM blocked a JOIN blocked b USING (block)
         WHERE a.doc_id < b.doc_id AND a.c <= {max_bucket}
           AND bit_count(xor(a.sim, b.sim)) <= {max_hamming}"""
+
+
+def _cosine_near_dups_oracle_sql(dim: int = 64, threshold: float = 0.3,
+                                 n_planes: int = 16, bands: int = 4,
+                                 max_bucket: int = 256) -> str:
+    """DuckDB replica of _q_sim_near_dups: per-plane sign bits from literal
+    hyperplane arrays, band keys, windowed bucket-size cap, candidate pairs,
+    exact cosine — constants from the SAME similarity._plane generator."""
+    r = n_planes // bands
+    bits = ",\n                 ".join(
+        "(CASE WHEN list_dot_product(embedding, [%s]) > 0 THEN 1 ELSE 0 END) AS b%d"
+        % (", ".join(repr(x) for x in similarity._plane(dim, p)), p)
+        for p in range(n_planes))
+    bands_sql = "\n          UNION ALL\n".join(
+        "          SELECT vec_id, %d AS band, (%s) AS key FROM sig"
+        % (b, " + ".join(f"b{b * r + j} * {1 << j}" for j in range(r)))
+        for b in range(bands))
+    cos = ("round(list_dot_product(ea.embedding, eb.embedding) / "
+           "(sqrt(list_dot_product(ea.embedding, ea.embedding)) * "
+           "sqrt(list_dot_product(eb.embedding, eb.embedding)) + 1e-12), 6)")
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        ),
+        sig AS (
+          SELECT vec_id,
+                 {bits}
+          FROM emb
+        ),
+        banded AS (
+{bands_sql}
+        ),
+        sized AS (
+          SELECT vec_id, band, key,
+                 count(*) OVER (PARTITION BY band, key) AS c
+          FROM banded
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM sized a JOIN sized b USING (band, key)
+          WHERE a.vec_id < b.vec_id AND a.c > 1 AND a.c <= {max_bucket}
+        )
+        SELECT doc_a, doc_b, cos FROM (
+          SELECT doc_a, doc_b, {cos} AS cos
+          FROM cand
+          JOIN emb ea ON ea.vec_id = cand.doc_a
+          JOIN emb eb ON eb.vec_id = cand.doc_b
+        ) WHERE cos >= {threshold}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -962,6 +1022,7 @@ def oracle_sql() -> dict[str, str]:
                     AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
                     AND (n_chars IS NULL OR length(n_chars::VARCHAR) <= 2)) AS valid
             FROM {_T}""",
+        "sim_near_dups": _cosine_near_dups_oracle_sql(),
         "multimodal_meta": """
             WITH a AS (
               SELECT printf('asset-%06d', i) AS media_ref,

@@ -91,3 +91,49 @@ def test_single_pass_stats_is_one_aggregate(spark, docs_parquet):
     plan = plan_of(st, "simple")
     # one scan feeding one (partial+final) aggregate — no joins/unions of rescans
     assert plan.count("Scan parquet") == 1
+
+
+def test_threshold_count_is_window_free(spark):
+    """sim threshold counting must not use a row_number window partitioned
+    by the (tiny) query-id set — that shuffles every scored row into
+    |queries| reducers. Correct plan: filter + partial-aggregated groupBy."""
+    from xema_spark import similarity
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(4)]).alias("embedding"))
+    q = emb.limit(2).select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("q_vec"))
+    df = similarity.threshold_neighbor_counts(emb, q, threshold=0.5)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_simhash_is_single_groupby_not_nested_hofs(spark):
+    """simhash_signatures must materialize the token stream once (explode ->
+    one groupBy with per-bit sums), not re-evaluate it per bit via nested
+    higher-order functions (the CodegenFallback 64x re-eval anti-pattern)."""
+    from xema_spark import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = plan_of(dedup.simhash_signatures(df, "doc_id"))
+    assert plan.count("Generate (") == 1  # ONE explode of the token stream
+    # exactly one aggregation pair (partial + final), not one per bit
+    assert plan.count("HashAggregate (") == 2
+
+
+def test_near_dup_joins_have_bucket_caps(spark):
+    """Both LSH near-dup self-joins go through a collect_list bucket whose
+    size filter caps degenerate (B^2) buckets before pair explosion."""
+    from xema_spark import dedup, similarity
+
+    docs = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+    p1 = plan_of(dedup.simhash_near_dups(docs, "doc_id"), "extended")
+    assert "collect_list" in p1 and "size(ds" in p1
+
+    emb = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(4)]).alias("embedding"))
+    p2 = plan_of(similarity.cosine_near_dups(emb, dim=4), "extended")
+    assert "collect_list" in p2 and "size(ds" in p2
