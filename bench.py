@@ -211,8 +211,16 @@ def run_scaling_interleaved(levels_cpus: tuple[int, ...], n_docs: int,
     mon_core = min(n_pinned, (os.cpu_count() or n_pinned + 1) - 1)
     monitor = HealthMonitor(mon_core)
 
+    # wall-clock budget: under a hostile-host window a single rep can take
+    # 5-10x its clean time; stop issuing rounds past the budget (keeping at
+    # least 2 rounds) so the driver's overall bench timeout is never blown
+    budget = float(os.environ.get("XEMA_BENCH_SCALE_BUDGET_SEC", "900"))
+    phase_t0 = time.time()
+
     reps_by_level: list[list[dict]] = [[] for _ in procs]
-    for _ in range(reps):
+    for rnd in range(reps):
+        if rnd >= 2 and time.time() - phase_t0 > budget:
+            break
         # interleaved: one rep per level per round, strictly sequential so
         # only one JVM computes at a time
         for i, p in enumerate(procs):

@@ -25,3 +25,17 @@ def test_snapshot_requires_iceberg(spark, tmp_path):
 
 def test_iceberg_not_available_here(spark):
     assert xio.iceberg_available(spark) is False
+
+
+def test_jsonl_and_csv_sources(spark, tmp_path):
+    from xema_spark.io import load_table
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "s"])
+    jp = str(tmp_path / "j")
+    cp = str(tmp_path / "c")
+    df.write.json(jp)
+    df.write.options(header=True).csv(cp)
+    got_j = load_table(spark, f"jsonl:{jp}").orderBy("id").collect()
+    got_c = load_table(spark, f"csv:{cp}").orderBy("id").collect()
+    assert [(r["id"], r["s"]) for r in got_j] == [(1, "a"), (2, "b")]
+    assert [(int(r["id"]), r["s"]) for r in got_c] == [(1, "a"), (2, "b")]

@@ -62,3 +62,41 @@ def test_windowed_summary_and_sink(spark, tmp_path):
     verd = spark.read.parquet(f"{out}/verdicts")
     assert verd.count() == N + 50
     assert set(r["bucket"] for r in verd.select("bucket").distinct().collect()) <= {0, 1, 2, 3}
+
+
+def test_stateful_key_verdicts(spark, tmp_path):
+    """applyInPandasWithState: per-key counters accumulate across
+    micro-batches; the final update per key equals the batch totals."""
+    from xema_spark.streaming import stateful_key_verdicts
+
+    src = str(tmp_path / "src_state")
+    docs = gen_documents(spark, N, with_expectations=True) \
+        .withColumn("grp", F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("string"))
+    half = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    other = docs.subtract(half)
+    half.coalesce(1).write.parquet(src)
+    other.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src).select("doc_id", "spans", "grp"))
+    out = stateful_key_verdicts(stream, FLAGSHIP_RULE, key_col="grp")
+    q = (out.writeStream.format("memory").queryName("state_mem")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    # last update per key == lifetime totals == batch ground truth
+    got = spark.sql("""
+        select key, max_by(n_rows, n_rows) n_rows, max_by(n_valid, n_rows) n_valid
+        from state_mem group by key""").collect()
+    from xema_spark.compiler import validate_df
+    truth = {r["grp"]: (r["n"], r["v"]) for r in
+             validate_df(docs.select("doc_id", "spans", "grp"), FLAGSHIP_RULE,
+                         mode="verdict")
+             .groupBy("grp").agg(F.count(F.lit(1)).alias("n"),
+                                 F.sum(F.col("valid").cast("long")).alias("v"))
+             .collect()}
+    assert len(got) == 4
+    for r in got:
+        assert (r["n_rows"], r["n_valid"]) == truth[r["key"]]

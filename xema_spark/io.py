@@ -44,6 +44,13 @@ def load_table(spark: SparkSession, uri: str,
         return reader.load(uri[len("iceberg:"):])
     if uri.startswith("parquet:"):
         return spark.read.parquet(uri[len("parquet:"):])
+    if uri.startswith("jsonl:") or uri.startswith("json:"):
+        # newline-delimited JSON — schema inference scans once; pass an
+        # explicit schema at scale via spark.read.schema(...).json yourself
+        return spark.read.json(uri.partition(":")[2])
+    if uri.startswith("csv:"):
+        return spark.read.options(header=True, inferSchema=True) \
+            .csv(uri[len("csv:"):])
     if snapshot_id is not None or as_of is not None:
         raise ValueError("snapshot reads require an iceberg: uri")
     if iceberg_available(spark) and "/" not in uri:

@@ -51,6 +51,47 @@ def windowed_verdict_summary(stream_df: DataFrame, rule: dict, ts_col: str,
                     "n_rows", "n_valid", "n_violations"))
 
 
+def stateful_key_verdicts(stream_df: DataFrame, rule: dict,
+                          key_col: str = "source"):
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-key validation counters maintained ACROSS micro-batches — the
+    arbitrary-state surface the windowed summary can't express (cumulative
+    totals, not per-window). State is one (n_rows, n_valid) pair per key;
+    each trigger emits the key's updated lifetime totals.
+
+    Batches arrive as Arrow frames (never per-row Python); state is scoped
+    per key group, so a hot key costs one group, not a shuffle explosion.
+    The reference has no streaming surface (SURVEY.md §2.7) — this is the
+    engine's Spark-native extension."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    v = validate_stream(stream_df, rule, mode="verdict") \
+        .select(F.col(key_col).cast("string").alias("key"), "valid")
+
+    def update(key, pdfs, state: GroupState):
+        n_rows = n_valid = 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            n_valid += int(pdf["valid"].fillna(False).sum())
+        if state.exists:
+            pr, pv = state.get
+            n_rows += pr
+            n_valid += pv
+        state.update((n_rows, n_valid))
+        yield pd.DataFrame([{"key": key[0], "n_rows": n_rows,
+                             "n_valid": n_valid,
+                             "n_invalid": n_rows - n_valid}])
+
+    return v.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType="key string, n_rows long, n_valid long, n_invalid long",
+        stateStructType="n_rows long, n_valid long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
                              checkpoint_dir: str, n_buckets: int = 64):
     """foreachBatch sink writing the SAME layout as runner.run_validation's
