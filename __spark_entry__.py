@@ -514,6 +514,26 @@ def _q_referential_spans(spark, sf_dir):
         .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
 
 
+def _q_v_multi_rule(spark, sf_dir):
+    """validate_many fusion: N rule documents evaluated in ONE projection /
+    one scan (the 100TB-side point: k validation passes must not mean k
+    scans). Three rules -> three verdict columns."""
+    from xema_spark.compiler import validate_many
+
+    d = _docs(spark, sf_dir, "doc_id", "lang", "n_chars", "source")
+    rules = {
+        "lang": {"type": "object",
+                 "properties": {"lang": {"enum": ["en", "de", "fr", "es", "it"]}}},
+        "len": {"type": "object",
+                "properties": {"n_chars": {"minimum": 100, "maximum": 450}}},
+        "src": {"type": "object",
+                "properties": {"source": {"pattern": "^src[0-9]+$"}},
+                "required": ["source"]},
+    }
+    v = validate_many(d, rules, mode="verdict")
+    return v.select("doc_id", "valid_lang", "valid_len", "valid_src")
+
+
 def _q_sim_near_dups(spark, sf_dir):
     """Embedding near-duplicate pairs via random-hyperplane LSH + exact
     cosine verification — oracle-checked: the hyperplanes are deterministic
@@ -594,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_custom": _q_cast_custom,
         "v_custom_validator": _q_v_custom_validator,
         "v_tuple_items": _q_v_tuple_items,
+        "v_multi_rule": _q_v_multi_rule,
         "sim_near_dups": _q_sim_near_dups,
         "multimodal_meta": _q_multimodal_meta,
         # rows-only (non-SQL-expressible)
@@ -1021,6 +1042,12 @@ def oracle_sql() -> dict[str, str]:
                    ((lang IS NULL OR lang IN ('en','de','fr','es','it'))
                     AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
                     AND (n_chars IS NULL OR length(n_chars::VARCHAR) <= 2)) AS valid
+            FROM {_T}""",
+        "v_multi_rule": f"""
+            SELECT doc_id,
+                   (lang IS NULL OR lang IN ('en','de','fr','es','it')) AS valid_lang,
+                   (n_chars IS NULL OR (n_chars >= 100 AND n_chars <= 450)) AS valid_len,
+                   (source IS NOT NULL AND regexp_matches(source, '^src[0-9]+$')) AS valid_src
             FROM {_T}""",
         "sim_near_dups": _cosine_near_dups_oracle_sql(),
         "multimodal_meta": """
