@@ -363,6 +363,23 @@ def _q_sim_knn_threshold(spark, sf_dir):
     return similarity.threshold_neighbor_counts(emb, q, threshold=0.8)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Transitive near-dup grouping: consecutive-doc 3-gram Jaccard edges
+    (threshold 0.28) -> connected components by min-label propagation.
+    The DuckDB oracle recomputes reachability with a recursive CTE."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    sh = d.select("doc_id", dedup.shingles(F.col("text"), n=3, max_shingles=4096).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("doc_a"),
+                  F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = a.join(b, "doc_a")
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)))
+    edges = j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")) \
+        .filter(F.col("jaccard") >= 0.28)
+    return dedup.connected_components(edges)
+
+
 def _q_cast_union(spark, sf_dir):
     """Combiner cast (xema.ex:1078-1147): anyOf[integer, number] over a
     string column — first subschema whose cast succeeds wins (coalesce)."""
@@ -615,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_custom_validator": _q_v_custom_validator,
         "v_tuple_items": _q_v_tuple_items,
         "v_multi_rule": _q_v_multi_rule,
+        "dedup_components": _q_dedup_components,
         "sim_near_dups": _q_sim_near_dups,
         "multimodal_meta": _q_multimodal_meta,
         # rows-only (non-SQL-expressible)
@@ -1043,6 +1061,35 @@ def oracle_sql() -> dict[str, str]:
                     AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
                     AND (n_chars IS NULL OR length(n_chars::VARCHAR) <= 2)) AS valid
             FROM {_T}""",
+        "dedup_components": f"""
+            WITH RECURSIVE
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(nt, i, 3)
+                                    for i in range(1, greatest(len(nt) - 1, 1))]) AS g
+              FROM (SELECT doc_id,
+                           regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nt
+                    FROM {_T})
+            ),
+            jac AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(len(list_intersect(a.g, b.g))::DOUBLE /
+                           greatest(len(list_distinct(a.g || b.g)), 1), 6) AS j
+              FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM jac WHERE j >= 0.28
+              UNION
+              SELECT doc_b, doc_a FROM jac WHERE j >= 0.28
+            ),
+            verts AS (SELECT DISTINCT src AS node FROM edges),
+            reach(node, r) AS (
+              SELECT node, node FROM verts
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+            )
+            SELECT node AS doc, min(r) AS component
+            FROM reach GROUP BY node""",
         "v_multi_rule": f"""
             SELECT doc_id,
                    (lang IS NULL OR lang IN ('en','de','fr','es','it')) AS valid_lang,

@@ -156,3 +156,38 @@ class TestMultimodal:
         out = multimodal.frame_sample_offsets(d, n_samples=4).head()
         offs = out["frame_offsets_ms"]
         assert len(offs) == 4 and offs == sorted(offs) and offs[0] == 0
+
+
+def test_connected_components_transitive(spark):
+    """A~B~C with A!~C must land in ONE component (the round-1 pair-pruning
+    approximation split it); disjoint pairs stay separate."""
+    from xema_spark import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["doc_a", "doc_b"])
+    comp = {r["doc"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+
+
+def test_minhash_dedupe_transitive_keeps_one_per_cluster(spark):
+    from xema_spark import dedup
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [(i, " ".join(f"tok{i * 37 + j}word{j * 13 + i}" for j in range(15)))
+         for i in range(20)], ["doc_id", "text"])
+    # near-identical family 100,101,102 (chain)
+    fam = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again"),
+         (101, "the quick brown fox jumps over the lazy dog again and again!"),
+         (102, "the quick brown fox jumps over the lazy dog again and again!!")],
+        ["doc_id", "text"])
+    df = base.unionByName(fam)
+    out = dedup.minhash_dedupe(df, "doc_id", threshold=0.8, max_bucket=64)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 100 in kept and 101 not in kept and 102 not in kept
+    assert set(range(20)) <= kept

@@ -213,16 +213,56 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iter: int = 50) -> DataFrame:
+    """Transitive near-dup grouping: label every vertex of the pair graph
+    with the minimum id reachable from it. Returns (doc, component).
+
+    Min-label propagation, driver-coordinated: each round is one join +
+    partial-aggregated groupBy over the PAIR set (which is orders of
+    magnitude smaller than the corpus — only docs that collided in LSH),
+    converging in O(component diameter) rounds; near-dup clusters are
+    shallow in practice (boilerplate families), so this terminates in a
+    handful of rounds. localCheckpoint truncates the growing lineage so
+    round N doesn't replay rounds 1..N-1. For adversarially long chains at
+    extreme scale, switch to the large-star/small-star formulation (same
+    join primitive, O(log n) rounds)."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
+        .distinct().localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("lbl", F.col("node"))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["src"] == labels["node"])
+               .select(F.col("dst").alias("node"), F.col("lbl")))
+        new_labels = (nbr.unionByName(labels.select("node", "lbl"))
+                      .groupBy("node").agg(F.min("lbl").alias("lbl"))
+                      .localCheckpoint())
+        changed = (new_labels.withColumnRenamed("lbl", "new_lbl")
+                   .join(labels, "node")
+                   .filter(F.col("new_lbl") != F.col("lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("component"))
+
+
 def minhash_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
-                   threshold: float = 0.8, **kw) -> DataFrame:
+                   threshold: float = 0.8, transitive: bool = True,
+                   **kw) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates -> exact Jaccard ->
-    keep the lowest id of each matched pair's partner set. (Connected-
-    component transitivity is approximated by repeated pair pruning — exact
-    CC needs an iterative join, out of v1 scope and rarely material at
-    threshold>=0.8.)"""
+    transitive connected components -> keep each component's minimum id.
+    transitive=False falls back to per-pair pruning (drop the greater id of
+    every verified pair — cheaper, but splits A~B~C when A!~C)."""
     pairs = lsh_candidate_pairs(df, id_col, text_col, **kw)
     dups = ngram_jaccard(df, pairs, id_col, text_col, threshold=threshold)
-    losers = dups.select(F.greatest("doc_a", "doc_b").alias(id_col)).distinct()
+    if transitive:
+        comp = connected_components(dups)
+        losers = comp.filter(F.col("doc") != F.col("component")) \
+            .select(F.col("doc").alias(id_col))
+    else:
+        losers = dups.select(F.greatest("doc_a", "doc_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
