@@ -562,6 +562,17 @@ def _q_sim_near_dups(spark, sf_dir):
                                        n_planes=16, bands=4)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF top-k (the task's 'IVF variant as the scale path'): sampled
+    centroids, n_probe-cell scan, exact rerank — oracle-checked (cell
+    assignment, probes, and rerank are deterministic double math)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.ivf_topk(emb, q, k=10, n_cells=16, n_probe=4)
+
+
 def _q_ann_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = 64
@@ -633,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_tuple_items": _q_v_tuple_items,
         "v_multi_rule": _q_v_multi_rule,
         "dedup_components": _q_dedup_components,
+        "ann_ivf": _q_ann_ivf,
         "sim_near_dups": _q_sim_near_dups,
         "multimodal_meta": _q_multimodal_meta,
         # rows-only (non-SQL-expressible)
@@ -821,6 +833,52 @@ def _cosine_near_dups_oracle_sql(dim: int = 64, threshold: float = 0.3,
           JOIN emb ea ON ea.vec_id = cand.doc_a
           JOIN emb eb ON eb.vec_id = cand.doc_b
         ) WHERE cos >= {threshold}"""
+
+
+
+def _ivf_oracle_sql(k: int = 10, n_cells: int = 16, n_probe: int = 4,
+                    n_queries: int = 3) -> str:
+    """DuckDB replica of _q_ann_ivf: centroid scoring, argmax cell
+    assignment (ties: cos DESC, cid DESC — same as the struct array_max),
+    n_probe probes per query, candidate rerank windows."""
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b})) + 1e-12), 6)")
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cid, v AS cvec FROM emb WHERE vec_id < {n_cells}),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+                 {cos.format(a='e.v', b='c.cvec')} AS cos
+          FROM emb e CROSS JOIN cents c
+        ),
+        ranked AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid DESC) AS rn
+          FROM scored
+        ),
+        assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, cid AS cell FROM ranked
+          WHERE vec_id < {n_queries} AND rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT p.q_id, a.vec_id,
+                 {cos.format(a='ec.v', b='eq.v')} AS cos
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN emb ec ON ec.vec_id = a.vec_id
+          JOIN emb eq ON eq.vec_id = p.q_id
+        )
+        SELECT q_id, vec_id, cos, rank FROM (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM cand
+        ) WHERE rank <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1061,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
                     AND (source IS NULL OR regexp_matches(source, '^src[0-9]+$'))
                     AND (n_chars IS NULL OR length(n_chars::VARCHAR) <= 2)) AS valid
             FROM {_T}""",
+        "ann_ivf": _ivf_oracle_sql(),
         "dedup_components": f"""
             WITH RECURSIVE
             sh AS (

@@ -191,3 +191,26 @@ def test_minhash_dedupe_transitive_keeps_one_per_cluster(spark):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert 100 in kept and 101 not in kept and 102 not in kept
     assert set(range(20)) <= kept
+
+
+def test_ivf_topk_contains_self_and_overlaps_exact(spark):
+    """IVF self-query must rank itself #1 (its own cell is always probed);
+    recall vs brute force is decent at n_probe=4/16 cells."""
+    from pyspark.sql import functions as F
+
+    from xema_spark import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    ivf = similarity.ivf_topk(emb, q, k=10, n_cells=16, n_probe=4)
+    rows = ivf.collect()
+    top1 = {r["q_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {i: i for i in range(5)}
+
+    exact = similarity.brute_force_topk(emb, q, k=10)
+    ex = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    iv = {(r["q_id"], r["vec_id"]) for r in rows}
+    recall = len(ex & iv) / len(ex)
+    assert recall >= 0.5, recall

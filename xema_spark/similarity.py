@@ -119,6 +119,51 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into n_cells
+    Voronoi cells (by cosine) around deterministic sampled centroids — the
+    first n_cells vectors by id; at real scale swap in kmeans||-trained
+    centroids, the plumbing is identical — then each query scans only its
+    n_probe nearest cells instead of the full corpus.
+
+    Scale shape: centroids are collected once (n_cells rows) and inlined as
+    literals, so cell assignment is a pure Column projection over the
+    corpus (no join, no shuffle); the probe join touches ~n_probe/n_cells
+    of the data; the final top-k window runs over candidates only, never
+    the whole corpus. Everything is deterministic double math — DuckDB can
+    replay it bit-for-bit (ties broken by cos DESC, cid DESC)."""
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in
+             corpus.select(id_col, vec_col).filter(F.col(id_col) < n_cells).collect()]
+
+    def cell_scores(vec: Column) -> Column:
+        # array<struct<cos,cid>> so array_max / sort_array order by cos
+        # first, then cid — an explicit, engine-independent tie-break
+        return F.array(*[
+            F.struct(F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 6).alias("cos"),
+                     F.lit(cid).alias("cid"))
+            for cid, cvec in cents
+        ])
+
+    corpus_cells = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.array_max(cell_scores(F.col(vec_col))).getField("cid").alias("cell"))
+    probes = queries.select(
+        F.col(q_id_col), F.col(q_vec_col),
+        F.explode(F.slice(F.sort_array(cell_scores(F.col(q_vec_col)), asc=False),
+                          1, n_probe)).alias("p")
+    ).select(q_id_col, q_vec_col, F.col("p.cid").alias("cell"))
+    cand = corpus_cells.join(F.broadcast(probes), "cell").select(
+        F.col(q_id_col), F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.col(id_col))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))
+
+
 def cosine_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
                      n_planes: int = 16, bands: int = 4,
                      id_col: str = "vec_id", vec_col: str = "embedding",
