@@ -211,15 +211,19 @@ def run_scaling_interleaved(levels_cpus: tuple[int, ...], n_docs: int,
     mon_core = min(n_pinned, (os.cpu_count() or n_pinned + 1) - 1)
     monitor = HealthMonitor(mon_core)
 
-    # wall-clock budget: under a hostile-host window a single rep can take
-    # 5-10x its clean time; stop issuing rounds past the budget (keeping at
-    # least 2 rounds) so the driver's overall bench timeout is never blown
+    # wall-clock budget governs the rep count BOTH ways: under a hostile-
+    # host window it stops early (min 2 rounds) so the caller's timeout is
+    # never blown, and in a calm window it keeps sampling past the nominal
+    # rep count — more samples make the clean-rep filter and the per-level
+    # minimum far more robust
     budget = float(os.environ.get("XEMA_BENCH_SCALE_BUDGET_SEC", "900"))
+    max_rounds = int(os.environ.get("XEMA_BENCH_SCALE_MAX_REPS", "12"))
     phase_t0 = time.time()
 
     reps_by_level: list[list[dict]] = [[] for _ in procs]
-    for rnd in range(reps):
-        if rnd >= 2 and time.time() - phase_t0 > budget:
+    for rnd in range(max_rounds):
+        if rnd >= 2 and (time.time() - phase_t0 > budget
+                         or (rnd >= reps and time.time() - phase_t0 > budget * 0.6)):
             break
         # interleaved: one rep per level per round, strictly sequential so
         # only one JVM computes at a time
@@ -247,10 +251,17 @@ def run_scaling_interleaved(levels_cpus: tuple[int, ...], n_docs: int,
     for cpus, rs in zip(levels_cpus, reps_by_level):
         for r in rs:
             r["health"] = HealthMonitor.window_health(ticks, r.pop("t0"), r.pop("t1"))
-        # clean = reps whose concurrent host-health stayed near the ceiling;
-        # steal only ADDS time to a deterministic job, so contaminated reps
-        # carry no information about the engine
-        clean = [r for r in rs if r["health"] is None or r["health"] >= 0.85]
+        # clean = reps whose concurrent host-health stayed near the ceiling
+        # AND whose elapsed is close to the level's own minimum. The second
+        # test matters because the monitor spins on ONE core — steal is
+        # per-vCPU, so worker cores can be robbed while the monitor core
+        # isn't. For a deterministic job noise is strictly additive, so a
+        # rep 1.3x above the level minimum is contaminated whatever the
+        # monitor says.
+        lvl_min = min(r["elapsed_sec"] for r in rs)
+        clean = [r for r in rs
+                 if (r["health"] is None or r["health"] >= 0.8)
+                 and r["elapsed_sec"] <= 1.3 * lvl_min]
         if len(clean) >= 2:
             basis, basis_desc = clean, f"median of {len(clean)} clean reps"
         else:
@@ -374,7 +385,7 @@ def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
         f"**Scaling efficiency (N={lo['cpus']} -> {factor}N={hi['cpus']} cores):** "
         f"**{scan_eff:.3f}** for the single scan pass over the input, computed "
         f"from clean-rep medians (reps whose concurrent host-health stayed "
-        f">= 0.85 of the observed (p90) ceiling — steal is additive noise on a "
+        f">= 0.8 of the observed (p90) ceiling AND elapsed within 1.3x of the level minimum — steal is additive noise on a "
         f"deterministic job, so contaminated reps carry no engine signal). "
         f"Least-contended interleaved pair: **{best_eff:.3f}**. End-to-end at "
         f"sandbox scale: **{efficiency:.3f}**, bounded by per-action fixed "
