@@ -173,7 +173,11 @@ def run_validation(
     lineage.write.mode("append").parquet(lineage_dir)
 
     # Everything below reads the COMMITTED view (prior runs + this run).
-    verdicts = read_verdicts(spark, output_dir)
+    # Three consumers (violations, duplicate metric, referential check) scan
+    # it — cache the compact table once instead of re-reading parquet per
+    # consumer (it is ~1% of input size by construction, so this is exactly
+    # the table a production job would keep hot).
+    verdicts = read_verdicts(spark, output_dir).persist()
 
     # Exploded violation rows (overwritten from the compact table — cheap).
     viols = (verdicts.filter(F.size("violations") > 0)
@@ -213,6 +217,7 @@ def run_validation(
         dangling = refs.join(F.broadcast(assets.select("media_ref")), "media_ref", "left_anti")
         metrics["dangling_refs"] = dangling.count()
 
+    verdicts.unpersist()
     with open(os.path.join(output_dir, f"metrics_{run_id}.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     return metrics
