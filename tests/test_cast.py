@@ -179,3 +179,25 @@ def test_map_value_cast(spark):
         "m": {"type": "object", "additionalProperties": {"type": "integer"}}}}
     out = cast_df(df, rule).collect()[0]["m"]
     assert out == {"a": 1, "b": None}
+
+
+def test_fail_mode_early_nested_rule(spark):
+    """:early on a NESTED rule still reports exactly the first failing check
+    (document order = the with-chain's order), not one per nesting level."""
+    from pyspark.sql import Row
+
+    from xema_spark.compiler import validate_df
+
+    df = spark.createDataFrame([Row(obj=Row(name="x", n=999), tag="nope")])
+    rule = {"type": "object", "properties": {
+        "obj": {"type": "object", "properties": {
+            "name": {"minLength": 3},
+            "n": {"maximum": 100}}},
+        "tag": {"pattern": "^ok"},
+    }}
+    fin = validate_df(df, rule, mode="finally").collect()[0]
+    early = validate_df(df, rule, mode="early").collect()[0]
+    assert len(fin["violations"]) == 3  # name, n, tag all fail
+    assert len(early["violations"]) == 1
+    assert early["violations"][0] == fin["violations"][0]
+    assert early["violations"][0]["path"].startswith("$.obj")

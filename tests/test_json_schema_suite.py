@@ -14,8 +14,9 @@ Remote $refs resolve through a URI registry of the suite's own remote
 fixture documents plus the draft-04/06/07 meta-schemas (all public JSON).
 
 test_compiler_conformance additionally runs every typed-representable,
-null-free case through the Column compiler on literal expressions — batched
-into a handful of Spark jobs (one wide select per chunk).
+null-free case FROM ALL THREE DRAFTS through the Column compiler on literal
+expressions — batched into a handful of Spark jobs (one wide select per
+chunk).
 """
 
 from __future__ import annotations
@@ -159,8 +160,9 @@ def test_compiler_conformance(spark):
 
     cases = []  # (case_id_str, Column for compiled valid, expected bool)
     for rel in CORPUS:
-        if rel.startswith(("draft4/", "draft6/")):
-            continue  # compiler targets draft-7 semantics; interpreter covers 4/6
+        # draft-4/6 files run too: the engine folds their keyword variants
+        # (boolean exclusiveMinimum, pre-draft-6 semantics) at normalize time
+        # exactly as the reference's from_json_schema import does
         for gdesc, schema, t in _cases(rel):
             if _contains_null(t["data"]):
                 continue
