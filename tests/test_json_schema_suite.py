@@ -183,7 +183,7 @@ def test_compiler_conformance(spark):
 
     assert len(cases) > 400, f"suspiciously few compilable cases: {len(cases)}"
     failures = []
-    chunk = 150
+    chunk = 300  # fewer jobs: per-job fixed latency dominates the battery
     for i in range(0, len(cases), chunk):
         part = cases[i:i + chunk]
         row = spark.range(1).select(
