@@ -44,12 +44,16 @@ for rel, uri in [
      "http://localhost:1234/baseUriChangeFolder/folderInteger.json"),
     ("remotes/baseUriChangeFolderInSubschema/folderInteger.json",
      "http://localhost:1234/baseUriChangeFolderInSubschema/folderInteger.json"),
-    ("meta/draft04.json", "http://json-schema.org/draft-04/schema"),
-    ("meta/draft06.json", "http://json-schema.org/draft-06/schema"),
-    ("meta/draft07.json", "http://json-schema.org/draft-07/schema"),
 ]:
     with open(os.path.join(SUITE, rel), encoding="utf-8") as f:
         REGISTRY[uri] = json.load(f)
+# the official draft meta-schemas ship with the package (rules._meta_schema)
+from xema_spark.rules import _meta_schema  # noqa: E402
+
+for _draft, _uri in [("draft4", "http://json-schema.org/draft-04/schema"),
+                     ("draft6", "http://json-schema.org/draft-06/schema"),
+                     ("draft7", "http://json-schema.org/draft-07/schema")]:
+    REGISTRY[_uri] = _meta_schema(_draft)
 
 
 def _corpus_files() -> list[str]:

@@ -168,3 +168,24 @@ def test_module_struct_check(spark):
     assert validate_df(df, {"type": "object",
                             "properties": {"p": {"module": "Unknown"}}}) \
         .collect()[0]["valid"] is True
+
+
+def test_validate_schema_document_meta():
+    """Dogfooded meta-schema validation (json_schema/validator.ex parity):
+    the engine's interpreter checks schema documents against the bundled
+    official draft meta-schemas, including draft-4's keyword dependencies."""
+    from xema_spark.rules import RuleError, validate_schema_document
+
+    assert validate_schema_document({"type": "integer", "minimum": 0})
+    assert validate_schema_document({"items": [{"type": "string"}], "additionalItems": False})
+    assert not validate_schema_document({"type": 123})
+    assert not validate_schema_document({"minLength": -1})
+    assert not validate_schema_document({"properties": {"a": {"type": 5}}})
+    # draft-4: boolean exclusiveMinimum requires minimum
+    assert validate_schema_document({"exclusiveMinimum": True, "minimum": 1}, draft="draft4")
+    assert not validate_schema_document({"exclusiveMinimum": True}, draft="draft4")
+    # draft-6/7 numeric form needs no companion
+    assert validate_schema_document({"exclusiveMinimum": 3}, draft="draft7")
+    import pytest
+    with pytest.raises(RuleError):
+        validate_schema_document({}, draft="draft3")

@@ -172,6 +172,43 @@ def get_caster(name: str) -> Any:
     return _CASTERS[name]
 
 
+# ---------------------------------------------------------------------------
+# official meta-schema validation (the reference validates imported schemas
+# against the bundled draft meta-schemas, lib/xema/json_schema/validator.ex;
+# the engine dogfoods its own interpreter for the same check)
+# ---------------------------------------------------------------------------
+
+_META_URIS = {
+    "draft4": "http://json-schema.org/draft-04/schema",
+    "draft6": "http://json-schema.org/draft-06/schema",
+    "draft7": "http://json-schema.org/draft-07/schema",
+}
+_META_CACHE: dict[str, Any] = {}
+
+
+def _meta_schema(draft: str) -> Any:
+    if draft not in _META_CACHE:
+        import json
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "meta_schemas", f"draft{draft[-1].zfill(2)}.json")
+        with open(path, encoding="utf-8") as f:
+            _META_CACHE[draft] = json.load(f)
+    return _META_CACHE[draft]
+
+
+def validate_schema_document(schema: Any, draft: str = "draft7") -> bool:
+    """True iff `schema` is a valid JSON-Schema document per the official
+    draft meta-schema — evaluated by the engine's OWN interpreter over the
+    bundled meta-schema (which is recursive; the interpreter's lazy $ref
+    resolution handles that). The reference runs the identical check on
+    import (json_schema/validator.ex)."""
+    if draft not in _META_URIS:
+        raise RuleError(f"unknown draft {draft!r} (use draft4/draft6/draft7)")
+    from xema_spark.interpreter import validate_value
+    return validate_value(_meta_schema(draft), schema)
+
+
 def _require(cond: bool, msg: str) -> None:
     if not cond:
         raise RuleError(msg)
