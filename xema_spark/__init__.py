@@ -15,17 +15,44 @@ keyword is genuinely not expressible as a Column (ipv6/uri formats, custom
 validators) and then only through Arrow-vectorized pandas UDFs.
 """
 
-from xema_spark.rules import normalize_rule, meta_validate, RuleError
-from xema_spark.compiler import compile_rule, validate_df, Compiled, VIOLATION_ARRAY_TYPE
+from xema_spark.rules import (
+    RuleError,
+    meta_validate,
+    normalize_rule,
+    register_caster,
+    register_validator,
+    validate_schema_document,
+)
+from xema_spark.compiler import (
+    VIOLATION_ARRAY_TYPE,
+    Compiled,
+    compile_rule,
+    explode_violations,
+    register_module,
+    validate_df,
+    validate_many,
+)
+from xema_spark.cast import cast_and_validate, cast_df
+from xema_spark.runner import read_verdicts, run_validation
 
 __all__ = [
     "normalize_rule",
     "meta_validate",
     "RuleError",
+    "register_validator",
+    "register_caster",
+    "register_module",
+    "validate_schema_document",
     "compile_rule",
     "validate_df",
+    "validate_many",
+    "explode_violations",
     "Compiled",
     "VIOLATION_ARRAY_TYPE",
+    "cast_df",
+    "cast_and_validate",
+    "run_validation",
+    "read_verdicts",
 ]
 
 __version__ = "0.1.0"
