@@ -597,6 +597,20 @@ def _q_multimodal_meta(spark, sf_dir):
                           "media_meta.decoder", F.size("frame_offsets_ms").alias("n_frames_sampled"))
 
 
+def _q_multimodal_features(spark, sf_dir):
+    """Feature-extraction plumbing (mapInPandas, Arrow batches) — the stub
+    features are md5-derived, so the whole crossing is oracle-checked.
+    Vector components surface as columns f0..f7 (scalar hashing)."""
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    assets = gen_assets(spark, n).filter(F.col("media_ref") < "asset-000500")
+    payloads = multimodal.synth_media_payloads(assets, type_col="media_type")
+    feats = multimodal.extract_features(payloads, dim=8)
+    return feats.select(
+        "media_ref",
+        *[F.round(F.element_at("features", i + 1), 6).alias(f"f{i}") for i in range(8)])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # keyword validation (oracle-checked)
@@ -647,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "sim_near_dups": _q_sim_near_dups,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
         # rows-only (non-SQL-expressible)
         "flagship_interleaved": _q_flagship_interleaved,
         "referential_spans": _q_referential_spans,
@@ -1156,6 +1171,24 @@ def oracle_sql() -> dict[str, str]:
                    (source IS NOT NULL AND regexp_matches(source, '^src[0-9]+$')) AS valid_src
             FROM {_T}""",
         "sim_near_dups": _cosine_near_dups_oracle_sql(),
+        "multimodal_features": """
+            WITH a AS (
+              SELECT printf('asset-%06d', i) AS media_ref
+              FROM range(0, 2000) t(i) WHERE i < 500
+            ),
+            m AS (
+              SELECT media_ref, md5('payload:' || media_ref) AS hx FROM a
+            )
+            SELECT media_ref,
+                   round(('0x' || substr(hx, 1, 2))::INT / 255.0, 6) AS f0,
+                   round(('0x' || substr(hx, 3, 2))::INT / 255.0, 6) AS f1,
+                   round(('0x' || substr(hx, 5, 2))::INT / 255.0, 6) AS f2,
+                   round(('0x' || substr(hx, 7, 2))::INT / 255.0, 6) AS f3,
+                   round(('0x' || substr(hx, 9, 2))::INT / 255.0, 6) AS f4,
+                   round(('0x' || substr(hx, 11, 2))::INT / 255.0, 6) AS f5,
+                   round(('0x' || substr(hx, 13, 2))::INT / 255.0, 6) AS f6,
+                   round(('0x' || substr(hx, 15, 2))::INT / 255.0, 6) AS f7
+            FROM m""",
         "multimodal_meta": """
             WITH a AS (
               SELECT printf('asset-%06d', i) AS media_ref,

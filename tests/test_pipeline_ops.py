@@ -214,3 +214,20 @@ def test_ivf_topk_contains_self_and_overlaps_exact(spark):
     iv = {(r["q_id"], r["vec_id"]) for r in rows}
     recall = len(ex & iv) / len(ex)
     assert recall >= 0.5, recall
+
+
+def test_feature_extract_and_resize(spark):
+    df = spark.createDataFrame([("asset-1",), ("asset-2",)], ["media_ref"])
+    p = multimodal.synth_media_payloads(df)
+    feats = {r["media_ref"]: r["features"]
+             for r in multimodal.extract_features(p, dim=4).collect()}
+    assert all(len(v) == 4 and all(0.0 <= x <= 1.0 for x in v) for v in feats.values())
+    assert feats["asset-1"] != feats["asset-2"]  # payload-dependent
+    again = {r["media_ref"]: r["features"]
+             for r in multimodal.extract_features(p, dim=4).collect()}
+    assert feats == again  # deterministic
+
+    d = multimodal.decode_media(p)
+    r = multimodal.resize_media(d, 224, 224).head()
+    assert r["media_meta"]["width"] == 224 and r["media_meta"]["height"] == 224
+    assert r["media_meta"]["decoder"].endswith("+resize-stub")

@@ -94,6 +94,59 @@ def frame_sample_offsets(df: DataFrame, meta_col: str = "media_meta",
     return df.withColumn(out_col, offs)
 
 
+def extract_features(df: DataFrame, payload_col: str = "payload",
+                     out_col: str = "features", dim: int = 8,
+                     real_extract: bool = False) -> DataFrame:
+    """Fixed-width float feature vector per payload via mapInPandas (one
+    Arrow-batched Python crossing; the shape a CLIP/audio-embedding stage
+    would use). The stub derives features from md5(payload) bytes —
+    deterministic and SQL-reproducible; real_extract=True is the splice
+    point for an actual model and raises until one is wired in."""
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.ArrayType(T.DoubleType()))])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                if payload is None:
+                    feats.append(None)
+                    continue
+                if real_extract:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real feature extraction goes here (no model libs in this container)")
+                h = hashlib.md5(bytes(payload)).digest()
+                feats.append([round(h[i] / 255.0, 6) for i in range(dim)])
+            out = pdf.copy()
+            out[out_col] = feats
+            yield out
+
+    return df.mapInPandas(extract, out_schema)
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 meta_col: str = "media_meta",
+                 real_resize: bool = False) -> DataFrame:
+    """Resize plumbing: rewrites the metadata dims (pure Column struct
+    rebuild — the cheap part is real); the payload transcode itself is the
+    stub seam (real_resize=True raises until a codec is wired in). Aspect
+    metadata stays consistent so downstream consumers see the target dims."""
+    if real_resize:  # pragma: no cover
+        raise NotImplementedError(
+            "real payload transcode goes here (no codec libs in this container)")
+    m = F.col(meta_col)
+    new_meta = F.when(m.isNull(), F.lit(None).cast(MEDIA_META_TYPE)).otherwise(
+        F.struct(
+            m.getField("media_type").alias("media_type"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            m.getField("n_frames").alias("n_frames"),
+            m.getField("duration_ms").alias("duration_ms"),
+            F.concat(m.getField("decoder"), F.lit("+resize-stub")).alias("decoder"),
+        ))
+    return df.withColumn(meta_col, new_meta)
+
+
 def synth_media_payloads(df: DataFrame, ref_col: str = "media_ref",
                          type_col: str | None = None) -> DataFrame:
     """Test-support: deterministic binary payloads derived from the ref
