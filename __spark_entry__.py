@@ -354,6 +354,14 @@ def _q_text_langid(spark, sf_dir):
     return text.lang_id_table(_docs(spark, sf_dir, "doc_id", "text"), "doc_id")
 
 
+def _q_text_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints, portable-hash flavor: distinct window
+    minima of k-gram hashes per doc — the local-edit-robust fingerprint
+    family; oracle-checked against DuckDB window frames."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    return text.winnow_fingerprints(d, "doc_id", k=5, w=4, hash_fn="portable")
+
+
 def _q_sim_knn_threshold(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3).select(
@@ -646,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_langid": _q_text_langid,
+        "text_winnow": _q_text_winnow,
         "sim_knn_threshold": _q_sim_knn_threshold,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -1100,6 +1109,31 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": f"""
             SELECT doc_id, md5({norm}) AS fp FROM {_T}""",
         "text_langid": _langid_sql(),
+        "text_winnow": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'),
+                            1, 32768) AS nt
+              FROM {_T} WHERE text IS NOT NULL
+            ),
+            g AS (
+              SELECT doc_id, i AS pos, substr(nt, i, 5) AS gram,
+                     len(nt) - 4 AS n
+              FROM d, unnest(range(1, greatest(len(nt) - 3, 1))) AS t(i)
+              WHERE len(nt) - 4 >= 4
+            ),
+            h AS (
+              SELECT doc_id, pos, n,
+                     (('0x' || substr(md5(gram), 1, 15))::BIGINT % 2147483647) AS h
+              FROM g
+            ),
+            win AS (
+              SELECT doc_id, pos, n,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM h
+            )
+            SELECT DISTINCT doc_id AS doc, fp FROM win WHERE pos <= n - 3""",
         "dedup_minhash_pairs": _minhash_oracle_sql(),
         "dedup_simhash_pairs": _simhash_oracle_sql(),
         "cast_union": """

@@ -231,3 +231,26 @@ def test_feature_extract_and_resize(spark):
     r = multimodal.resize_media(d, 224, 224).head()
     assert r["media_meta"]["width"] == 224 and r["media_meta"]["height"] == 224
     assert r["media_meta"]["decoder"].endswith("+resize-stub")
+
+
+def test_winnow_fingerprints_local_edit_robust(spark):
+    """A local edit perturbs only nearby fingerprints: edited docs share most
+    minima with the original; unrelated docs share almost none."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the fence and the birds sing in the morning sun")
+    edited = base.replace("birds", "crows")
+    other = ("completely unrelated content about distributed query engines "
+             "and columnar execution with vectorized operators everywhere")
+    df = spark.createDataFrame([(1, base), (2, edited), (3, other)],
+                               ["doc_id", "text"])
+    fps = text.winnow_fingerprints(df, "doc_id", k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc"], set()).add(r["fp"])
+    j12 = len(by_doc[1] & by_doc[2]) / len(by_doc[1] | by_doc[2])
+    j13 = len(by_doc[1] & by_doc[3]) / len(by_doc[1] | by_doc[3])
+    assert j12 > 0.6, j12          # local edit: most fingerprints survive
+    assert j13 < 0.1, j13          # unrelated: nearly disjoint
+    # doc too short for a complete window -> no fingerprints
+    tiny = spark.createDataFrame([(9, "ab")], ["doc_id", "text"])
+    assert text.winnow_fingerprints(tiny, "doc_id").count() == 0

@@ -8,7 +8,7 @@ n_chars)` table but parameterized on the text column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # A BPE-ish word/number/symbol segmentation (letters run | digits run |
 # single non-space symbol) — the token-count proxy used by data pipelines.
@@ -141,5 +141,41 @@ def fingerprint_md5(col: Column) -> Column:
 
 
 def fingerprint64(col: Column) -> Column:
-    """64-bit rolling-hash-style fingerprint (xxhash64 of normalized text)."""
+    """64-bit whole-document fingerprint (xxhash64 of normalized text)."""
     return F.xxhash64(normalize_text(col))
+
+
+def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str = "text",
+                        k: int = 5, w: int = 4,
+                        hash_fn: str = "xxhash64") -> "DataFrame":
+    """Winnowing document fingerprints (the MOSS scheme): hash every k-gram
+    of the normalized text, slide a window of w consecutive hashes, keep
+    each window's minimum — the distinct minima are the doc's fingerprint
+    set. Robust to local edits: an edit only perturbs the k-grams (and
+    windows) it touches, so unrelated regions keep identical fingerprints —
+    the substring-match primitive exact/minhash dedup can't give you.
+
+    Scale shape: k-grams are EXPLODED to (doc, pos, hash) rows and the
+    window minimum is a rows-between window partitioned per doc — partitions
+    are document-sized (bounded), never corpus-sized, so no skew. The
+    'portable' hash flavor makes the whole operator DuckDB-reproducible."""
+    from xema_spark.dedup import portable_hash31
+
+    norm = F.substring(normalize_text(F.col(text_col)), 1, 32768)
+    n_grams = F.greatest(F.lit(0), F.length(norm) - F.lit(k - 1))
+    grams = F.transform(F.sequence(F.lit(1), n_grams),
+                        lambda i: norm.substr(i, F.lit(k)))
+    g = (df.select(F.col(id_col).alias("doc"), grams.alias("g"))
+         .filter(F.size("g") >= w)
+         .select("doc", F.posexplode("g").alias("pos", "gram")))
+    hcol = (portable_hash31(F.col("gram")) if hash_fn == "portable"
+            else F.xxhash64(F.col("gram")))
+    h = g.select("doc", "pos", hcol.alias("h"))
+    win = Window.partitionBy("doc").orderBy("pos") \
+        .rowsBetween(Window.currentRow, w - 1)
+    n_win = Window.partitionBy("doc")
+    return (h.select("doc", "pos",
+                     F.min("h").over(win).alias("fp"),
+                     F.count(F.lit(1)).over(n_win).alias("__n"))
+            .filter(F.col("pos") <= F.col("__n") - w)  # complete windows only
+            .select("doc", "fp").distinct())
