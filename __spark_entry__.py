@@ -362,6 +362,39 @@ def _q_text_winnow(spark, sf_dir):
     return text.winnow_fingerprints(d, "doc_id", k=5, w=4, hash_fn="portable")
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (top-2-gram char fraction, duplicate
+    5-gram char fraction) — explode+groupBy shape, oracle-checked."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    return text.repetition_signals(d, "doc_id", top_n=2, dup_n=5)
+
+
+def _q_text_pii(spark, sf_dir):
+    """PII scrub: inject deterministic synthetic PII (the corpus itself is
+    clean lorem), then redact + count per class — pure regexp Column chain,
+    value-checked including the redacted string itself."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    i = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(i % 3 == 0, F.format_string(" contact user%d@mail.example now", i))
+             .otherwise(F.lit("")),
+            F.when(i % 4 == 0, F.format_string(" host 10.0.%d.%d up", i % 200, i % 250))
+             .otherwise(F.lit("")),
+            F.when(i % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(i % 7 == 0, F.format_string(" call +1 (555) 010-%d", 1000 + i % 9000))
+             .otherwise(F.lit("")),
+        ).alias("text"))
+    out = text.pii_scrub(seeded, "text")
+    return out.select(
+        "doc_id", "text_redacted",
+        *[F.col(f"pii_{n}").cast("long").alias(f"pii_{n}")
+          for n in ("email", "ipv4", "ssn", "phone")],
+        F.col("pii_total").cast("long").alias("pii_total"))
+
+
 def _q_sim_knn_threshold(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3).select(
@@ -515,8 +548,9 @@ def _q_dedup_simhash_pairs(spark, sf_dir):
     return p.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-# --- rows-only (no SQL oracle): per-partition summaries, multimodal decode,
-#     ANN top-k, interleaved flagship ---------------------------------------
+# --- synthetic-corpus queries: the interleaved corpus is a closed-form
+#     function of the row index (datagen.py), so these are oracle-checked by
+#     re-deriving the same arithmetic in DuckDB over range(n) --------------
 
 def _q_flagship_interleaved(spark, sf_dir):
     n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
@@ -582,7 +616,12 @@ def _q_ann_ivf(spark, sf_dir):
 
 
 def _q_ann_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    """LSH-bucketed approximate top-k — oracle-checked: deterministic literal
+    hyperplanes, band-bucket candidate join, cosine rounded to 6 decimals
+    BEFORE ranking with a vec_id tie-break, so DuckDB reproduces the exact
+    candidate set and ordering."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     dim = 64
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -655,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_langid": _q_text_langid,
         "text_winnow": _q_text_winnow,
+        "text_repetition": _q_text_repetition,
+        "text_pii": _q_text_pii,
         "sim_knn_threshold": _q_sim_knn_threshold,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -671,7 +712,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_near_dups": _q_sim_near_dups,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
-        # rows-only (non-SQL-expressible)
         "flagship_interleaved": _q_flagship_interleaved,
         "referential_spans": _q_referential_spans,
         "ann_topk": _q_ann_topk,
@@ -858,6 +898,56 @@ def _cosine_near_dups_oracle_sql(dim: int = 64, threshold: float = 0.3,
           JOIN emb eb ON eb.vec_id = cand.doc_b
         ) WHERE cos >= {threshold}"""
 
+
+
+def _lsh_topk_oracle_sql(dim: int = 64, k: int = 10, n_planes: int = 16,
+                         bands: int = 8, n_queries: int = 5) -> str:
+    """DuckDB replica of _q_ann_topk (similarity.lsh_topk): literal
+    hyperplane sign bits, band keys (r = n_planes/bands bits each), query
+    side = vec_id < n_queries, candidate pairs by (band, key) collision,
+    cosine rounded to 6 BEFORE row_number ranking with the vec_id
+    tie-break, top-k filter."""
+    r = n_planes // bands
+    bits = ",\n                 ".join(
+        "(CASE WHEN list_dot_product(embedding, [%s]) > 0 THEN 1 ELSE 0 END) AS b%d"
+        % (", ".join(repr(x) for x in similarity._plane(dim, p)), p)
+        for p in range(n_planes))
+    bands_sql = "\n          UNION ALL\n".join(
+        "          SELECT vec_id, %d AS band, (%s) AS key FROM sig"
+        % (b, " + ".join(f"b{b * r + j} * {1 << j}" for j in range(r)))
+        for b in range(bands))
+    cos = ("round(list_dot_product(ec.embedding, eq.embedding) / "
+           "(sqrt(list_dot_product(ec.embedding, ec.embedding)) * "
+           "sqrt(list_dot_product(eq.embedding, eq.embedding)) + 1e-12), 6)")
+    return f"""
+        WITH emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        ),
+        sig AS (
+          SELECT vec_id,
+                 {bits}
+          FROM emb
+        ),
+        banded AS (
+{bands_sql}
+        ),
+        cand AS (
+          SELECT DISTINCT qb.vec_id AS q_id, c.vec_id AS vec_id
+          FROM banded c JOIN banded qb USING (band, key)
+          WHERE qb.vec_id < {n_queries}
+        ),
+        scored AS (
+          SELECT cand.q_id, cand.vec_id, {cos} AS cos
+          FROM cand
+          JOIN emb ec ON ec.vec_id = cand.vec_id
+          JOIN emb eq ON eq.vec_id = cand.q_id
+        )
+        SELECT q_id, vec_id, cos, rank FROM (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id)::INT AS rank
+          FROM scored
+        ) WHERE rank <= {k}"""
 
 
 def _ivf_oracle_sql(k: int = 10, n_cells: int = 16, n_probe: int = 4,
@@ -1249,4 +1339,131 @@ def oracle_sql() -> dict[str, str]:
                   (sqrt(list_dot_product(a.embedding, a.embedding)) *
                    sqrt(list_dot_product(b.embedding, b.embedding)) + 1e-12), 6) >= 0.8
             GROUP BY a.vec_id""",
+        "text_repetition": f"""
+            WITH t AS (
+              SELECT doc_id, coalesce(len(text), 0) AS n_chars,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM {_T}
+            ),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> array_to_string(toks[i:i+1], ' '))) AS gram
+              FROM t WHERE len(toks) >= 2
+            ),
+            c2 AS (
+              SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT doc_id, (cnt * len(gram))::BIGINT AS mass
+              FROM (SELECT doc_id, cnt, gram,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, len(gram) DESC, gram DESC) AS rn
+                    FROM c2)
+              WHERE rn = 1
+            ),
+            g5 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(toks[i:i+4], ' '))) AS gram
+              FROM t WHERE len(toks) >= 5
+            ),
+            c5 AS (
+              SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2
+            ),
+            dup AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt > 1 THEN cnt * len(gram) ELSE 0 END)::BIGINT AS mass
+              FROM c5 GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   round(least(1.0, coalesce(top.mass, 0)
+                               / greatest(t.n_chars, 1)), 6) AS top_ngram_frac,
+                   round(least(1.0, coalesce(dup.mass, 0)
+                               / greatest(t.n_chars, 1)), 6) AS dup_ngram_frac
+            FROM t
+            LEFT JOIN top ON top.doc_id = t.doc_id
+            LEFT JOIN dup ON dup.doc_id = t.doc_id""",
+        "text_pii": f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' contact user' || doc_id || '@mail.example now'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' host 10.0.' || (doc_id % 200) || '.'
+                                  || (doc_id % 250) || ' up'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' call +1 (555) 010-' || (1000 + doc_id % 9000)
+                             ELSE '' END AS text
+              FROM {_T}
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+                     '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '[PII]', 'g'),
+                     '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b', '[PII]', 'g'),
+                     '\\+[0-9][0-9 ()-]{{7,}}[0-9]', '[PII]', 'g') AS text_redacted,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS pii_email,
+                   len(regexp_extract_all(text,
+                     '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))::BIGINT AS pii_ipv4,
+                   len(regexp_extract_all(text,
+                     '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b'))::BIGINT AS pii_ssn,
+                   len(regexp_extract_all(text,
+                     '\\+[0-9][0-9 ()-]{{7,}}[0-9]'))::BIGINT AS pii_phone,
+                   (len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                    + len(regexp_extract_all(text,
+                     '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+                    + len(regexp_extract_all(text,
+                     '\\b[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}\\b'))
+                    + len(regexp_extract_all(text,
+                     '\\+[0-9][0-9 ()-]{{7,}}[0-9]')))::BIGINT AS pii_total
+            FROM seeded""",
+        # synthetic-corpus oracles: datagen.py is a closed-form function of
+        # the row index, so DuckDB re-derives the identical corpus from
+        # range(n) (sf0.01 driver scale: n=20000 docs, n_assets=2000)
+        "referential_spans": """
+            WITH d AS (
+              SELECT i, CASE WHEN i % 13 = 0 THEN (i // 13) % 6 ELSE -1 END AS cls
+              FROM range(0, 20000) t(i)
+            ),
+            s AS (
+              SELECT d.i, d.cls, r.j
+              FROM d, range(0, 7) r(j)
+              WHERE r.j < CASE WHEN d.cls = 3 THEN 0 ELSE 1 + d.i % 7 END
+                AND (d.i + r.j) % 2 = 1
+            ),
+            refs AS (
+              SELECT CASE WHEN cls = 4 THEN 2000 + i % 97
+                          WHEN (i + j) % 10 < 3 THEN (i * 31 + j) % 10
+                          ELSE (i * 31 + j * 7) % 2000 END AS asset_id
+              FROM s
+            )
+            SELECT printf('asset-%06d', asset_id) AS media_ref,
+                   count(*)::BIGINT AS n_refs
+            FROM refs WHERE asset_id >= 2000
+            GROUP BY 1""",
+        # per-partition summary: spark.range(0, 20000, 1, 32) assigns
+        # partition p the contiguous index block [p*625, (p+1)*625), so
+        # spark_partition_id() == i // 625; each injected violation class
+        # (cls 0..3) fails exactly one flagship-rule keyword -> 1 violation
+        "flagship_interleaved": """
+            WITH d AS (
+              SELECT i, (i // 625)::INT AS partition_id,
+                     CASE WHEN i % 13 = 0 THEN (i // 13) % 6 ELSE -1 END AS cls
+              FROM range(0, 20000) t(i)
+            )
+            SELECT partition_id,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN cls IN (0,1,2,3) THEN 0 ELSE 1 END)::BIGINT AS n_valid,
+                   sum(CASE WHEN cls IN (0,1,2,3) THEN 1 ELSE 0 END)::BIGINT AS n_invalid,
+                   sum(CASE WHEN cls IN (0,1,2,3) THEN 1 ELSE 0 END)::BIGINT AS n_violations
+            FROM d GROUP BY partition_id""",
+        "ann_topk": _lsh_topk_oracle_sql(),
     }

@@ -46,6 +46,32 @@ class TestText:
         fps = [r[0] for r in df.select(text.fingerprint_md5(F.col("text"))).collect()]
         assert fps[0] == fps[1] != fps[2]  # normalization-invariant
 
+    def test_repetition_signals(self, spark):
+        df = spark.createDataFrame([
+            (1, "spam ham " * 10),          # one dominant 2-gram, dup 5-grams
+            (2, "all distinct words here honestly truly unique tokens"),
+            (3, "x"),                        # too short for any n-gram
+        ], ["doc_id", "text"])
+        r = {row["doc_id"]: row for row in
+             text.repetition_signals(df, "doc_id").collect()}
+        assert r[1]["top_ngram_frac"] > 0.4
+        assert r[1]["dup_ngram_frac"] > 0.9        # every 5-gram repeats
+        assert r[2]["dup_ngram_frac"] == 0.0
+        assert r[3]["top_ngram_frac"] == 0.0 and r[3]["dup_ngram_frac"] == 0.0
+
+    def test_pii_scrub(self, spark):
+        df = spark.createDataFrame([
+            (1, "mail me at bob@example.com or at 10.1.2.3 ssn 123-45-6789"),
+            (2, "clean text with no identifiers at all"),
+        ], ["doc_id", "text"])
+        r = {row["doc_id"]: row for row in text.pii_scrub(df).collect()}
+        assert r[1]["pii_email"] == 1 and r[1]["pii_ipv4"] == 1 \
+            and r[1]["pii_ssn"] == 1 and r[1]["pii_total"] == 3
+        assert "@" not in r[1]["text_redacted"]
+        assert "123-45-6789" not in r[1]["text_redacted"]
+        assert r[2]["pii_total"] == 0
+        assert r[2]["text_redacted"] == r[2]["text"]
+
 
 class TestDedup:
     def test_exact(self, spark):

@@ -201,9 +201,19 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
                   text_col: str = "text", n: int = 5,
                   threshold: float = 0.8, max_shingles: int = 512) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: two hash joins back to
-    the shingle sets, then array_intersect/array_union per pair."""
-    sh = df.select(F.col(id_col).alias("__id"),
-                   shingles(F.col(text_col), n, max_shingles).alias("__sh"))
+    the shingle sets, then array_intersect/array_union per pair.
+
+    Shingles are recomputed ONLY for docs that appear in a candidate pair
+    (semi-join restriction before the shingle projection): candidates are
+    typically orders of magnitude fewer than the corpus, and projections
+    feeding a join run on every probe row — without the restriction both
+    join sides would re-shingle the full corpus."""
+    ids = (pairs.select(F.col("doc_a").alias("__id"))
+           .unionByName(pairs.select(F.col("doc_b").alias("__id")))
+           .distinct())
+    sh = (df.select(F.col(id_col).alias("__id"), F.col(text_col))
+          .join(ids, "__id", "semi")
+          .select("__id", shingles(F.col(text_col), n, max_shingles).alias("__sh")))
     a = sh.select(F.col("__id").alias("doc_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("doc_b"), F.col("__sh").alias("sh_b"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")

@@ -145,6 +145,92 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(normalize_text(col))
 
 
+def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text",
+                       top_n: int = 2, dup_n: int = 5) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 —
+    public paper): per document,
+      top_ngram_frac — fraction of the doc's characters covered by
+        occurrences of its single most frequent word `top_n`-gram
+        (repetitive boilerplate pushes this toward 1), and
+      dup_ngram_frac — fraction of characters inside word `dup_n`-grams
+        whose n-gram occurs more than once in the doc.
+    Both are the documented char-mass variant (count x gram length, capped
+    at 1.0): overlap-exact accounting needs per-position interval math that
+    buys no extra filtering power.
+
+    Scale shape: n-grams are EXPLODED to (doc, gram) rows and reduced by
+    groupBy — map-side partial aggregation, partitions bounded by doc size,
+    never a per-row higher-order recomputation (the minhash lesson). The
+    most-frequent gram is max(struct(cnt, len, gram)) — one aggregate, a
+    deterministic (cnt, len, gram) tie-break, no window."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+
+    def grams(n: int) -> Column:
+        return F.when(
+            n_tokens >= n,
+            F.transform(F.sequence(F.lit(1), n_tokens - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.coalesce(F.length(text_col), F.lit(0)).alias("n_chars"),
+                     grams(top_n).alias("g_top"), grams(dup_n).alias("g_dup"))
+
+    def char_mass(gcol: str, dup_only: bool) -> DataFrame:
+        cnt = (base.select("doc", F.explode(gcol).alias("gram"))
+               .groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("cnt")))
+        if dup_only:
+            agg = F.sum(F.when(F.col("cnt") > 1,
+                               F.col("cnt") * F.length("gram"))
+                        .otherwise(F.lit(0)))
+        else:
+            m = F.max(F.struct(F.col("cnt"), F.length("gram").alias("glen"),
+                               F.col("gram")))
+            agg = (m.getField("cnt") * m.getField("glen"))
+        return cnt.groupBy("doc").agg(agg.cast("long").alias("mass"))
+
+    top = char_mass("g_top", dup_only=False).withColumnRenamed("mass", "top_mass")
+    dup = char_mass("g_dup", dup_only=True).withColumnRenamed("mass", "dup_mass")
+    frac = lambda mass: F.round(
+        F.least(F.lit(1.0), F.coalesce(mass, F.lit(0)).cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1))), 6)
+    return (base.select("doc", "n_chars")
+            .join(top, "doc", "left").join(dup, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    frac(F.col("top_mass")).alias("top_ngram_frac"),
+                    frac(F.col("dup_mass")).alias("dup_ngram_frac")))
+
+
+# PII patterns kept to regex constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded quantifiers, \b.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "phone": r"\+[0-9][0-9 ()-]{7,}[0-9]",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              patterns: dict[str, str] | None = None,
+              token: str = "[PII]") -> DataFrame:
+    """Redact PII spans in place and count matches per class — one
+    projection, no shuffle, no Python: chained regexp_replace for the
+    redaction plus one regexp_count per class. Adds `{text_col}_redacted`
+    and `pii_{class}` count columns; `pii_total` sums them."""
+    pats = patterns or PII_PATTERNS
+    red = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)),
+                                 F.lit(0)).alias(f"pii_{name}"))
+        red = F.regexp_replace(red, pat, token)
+    out = df.select("*", red.alias(f"{text_col}_redacted"), *counts)
+    total = sum((F.col(f"pii_{n}") for n in pats), F.lit(0))
+    return out.withColumn("pii_total", total)
+
+
 def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str = "text",
                         k: int = 5, w: int = 4,
                         hash_fn: str = "xxhash64") -> "DataFrame":
