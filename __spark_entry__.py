@@ -573,6 +573,44 @@ def _q_referential_spans(spark, sf_dir):
         .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
 
 
+def _q_stats_worst_partitions(spark, sf_dir):
+    """Top-k worst partitions by invalid count (TakeOrderedAndProject plan;
+    deterministic partition_id tie-break) over the flagship per-partition
+    summary — oracle-checked via the closed-form corpus."""
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    docs = gen_documents(spark, n, n_partitions=32)
+    v = validate_df(docs, FLAGSHIP_RULE)
+    return stats.worst_partitions(stats.per_partition_summary(v), k=5)
+
+
+def _q_violations_sample(spark, sf_dir):
+    """Bounded triage sample: at most 3 violation rows per keyword,
+    deterministically ordered by doc_id — the per-group row_number pattern
+    from SURVEY §2.4, oracle-checked."""
+    from xema_spark.compiler import explode_violations
+
+    rule = {"type": "object", "properties": {
+        "text": {"type": "string", "minLength": 100, "maxLength": 400,
+                 "pattern": "spark"}}}
+    v = validate_df(_docs(spark, sf_dir, "doc_id", "text"), rule)
+    viols = explode_violations(v, ["doc_id"]).select("doc_id", "path", "keyword")
+    return stats.sample_violations(viols, ["keyword"], ["doc_id"], k=3) \
+        .select("doc_id", "path", "keyword",
+                F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+def _q_drift_group_quantiles(spark, sf_dir):
+    """Per-group EXACT quantiles via applyInPandas (Arrow custom group-agg):
+    numpy linear interpolation == SQL quantile_cont, so the whole
+    Python-side path is value-checked against DuckDB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_returnflag", F.col("l_quantity").cast("double").alias("l_quantity"))
+    g = stats.grouped_quantiles(li, "l_returnflag", "l_quantity")
+    return g.select("l_returnflag",
+                    *[F.round(F.col(c), 6).alias(c) for c in ("q25", "q50", "q75")])
+
+
 def _q_v_multi_rule(spark, sf_dir):
     """validate_many fusion: N rule documents evaluated in ONE projection /
     one scan (the 100TB-side point: k validation passes must not mean k
@@ -715,6 +753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_interleaved": _q_flagship_interleaved,
         "referential_spans": _q_referential_spans,
         "ann_topk": _q_ann_topk,
+        "stats_worst_partitions": _q_stats_worst_partitions,
+        "violations_sample": _q_violations_sample,
+        "drift_group_quantiles": _q_drift_group_quantiles,
     }
 
 
@@ -1466,4 +1507,43 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN cls IN (0,1,2,3) THEN 1 ELSE 0 END)::BIGINT AS n_violations
             FROM d GROUP BY partition_id""",
         "ann_topk": _lsh_topk_oracle_sql(),
+        "stats_worst_partitions": """
+            WITH d AS (
+              SELECT i, (i // 625)::INT AS partition_id,
+                     CASE WHEN i % 13 = 0 THEN (i // 13) % 6 ELSE -1 END AS cls
+              FROM range(0, 20000) t(i)
+            ),
+            summary AS (
+              SELECT partition_id,
+                     count(*)::BIGINT AS n_rows,
+                     sum(CASE WHEN cls IN (0,1,2,3) THEN 0 ELSE 1 END)::BIGINT AS n_valid,
+                     sum(CASE WHEN cls IN (0,1,2,3) THEN 1 ELSE 0 END)::BIGINT AS n_invalid,
+                     sum(CASE WHEN cls IN (0,1,2,3) THEN 1 ELSE 0 END)::BIGINT AS n_violations
+              FROM d GROUP BY partition_id
+            )
+            SELECT * FROM summary
+            ORDER BY n_invalid DESC, partition_id LIMIT 5""",
+        "violations_sample": f"""
+            WITH viols AS (
+              SELECT doc_id, '$.text' AS path, 'min_length' AS keyword
+              FROM {_T} WHERE text IS NOT NULL AND length(text) < 100
+              UNION ALL
+              SELECT doc_id, '$.text', 'max_length'
+              FROM {_T} WHERE text IS NOT NULL AND length(text) > 400
+              UNION ALL
+              SELECT doc_id, '$.text', 'pattern'
+              FROM {_T} WHERE text IS NOT NULL AND NOT regexp_matches(text, 'spark')
+            )
+            SELECT doc_id, path, keyword, sample_rank FROM (
+              SELECT doc_id, path, keyword,
+                     row_number() OVER (PARTITION BY keyword
+                                        ORDER BY doc_id)::INT AS sample_rank
+              FROM viols
+            ) WHERE sample_rank <= 3""",
+        "drift_group_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                   round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS q75
+            FROM lineitem GROUP BY l_returnflag""",
     }

@@ -88,6 +88,34 @@ def test_column_stats_and_drift(spark):
     assert stats.quantile_drift(a, b, "x") > 0.1
 
 
+def test_worst_partitions_and_violation_sample(spark):
+    from xema_spark.compiler import explode_violations, validate_df
+    docs = gen_documents(spark, N, n_partitions=8)
+    v = validate_df(docs, FLAGSHIP_RULE)
+    summary = stats.per_partition_summary(v)
+    worst = stats.worst_partitions(summary, k=3).collect()
+    assert len(worst) == 3
+    invalids = [r["n_invalid"] for r in worst]
+    assert invalids == sorted(invalids, reverse=True)
+    assert invalids[0] == summary.agg(F.max("n_invalid")).head()[0]
+
+    viols = explode_violations(v, ["doc_id"])
+    sampled = stats.sample_violations(viols, ["keyword"], ["doc_id"], k=2)
+    per_kw = sampled.groupBy("keyword").count().collect()
+    assert all(r["count"] <= 2 for r in per_kw)
+    assert sampled.filter(F.col("sample_rank") > 2).count() == 0
+
+
+def test_grouped_quantiles_exact(spark):
+    import numpy as np
+    df = spark.createDataFrame(
+        [("a", float(x)) for x in range(1, 11)] + [("b", 5.0), ("b", 15.0)],
+        ["g", "x"])
+    got = {r["g"]: r for r in stats.grouped_quantiles(df, "g", "x").collect()}
+    assert got["a"]["q50"] == float(np.quantile(np.arange(1.0, 11.0), 0.5))
+    assert got["b"]["q25"] == 7.5 and got["b"]["q75"] == 12.5
+
+
 def test_runner_single_pass_and_resume(spark, tmp_path):
     docs = gen_documents(spark, N)
     assets = gen_assets(spark, N)

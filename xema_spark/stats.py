@@ -165,3 +165,55 @@ def per_partition_summary(validated: DataFrame, valid_col: str = "valid",
     return (validated
             .withColumn("partition_id", F.spark_partition_id())
             .groupBy("partition_id").agg(*aggs))
+
+
+def worst_partitions(summary: DataFrame, k: int = 10,
+                     metric: str = "n_invalid",
+                     id_col: str = "partition_id") -> DataFrame:
+    """Top-k worst partitions by a violation metric (SURVEY §2.4): orderBy +
+    limit compiles to TakeOrderedAndProject — each task keeps a k-row heap
+    and the driver merges k*tasks rows, so the global sort is never
+    materialized. Tie-break on the partition id keeps the k-th place
+    deterministic for oracle comparison."""
+    return summary.orderBy(F.desc(metric), F.asc(id_col)).limit(k)
+
+
+def sample_violations(violations: DataFrame, group_cols: list[str],
+                      order_cols: list[str], k: int = 5) -> DataFrame:
+    """Bounded violation sample: at most k rows per group (e.g. per keyword
+    or per bucket), deterministically ordered — the triage view a 10^12-doc
+    run needs instead of an unbounded violation dump. row_number over
+    (group, order) ranks inside each group only; group cardinality bounds
+    the output at k * n_groups rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(*[F.asc(c) for c in order_cols])
+    return (violations.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k))
+
+
+def grouped_quantiles(df: DataFrame, group_col: str, value_col: str,
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75)) -> DataFrame:
+    """Per-group EXACT quantiles via applyInPandas (SURVEY §2.6's custom
+    per-group aggregation escape hatch, Arrow-batched): numpy linear
+    interpolation, identical to SQL quantile_cont. The built-in
+    percentile_approx path (quantile_sketch) is the scale default — this is
+    the exact/custom-agg variant for groups that fit an executor (each group
+    becomes one pandas frame; bound group size before using it on skewed
+    keys)."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    schema = (f"{group_col} string, "
+              + ", ".join(f"q{int(q * 100)} double" for q in qs))
+
+    def _agg(pdf):
+        import numpy as np
+        import pandas as pd
+        vals = pdf[value_col].astype(float).to_numpy()
+        row = {group_col: [str(pdf[group_col].iloc[0])]}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = [float(np.quantile(vals, q))]
+        return pd.DataFrame(row)
+
+    return df.select(group_col, value_col).groupBy(group_col) \
+        .applyInPandas(_agg, schema)
