@@ -573,6 +573,31 @@ def _q_referential_spans(spark, sf_dir):
         .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
 
 
+def _q_pipeline_curate(spark, sf_dir):
+    """End-to-end curation (pipeline.curate): rule gate -> quality/lang/
+    repetition filters -> exact dedupe -> MinHash near-dup dedupe, with
+    injected near-duplicate copies (doc_id+1000000, 4 junk tokens appended)
+    so the near-dup stage has real work. Portable hash flavor -> the whole
+    composed chain is value-checked by one DuckDB oracle."""
+    from xema_spark import pipeline
+
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    near = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zqx vbnm plka qwrt")).alias("text"))
+    docs = d.unionByName(near)
+    out = pipeline.curate(
+        docs,
+        rule={"type": "object",
+              "properties": {"text": {"type": "string", "min_length": 50}},
+              "required": ["text"]},
+        langs=("en",), min_alpha_ratio=0.81,
+        max_top_ngram_frac=0.15, max_dup_ngram_frac=0.5,
+        exact_dedupe=True, near_dup_threshold=0.8,
+        hash_fn="portable", max_shingles=4096)
+    return out.select("doc_id", "lang", "q_alpha_ratio", "top_ngram_frac")
+
+
 def _q_stats_worst_partitions(spark, sf_dir):
     """Top-k worst partitions by invalid count (TakeOrderedAndProject plan;
     deterministic partition_id tie-break) over the flagship per-partition
@@ -756,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_worst_partitions": _q_stats_worst_partitions,
         "violations_sample": _q_violations_sample,
         "drift_group_quantiles": _q_drift_group_quantiles,
+        "pipeline_curate": _q_pipeline_curate,
     }
 
 
@@ -770,7 +796,9 @@ _IPV4_SQL_RE = (
 _LANG_SQL = None  # built lazily below
 
 
-def _langid_sql() -> str:
+def _langid_parts() -> tuple[str, str]:
+    """(inner score select-list, argmax CASE) fragments of the language-ID
+    oracle — shared by text_langid and the curation-pipeline oracle."""
     toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
     score = {}
     for lang, words in _STOPWORDS.items():
@@ -785,6 +813,11 @@ def _langid_sql() -> str:
         case += f"WHEN s_{x} = {m} THEN '{x}' "
     case += "END"
     inner = ", ".join(f"{score[x]} AS s_{x}" for x in langs)
+    return inner, case
+
+
+def _langid_sql() -> str:
+    inner, case = _langid_parts()
     return (f"SELECT doc_id, {case} AS lang_pred FROM "
             f"(SELECT doc_id, {inner} FROM documents)")
 
@@ -819,7 +852,7 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 8, max_bucket: int = 64,
           SELECT doc_id + 1000000, text FROM {_T}
           WHERE doc_id < 10 AND text IS NOT NULL
         ),
-        sh AS (
+        sh AS MATERIALIZED (
           SELECT doc_id,
                  list_distinct([substr(nt, i, {n})
                                 for i in range(1, greatest(len(nt) - {n - 2}, 1))]) AS g
@@ -827,22 +860,22 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 8, max_bucket: int = 64,
                        regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nt
                 FROM docs)
         ),
-        hs AS (
+        hs AS MATERIALIZED (
           SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT % {_P31}) AS h
           FROM (SELECT doc_id, unnest(g) AS s FROM sh)
         ),
-        sig AS (SELECT doc_id,
+        sig AS MATERIALIZED (SELECT doc_id,
                    {mh}
                 FROM hs GROUP BY doc_id),
-        banded AS (
+        banded AS MATERIALIZED (
 {bands_sql}
         ),
-        sized AS (
+        sized AS MATERIALIZED (
           SELECT doc_id, band, bucket,
                  count(*) OVER (PARTITION BY band, bucket) AS c
           FROM banded
         ),
-        cand AS (
+        cand AS MATERIALIZED (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM sized a JOIN sized b USING (band, bucket)
           WHERE a.doc_id < b.doc_id AND a.c <= {max_bucket}
@@ -874,7 +907,7 @@ def _simhash_oracle_sql(bits: int = 60, prefix_bits: int = 16,
           SELECT doc_id + 1000000, text FROM {_T}
           WHERE doc_id < 10 AND text IS NOT NULL
         ),
-        tok AS (SELECT doc_id, unnest({toks}) AS t FROM docs),
+        tok AS MATERIALIZED (SELECT doc_id, unnest({toks}) AS t FROM docs),
         hs AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
         votes AS (SELECT doc_id,
                  {votes}
@@ -977,7 +1010,7 @@ def _lsh_topk_oracle_sql(dim: int = 64, k: int = 10, n_planes: int = 16,
           FROM banded c JOIN banded qb USING (band, key)
           WHERE qb.vec_id < {n_queries}
         ),
-        scored AS (
+        scored AS MATERIALIZED (
           SELECT cand.q_id, cand.vec_id, {cos} AS cos
           FROM cand
           JOIN emb ec ON ec.vec_id = cand.vec_id
@@ -989,6 +1022,144 @@ def _lsh_topk_oracle_sql(dim: int = 64, k: int = 10, n_planes: int = 16,
                                     ORDER BY cos DESC, vec_id)::INT AS rank
           FROM scored
         ) WHERE rank <= {k}"""
+
+
+def _pipeline_oracle_sql(min_alpha: float = 0.81, max_top: float = 0.15,
+                         max_dup: float = 0.5, jac_threshold: float = 0.8,
+                         k: int = 32, bands: int = 8, max_bucket: int = 64,
+                         n: int = 5) -> str:
+    """DuckDB replica of _q_pipeline_curate's full composition: every CTE
+    mirrors one pipeline stage, constants shared with the engine
+    (dedup._perm_constants / _P31 / _BUCKET_BASE, text._STOPWORDS)."""
+    from xema_spark.dedup import _BUCKET_BASE, _P31, _perm_constants
+
+    lang_inner, lang_case = _langid_parts()
+    r = k // bands
+    mh = ",\n                   ".join(
+        f"min(({a} * h + {b}) % {_P31}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_constants(k)))
+
+    def bucket(b: int) -> str:
+        expr = "0"
+        for j in range(r):
+            expr = f"(({expr}) * {_BUCKET_BASE} + mh_{b * r + j}) % {_P31}"
+        return expr
+
+    bands_sql = "\n          UNION ALL\n".join(
+        f"          SELECT doc_id, {b} AS band, {bucket(b)} AS bucket FROM sig"
+        for b in range(bands))
+    alpha = ("round(CASE WHEN length(text) > 0 THEN "
+             "len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / length(text) "
+             "ELSE 0.0 END, 4)")
+    toks = ("list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '')")
+    return f"""
+        WITH docs0 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' zqx vbnm plka qwrt'
+          FROM documents WHERE doc_id < 10
+        ),
+        gated AS MATERIALIZED (  -- rule: required text, min_length 50
+          SELECT doc_id, text FROM docs0
+          WHERE text IS NOT NULL AND length(text) >= 50
+        ),
+        scored AS (
+          SELECT doc_id, text, {alpha} AS q_alpha_ratio, {lang_inner}
+          FROM gated
+        ),
+        f1 AS (  -- quality + language gates
+          SELECT doc_id, text, q_alpha_ratio, {lang_case} AS lang
+          FROM scored
+          WHERE q_alpha_ratio >= {min_alpha}
+        ),
+        f1l AS MATERIALIZED (SELECT * FROM f1 WHERE lang = 'en'),
+        tok AS (SELECT doc_id, {toks} AS toks FROM f1l),
+        g2 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS gram
+          FROM tok WHERE len(toks) >= 2
+        ),
+        c2 AS MATERIALIZED (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        rep_top AS (
+          SELECT doc_id, (cnt * len(gram))::BIGINT AS mass
+          FROM (SELECT doc_id, cnt, gram,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY cnt DESC, len(gram) DESC, gram DESC) AS rn
+                FROM c2)
+          WHERE rn = 1
+        ),
+        g5 AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+                 i -> array_to_string(toks[i:i+4], ' '))) AS gram
+          FROM tok WHERE len(toks) >= 5
+        ),
+        c5 AS MATERIALIZED (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+        rep_dup AS (
+          SELECT doc_id,
+                 sum(CASE WHEN cnt > 1 THEN cnt * len(gram) ELSE 0 END)::BIGINT AS mass
+          FROM c5 GROUP BY doc_id
+        ),
+        f2 AS MATERIALIZED (  -- repetition gates
+          SELECT f1l.doc_id, f1l.text, f1l.lang, f1l.q_alpha_ratio,
+                 round(least(1.0, coalesce(rep_top.mass, 0)
+                       / greatest(coalesce(length(f1l.text), 0), 1)), 6) AS top_ngram_frac,
+                 round(least(1.0, coalesce(rep_dup.mass, 0)
+                       / greatest(coalesce(length(f1l.text), 0), 1)), 6) AS dup_ngram_frac
+          FROM f1l
+          LEFT JOIN rep_top ON rep_top.doc_id = f1l.doc_id
+          LEFT JOIN rep_dup ON rep_dup.doc_id = f1l.doc_id
+        ),
+        f2f AS MATERIALIZED (SELECT * FROM f2
+                WHERE top_ngram_frac <= {max_top} AND dup_ngram_frac <= {max_dup}),
+        f3 AS MATERIALIZED (  -- exact dedupe: keep lowest id per normalized-content hash
+          SELECT doc_id, text, lang, q_alpha_ratio, top_ngram_frac FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+              ORDER BY doc_id) AS rn
+            FROM f2f
+          ) WHERE rn = 1
+        ),
+        sh AS MATERIALIZED (  -- MinHash chain on the exact-deduped survivors
+          SELECT doc_id,
+                 list_distinct([substr(nt, i, {n})
+                                for i in range(1, greatest(len(nt) - {n - 2}, 1))]) AS g
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nt
+                FROM f3)
+        ),
+        hs AS MATERIALIZED (
+          SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT % {_P31}) AS h
+          FROM (SELECT doc_id, unnest(g) AS s FROM sh)
+        ),
+        sig AS MATERIALIZED (SELECT doc_id,
+                   {mh}
+                FROM hs GROUP BY doc_id),
+        banded AS MATERIALIZED (
+{bands_sql}
+        ),
+        sized AS MATERIALIZED (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS c
+          FROM banded
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sized a JOIN sized b USING (band, bucket)
+          WHERE a.doc_id < b.doc_id AND a.c <= {max_bucket}
+        ),
+        losers AS MATERIALIZED (
+          SELECT DISTINCT greatest(doc_a, doc_b) AS doc_id FROM (
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.g, sb.g))::DOUBLE /
+                         greatest(len(list_distinct(sa.g || sb.g)), 1), 6) AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.doc_a
+            JOIN sh sb ON sb.doc_id = cand.doc_b
+          ) WHERE jaccard >= {jac_threshold}
+        )
+        SELECT doc_id, lang, q_alpha_ratio, top_ngram_frac
+        FROM f3 WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
 
 
 def _ivf_oracle_sql(k: int = 10, n_cells: int = 16, n_probe: int = 4,
@@ -1546,4 +1717,5 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.50), 6) AS q50,
                    round(quantile_cont(l_quantity, 0.75), 6) AS q75
             FROM lineitem GROUP BY l_returnflag""",
+        "pipeline_curate": _pipeline_oracle_sql(),
     }

@@ -73,6 +73,33 @@ class TestText:
         assert r[2]["text_redacted"] == r[2]["text"]
 
 
+class TestCurate:
+    def test_curate_composition(self, spark):
+        from xema_spark import pipeline
+
+        rows = [
+            (1, "the cat sat on the mat and it was happy with the hat"),  # keep
+            (2, "the cat sat on the mat and it was happy with the hat"),  # exact dup of 1
+            (3, "the cat sat on the mat and it was happy with the hat zz"),  # near dup of 1
+            (4, "der hund ist nicht mit der katze auf dem sofa heute"),  # wrong lang
+            (5, "!!!! ???? ;;;; @@@@ #### $$$$ %%%% ^^^^ &&&& ****"),    # low alpha
+            (6, "spam ham " * 30),                                        # repetitive
+            (7, None),                                                    # fails rule
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = pipeline.curate(
+            df,
+            rule={"type": "object",
+                  "properties": {"text": {"type": "string", "min_length": 10}},
+                  "required": ["text"]},
+            langs=("en",), min_alpha_ratio=0.5,
+            max_top_ngram_frac=0.3, max_dup_ngram_frac=0.9,
+            exact_dedupe=True, near_dup_threshold=0.6,
+            scrub_pii=False)
+        kept = sorted(r["doc_id"] for r in out.collect())
+        assert kept == [1]  # 2 exact-dup, 3 near-dup, 4-7 filtered
+
+
 class TestDedup:
     def test_exact(self, spark):
         df = spark.createDataFrame(

@@ -123,6 +123,53 @@ def test_simhash_is_single_groupby_not_nested_hofs(spark):
     assert plan.count("HashAggregate (") == 2
 
 
+def test_worst_partitions_is_take_ordered(spark, docs_parquet):
+    """Top-k worst partitions must compile to TakeOrderedAndProject (per-task
+    k-row heap), never a global Sort followed by a limit."""
+    df = spark.read.parquet(docs_parquet)
+    v = validate_df(df, FLAGSHIP_RULE)
+    plan = plan_of(stats.worst_partitions(stats.per_partition_summary(v), k=3))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort (" not in plan
+
+
+def test_repetition_signals_is_explode_groupby(spark):
+    """Repetition signals must explode n-grams to rows and reduce with
+    partial-aggregated groupBys — not recompute per-row HOF aggregates —
+    and must contain no cartesian/nested-loop joins."""
+    from xema_spark import text
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = plan_of(text.repetition_signals(df, "doc_id"))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    """PII scrub is one projection: no Exchange, no Python in the plan."""
+    from xema_spark import text
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = plan_of(text.pii_scrub(df))
+    assert "Exchange" not in plan
+    # no Python evaluation nodes (the createDataFrame source RDD's
+    # applySchemaToPythonRDD label is the fixture, not the operator)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_jaccard_restricts_before_reshingling(spark):
+    """The Jaccard verifier must re-shingle only candidate-pair docs: the
+    optimized plan carries semi joins restricting the corpus before the
+    shingle projection."""
+    from xema_spark import dedup
+
+    docs = spark.createDataFrame([(i, "w x y z " * 4) for i in range(6)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    plan = plan_of(dedup.ngram_jaccard(docs, pairs, "doc_id"), "extended")
+    assert "LeftSemi" in plan
+
+
 def test_near_dup_joins_have_bucket_caps(spark):
     """Both LSH near-dup self-joins go through a collect_list bucket whose
     size filter caps degenerate (B^2) buckets before pair explosion."""

@@ -1,0 +1,86 @@
+"""End-to-end training-data curation: the composed pipeline a 100 TB corpus
+actually runs — schema validation -> quality / language / repetition filters
+-> exact dedupe -> MinHash near-dup dedupe -> PII scrub — expressed so the
+expensive stages see progressively fewer rows.
+
+Scan discipline (the 100 TB shape):
+- validation + quality ratios + language-ID fuse into ONE projection over
+  the input scan (all pure Column expressions);
+- repetition signals (the only multi-pass stage: explode n-grams -> groupBy)
+  run on filter SURVIVORS only;
+- exact dedupe is one window on the survivors' content hash;
+- the MinHash chain runs on the exact-deduped set, and its Jaccard verifier
+  re-shingles candidate docs only (dedup.ngram_jaccard's semi-join
+  restriction);
+- PII scrub is a final projection.
+
+Every stage is individually oracle-checked elsewhere; the composition is
+value-checked end-to-end by the `pipeline_curate` driver query (DuckDB
+re-derives the full chain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from xema_spark import dedup
+from xema_spark import text as T
+
+
+def curate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    rule: dict | None = None,
+    langs: tuple[str, ...] | None = None,
+    min_alpha_ratio: float = 0.0,
+    max_top_ngram_frac: float = 1.0,
+    max_dup_ngram_frac: float = 1.0,
+    exact_dedupe: bool = True,
+    near_dup_threshold: float | None = 0.8,
+    hash_fn: str = "xxhash64",
+    max_shingles: int = 512,
+    scrub_pii: bool = False,
+) -> DataFrame:
+    """Curated corpus: rows that pass the rule + quality gates, with exact
+    and near duplicates removed (keep the lowest id), optionally with PII
+    redacted in place. Output keeps `lang`, `q_alpha_ratio`,
+    `top_ngram_frac`, `dup_ngram_frac` alongside the surviving columns so
+    downstream sampling can stratify on them."""
+    base = df.select(id_col, text_col)
+    if rule is not None:
+        from xema_spark.compiler import validate_df
+
+        base = (validate_df(base, rule, mode="verdict")
+                .filter(F.col("valid")).drop("valid"))
+
+    # ONE projection: quality ratios + language id
+    q = T.quality_features(base, text_col).withColumn("lang", T.lang_id(F.col(text_col)))
+    keep = F.col("q_alpha_ratio") >= F.lit(float(min_alpha_ratio))
+    if langs:
+        keep = keep & F.col("lang").isin(*langs)
+    q = q.filter(keep).select(id_col, text_col, "lang", "q_alpha_ratio")
+
+    # repetition signals on survivors only (the explode/groupBy stage)
+    rep = T.repetition_signals(q.select(id_col, text_col), id_col, text_col)
+    q = (q.join(rep, id_col)
+         .filter((F.col("top_ngram_frac") <= F.lit(float(max_top_ngram_frac)))
+                 & (F.col("dup_ngram_frac") <= F.lit(float(max_dup_ngram_frac)))))
+
+    if exact_dedupe:
+        q = dedup.dedupe_exact(q, id_col, text_col)
+
+    if near_dup_threshold is not None:
+        pairs = dedup.lsh_candidate_pairs(
+            q, id_col, text_col, hash_fn=hash_fn, max_shingles=max_shingles)
+        dups = dedup.ngram_jaccard(
+            q, pairs, id_col, text_col,
+            threshold=near_dup_threshold, max_shingles=max_shingles)
+        losers = dups.select(
+            F.greatest("doc_a", "doc_b").alias(id_col)).distinct()
+        q = q.join(losers, id_col, "left_anti")
+
+    if scrub_pii:
+        q = T.pii_scrub(q, text_col)
+    return q
