@@ -5,11 +5,12 @@ entry()    — flagship single-pass validation over sf0.001, returning per-row
              deterministically from the flat documents table.
 queries()  — one entry per implemented operator family (SURVEY.md §2 +
              training-pipeline ops); each callable takes (spark, sf_dir).
-oracle_sql() — DuckDB-equivalent ANSI SQL for every SQL-expressible query.
-             Column names/aliases match EXACTLY; doubles rounded identically
-             on both sides. Non-SQL-expressible ops (LSH pair generation,
-             per-partition summaries, multimodal decode) have no oracle entry
-             and get the driver's rows-only check.
+oracle_sql() — DuckDB-equivalent ANSI SQL for EVERY query (55/55): column
+             names/aliases match EXACTLY; doubles rounded identically on
+             both sides. Hash-chain queries use the portable md5-derived
+             flavor; generated-input queries re-derive the closed-form
+             corpus from range(n) arithmetic; LSH/IVF queries inline the
+             deterministic hyperplane/centroid literals.
 
 All engine-side queries are ANSI-mode-safe (the driver session has
 spark.sql.ansi.enabled=true): every fallible cast/parse goes through
