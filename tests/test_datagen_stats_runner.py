@@ -106,6 +106,20 @@ def test_worst_partitions_and_violation_sample(spark):
     assert sampled.filter(F.col("sample_rank") > 2).count() == 0
 
 
+def test_explode_violations_on_error_hook(spark):
+    """on_error (behaviour.ex:106-123 analogue) rewrites messages in the
+    same projection."""
+    from xema_spark.compiler import explode_violations, validate_df
+    docs = gen_documents(spark, 200)
+    v = validate_df(docs, FLAGSHIP_RULE)
+    custom = explode_violations(
+        v, ["doc_id"],
+        on_error=lambda path, kw, msg: F.concat(F.lit("E:"), kw, F.lit("@"), path))
+    rows = custom.limit(5).collect()
+    assert rows and all(r["message"].startswith("E:") for r in rows)
+    assert all(r["message"] == f"E:{r['keyword']}@{r['path']}" for r in rows)
+
+
 def test_grouped_quantiles_exact(spark):
     import numpy as np
     df = spark.createDataFrame(

@@ -784,14 +784,23 @@ def validate_many(df: DataFrame, rules: dict[str, Rule],
 
 
 def explode_violations(df: DataFrame, id_cols: list[str],
-                       violations_col: str = "violations") -> DataFrame:
+                       violations_col: str = "violations",
+                       on_error=None) -> DataFrame:
     """Exploded violation rows (doc_id, path, keyword, message) — the columnar
     analogue of the reference's error tree rendering
-    (/root/reference/lib/xema/validation_error.ex:95-119)."""
+    (/root/reference/lib/xema/validation_error.ex:95-119).
+
+    on_error: the Behaviour.on_error/1 hook analogue
+    (/root/reference/lib/xema/behaviour.ex:106-123 — customize how errors
+    are rendered): a callable (path, keyword, message Columns) -> message
+    Column, applied in the same projection (no second pass)."""
     ex = df.filter(F.size(F.col(violations_col)) > 0).select(
         *id_cols, F.explode(violations_col).alias("v")
     )
+    msg = F.col("v.message")
+    if on_error is not None:
+        msg = on_error(F.col("v.path"), F.col("v.keyword"), msg)
     return ex.select(*id_cols,
                      F.col("v.path").alias("path"),
                      F.col("v.keyword").alias("keyword"),
-                     F.col("v.message").alias("message"))
+                     msg.alias("message"))
