@@ -570,19 +570,23 @@ def main() -> None:
                     / factor)
         best_eff = ((levels[0]["best_scan_sec"] / levels[1]["best_scan_sec"])
                     / factor)
-        # primary figure: clean-rep medians when this run produced them at
-        # BOTH levels; otherwise the cross-history per-level minima (this
-        # run's raw reps included) — a stolen window yields no clean reps,
-        # and its contaminated medians measure the hypervisor, not the job
-        run_clean = all("clean reps" in lvl["basis"] for lvl in levels)
-        if run_clean or minima is None:
-            primary_eff, primary_basis = scan_eff, "clean-rep medians (this run)"
-        else:
+        # primary figure: ALWAYS the cross-history per-level minima (this
+        # run's raw reps included). Clean-rep medians are reported alongside
+        # but remain upward-biased: the health monitor spins on ONE core and
+        # steal is per-vCPU, so reps can pass the cleanliness tests while
+        # their worker cores were being robbed (observed: "clean" local[8]
+        # reps at 11-14s against a many-times-reproduced 8.9s true runtime).
+        # For a deterministic job steal is strictly additive, so the minimum
+        # over many samples is the consistent estimator of the true runtime.
+        if minima is not None:
             primary_eff = minima["efficiency_scan"]
-            primary_basis = ("per-level minima across %d recorded runs "
-                             "(deterministic job, steal is additive -> minima "
-                             "converge to true runtimes; raw reps in "
-                             "BENCH/history.jsonl)" % minima["n_runs"])
+            primary_basis = ("per-level minima across %d recorded runs / %s "
+                             "reps (deterministic job, steal is additive -> "
+                             "minima converge to true runtimes; every raw rep "
+                             "+ its host-health in BENCH/history.jsonl)"
+                             % (minima["n_runs"], minima["n_reps"]))
+        else:
+            primary_eff, primary_basis = scan_eff, "clean-rep medians (this run)"
         write_baseline_md(levels, efficiency, scan_eff, best_eff, control,
                           queries, minima, primary_eff, primary_basis)
         headline = levels[1]
