@@ -42,6 +42,7 @@ def curate(
     hash_fn: str = "xxhash64",
     max_shingles: int = 512,
     scrub_pii: bool = False,
+    cache_survivors: bool = True,
 ) -> DataFrame:
     """Curated corpus: rows that pass the rule + quality gates, with exact
     and near duplicates removed (keep the lowest id), optionally with PII
@@ -72,6 +73,17 @@ def curate(
         q = dedup.dedupe_exact(q, id_col, text_col)
 
     if near_dup_threshold is not None:
+        if cache_survivors:
+            # stage boundary: the near-dup stage consumes the survivor frame
+            # four times (signature pass, candidate join-back, Jaccard verify
+            # on both pair sides, final anti-join). persist() would share the
+            # DATA but Catalyst still re-analyzes/re-optimizes the full
+            # upstream logical tree once per reference — on this composed
+            # plan that is driver-side minutes. localCheckpoint truncates
+            # the logical plan to a leaf (the in-session equivalent of
+            # writing the survivor table out between stages, which is what
+            # a 100 TB run would do).
+            q = q.localCheckpoint(eager=True)
         pairs = dedup.lsh_candidate_pairs(
             q, id_col, text_col, hash_fn=hash_fn, max_shingles=max_shingles)
         dups = dedup.ngram_jaccard(
