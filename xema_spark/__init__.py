@@ -33,6 +33,7 @@ from xema_spark.compiler import (
     validate_many,
 )
 from xema_spark.cast import cast_and_validate, cast_df
+from xema_spark.pipeline import curate
 from xema_spark.runner import read_verdicts, run_validation
 
 __all__ = [
@@ -53,6 +54,7 @@ __all__ = [
     "cast_and_validate",
     "run_validation",
     "read_verdicts",
+    "curate",
 ]
 
 __version__ = "0.1.0"
