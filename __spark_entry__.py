@@ -1175,7 +1175,8 @@ def _ivf_oracle_sql(k: int = 10, n_cells: int = 16, n_probe: int = 4,
         WITH emb AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
-        cents AS (SELECT vec_id AS cid, v AS cvec FROM emb WHERE vec_id < {n_cells}),
+        cents AS (SELECT vec_id AS cid, v AS cvec FROM emb
+                  ORDER BY vec_id LIMIT {n_cells}),
         scored AS (
           SELECT e.vec_id, c.cid,
                  {cos.format(a='e.v', b='c.cvec')} AS cos

@@ -591,10 +591,9 @@ def main() -> None:
         # over many samples is the consistent estimator of the true runtime.
         if minima is not None:
             primary_eff = minima["efficiency_scan"]
-            primary_basis = ("per-level minima across %d recorded runs / %s "
-                             "reps (deterministic job, steal is additive -> "
-                             "minima converge to true runtimes; every raw rep "
-                             "+ its host-health in BENCH/history.jsonl)"
+            primary_basis = ("per-level minima, %d runs / %s reps "
+                             "(deterministic job, steal additive; raw reps in "
+                             "BENCH/history.jsonl)"
                              % (minima["n_runs"], minima["n_reps"]))
         else:
             primary_eff, primary_basis = scan_eff, "clean-rep medians (this run)"
@@ -606,6 +605,11 @@ def main() -> None:
         primary_eff = primary_basis = None
         headline = {"elapsed_sec": None, "n_docs": n_docs, "docs_per_sec": None}
 
+    # The final printed line is the DRIVER CONTRACT and must stay compact
+    # (the driver captures a bounded output tail — r2's line with six-element
+    # rep arrays got truncated mid-string and failed to parse). Raw per-rep
+    # data lives in BENCH/history.jsonl and BENCH/BASELINE.md; the line below
+    # carries only the headline figures (~1 KB).
     result = {
         "metric": "single-pass validated docs/sec (flagship rule + stats + uniqueness + referential)",
         "value": headline["elapsed_sec"],
@@ -615,10 +619,6 @@ def main() -> None:
         "n_docs": headline["n_docs"],
         "docs_per_sec": headline["docs_per_sec"],
         "scaling": {
-            "levels": levels,
-            "protocol": ("interleaved reps (dirty-round backoff), clean-rep "
-                         "medians, disjoint pinned JVMs, cross-run history "
-                         "minima fallback"),
             # primary: the scan pass — the component that scales with input
             # (at 10^12 docs the downstream actions on the ~1% verdict table
             # are noise; at sandbox scale they are pure fixed latency).
@@ -631,11 +631,25 @@ def main() -> None:
             "efficiency_end_to_end": round(efficiency, 3) if efficiency else None,
             # least-contended interleaved pair within THIS run
             "efficiency_best_pair": round(best_eff, 3) if not skip_scale else None,
+            "levels": [{"cpus": lvl["cpus"], "n_docs": lvl["n_docs"],
+                        "elapsed_sec": lvl["elapsed_sec"],
+                        "scan_elapsed_sec": lvl["scan_elapsed_sec"],
+                        "best_scan_sec": lvl["best_scan_sec"],
+                        "docs_per_sec": lvl["docs_per_sec"]}
+                       for lvl in levels],
             "history_minima": minima,
-            "cpu_control": control,
+            "cpu_control_efficiency": control.get("efficiency"),
+            "detail": "raw reps + health in BENCH/history.jsonl; prose in BENCH/BASELINE.md",
         } if levels else None,
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) >= 2048 and result["scaling"]:
+        # degrade rather than risk driver-tail truncation: drop the nested
+        # detail blocks, keep the headline figures
+        result["scaling"].pop("history_minima", None)
+        result["scaling"].pop("levels", None)
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

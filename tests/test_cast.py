@@ -136,8 +136,12 @@ def test_custom_validator_hook(spark):
 
 
 def test_fail_mode_early_vs_finally(spark):
-    """:early truncates to the first failing check per row; :finally collects
-    all; :immediately returns no detail (behaviour.ex:36)."""
+    """:early keeps the first failing KEYWORD GROUP per row (behaviour.ex:95,
+    validator.ex:854 — the with-chain stops at the first failing check but
+    that check may carry several errors, e.g. every failing property);
+    :finally collects all; :immediately returns no detail (behaviour.ex:36)."""
+    from pyspark.sql import Row
+
     from xema_spark.compiler import validate_df
 
     df = spark.createDataFrame([("no",)], ["t"])
@@ -150,6 +154,18 @@ def test_fail_mode_early_vs_finally(spark):
     assert len(early_rows["violations"]) == 1
     assert early_rows["violations"][0]["keyword"] == finally_rows["violations"][0]["keyword"]
     assert "violations" not in imm.columns and imm.collect()[0]["valid"] is False
+
+    # keyword-group semantics: two properties failing the SAME keyword are
+    # both kept by :early (the reference reports every error of the failing
+    # with-chain step), while the later differing keyword is dropped
+    df2 = spark.createDataFrame([Row(a="x", b="y", c=5)])
+    rule2 = {"type": "object", "properties": {
+        "a": {"minLength": 3}, "b": {"minLength": 3}, "c": {"maximum": 1}}}
+    fin2 = validate_df(df2, rule2, mode="finally").collect()[0]
+    early2 = validate_df(df2, rule2, mode="early").collect()[0]
+    assert len(fin2["violations"]) == 3
+    assert len(early2["violations"]) == 2
+    assert {v["keyword"] for v in early2["violations"]} == {"min_length"}
 
 
 def test_nested_struct_and_array_cast(spark):
@@ -201,3 +217,27 @@ def test_fail_mode_early_nested_rule(spark):
     assert len(early["violations"]) == 1
     assert early["violations"][0] == fin["violations"][0]
     assert early["violations"][0]["path"].startswith("$.obj")
+
+
+def test_composite_defaults_do_not_crash(spark):
+    """F.lit raises for list/dict defaults; schema-legal composite defaults
+    must either apply (scalar-element arrays, typed empty arrays) or be
+    skipped — never crash cast compilation (ADVICE r2)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(tags=None, meta=None, n=None)],
+        "tags array<string>, meta map<string,string>, n bigint")
+    rule = {"type": "object", "properties": {
+        "tags": {"type": "array", "default": ["a", "b"]},
+        "meta": {"default": {"k": "v"}},   # dict default: skipped, not fatal
+        "n": {"type": "integer", "default": 7},
+    }}
+    row = cast_df(df, rule).collect()[0]
+    assert row["tags"] == ["a", "b"]
+    assert row["meta"] is None          # composite dict default skipped
+    assert row["n"] == 7
+
+    empty = {"type": "object", "properties": {
+        "tags": {"type": "array", "default": []}}}
+    assert cast_df(df, empty).collect()[0]["tags"] == []

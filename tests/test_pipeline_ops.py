@@ -307,3 +307,35 @@ def test_winnow_fingerprints_local_edit_robust(spark):
     # doc too short for a complete window -> no fingerprints
     tiny = spark.createDataFrame([(9, "ab")], ["doc_id", "text"])
     assert text.winnow_fingerprints(tiny, "doc_id").count() == 0
+
+
+def test_winnow_short_doc_no_bogus_grams(spark):
+    """sequence(1,0) yields [1,0] (step -1): a text shorter than k must
+    produce ZERO fingerprints even at w<=2 where the size(g)>=w filter no
+    longer masks the two bogus truncated grams."""
+    tiny = spark.createDataFrame([(9, "ab"), (10, "abcd")], ["doc_id", "text"])
+    assert text.winnow_fingerprints(tiny, "doc_id", k=5, w=2).count() == 0
+
+
+def test_ivf_centroid_selection(spark):
+    """Centroids are the n_cells smallest ids (orderBy+limit, not id<n):
+    a corpus whose ids don't start at 0 still gets centroids; an empty
+    corpus raises instead of silently returning nothing."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from xema_spark import similarity
+
+    emb = spark.range(100, 140).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 5).cast("double") + F.lit(0.2)
+                  for i in range(4)]).alias("embedding"))
+    q = emb.limit(2).select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("q_vec"))
+    rows = similarity.ivf_topk(emb, q, k=3, n_cells=4, n_probe=2).collect()
+    assert rows, "non-zero-based ids must still produce results"
+    top1 = {r["q_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert top1 == {100: 100, 101: 101}
+
+    with pytest.raises(ValueError, match="centroid"):
+        similarity.ivf_topk(emb.filter(F.col("vec_id") < 0), q, n_cells=4)

@@ -184,3 +184,48 @@ def test_near_dup_joins_have_bucket_caps(spark):
         F.array(*[F.lit(float(i)) for i in range(4)]).alias("embedding"))
     p2 = plan_of(similarity.cosine_near_dups(emb, dim=4), "extended")
     assert "collect_list" in p2 and "size(ds" in p2
+
+
+def test_sample_violations_prebounds_before_window(spark):
+    """The k-per-group sample must NOT window the raw violation stream
+    partitioned by a constant-cardinality key (one hot keyword = one reducer
+    eating the whole stream). The plan must show a spark_partition_id-keyed
+    aggregation (the per-input-partition top-k bound) feeding the Window,
+    and the bounded variant must produce the same rows as the bare window."""
+    viols = spark.createDataFrame(
+        [(f"d{i:03d}", "$.text", "pattern" if i % 3 else "min_length")
+         for i in range(90)],
+        ["doc_id", "path", "keyword"])
+    bounded = stats.sample_violations(viols, ["keyword"], ["doc_id"], k=4)
+    plan = plan_of(bounded, "extended")
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert "collect_list" in plan
+    # the Window input is the exploded bounded lists, not the raw stream:
+    # Generate (the explode) must appear between the aggregate and the window
+    assert "Generate" in plan and "Window" in plan
+
+    bare = stats.sample_violations(viols, ["keyword"], ["doc_id"], k=4,
+                                   partition_bound=False)
+    assert (sorted(map(tuple, bounded.collect()))
+            == sorted(map(tuple, bare.collect())))
+
+
+def test_ivf_centroids_broadcast_above_inline_threshold(spark):
+    """Above inline_max_literals the centroids must ride along as ONE
+    broadcast row (BroadcastNestedLoopJoin) instead of n_cells*dim plan
+    literals, with identical output to the inline path."""
+    from xema_spark import similarity
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double") + F.lit(0.1)
+                  for i in range(4)]).alias("embedding"))
+    q = emb.limit(3).select(F.col("vec_id").alias("q_id"),
+                            F.col("embedding").alias("q_vec"))
+    inline = similarity.ivf_topk(emb, q, k=5, n_cells=8, n_probe=3)
+    bcast = similarity.ivf_topk(emb, q, k=5, n_cells=8, n_probe=3,
+                                inline_max_literals=1)
+    plan = plan_of(bcast)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert (sorted(map(tuple, inline.collect()))
+            == sorted(map(tuple, bcast.collect())))

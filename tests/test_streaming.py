@@ -63,6 +63,21 @@ def test_windowed_summary_and_sink(spark, tmp_path):
     assert verd.count() == N + 50
     assert set(r["bucket"] for r in verd.select("bucket").distinct().collect()) <= {0, 1, 2, 3}
 
+    # the streaming sink shares the batch runner's commit protocol: every
+    # written row is lineage-committed, so read_verdicts (the batch
+    # consumer) sees ALL streaming rows, with per-micro-batch run_ids
+    from xema_spark.runner import read_verdicts
+
+    committed = read_verdicts(spark, out)
+    assert committed.count() == N + 50
+    run_ids = {r["run_id"] for r in committed.select("run_id").distinct().collect()}
+    assert all(r.startswith("stream-b") for r in run_ids)
+    # maxFilesPerTrigger=1 over 2 files -> 2 micro-batches, each committed
+    assert len(run_ids) == 2
+    # schema parity with the batch layout (media_refs/n_bytes included)
+    assert {"doc_id", "bucket", "valid", "violations",
+            "media_refs", "n_bytes", "run_id"} <= set(committed.columns)
+
 
 def test_stateful_key_verdicts(spark, tmp_path):
     """applyInPandasWithState: per-key counters accumulate across

@@ -32,6 +32,26 @@ class CastError(ValueError):
 _NUMERIC_TARGETS = {"integer": "bigint", "number": "double"}
 
 
+def _default_col(d, dtype: T.DataType | None) -> Column | None:
+    """Typed Column for a schema `default`, or None when it can't be built.
+    F.lit raises for list/dict values, so composite defaults need explicit
+    construction (arrays of scalars, typed empty arrays); dict defaults and
+    heterogeneous lists are skipped rather than crashing cast compilation —
+    validation still sees the original NULL."""
+    if d is None:
+        return None
+    if isinstance(d, (str, int, float, bool)):
+        return F.lit(d)
+    if isinstance(d, list):
+        if not d:
+            return (F.array().cast(dtype) if isinstance(dtype, T.ArrayType)
+                    else None)
+        if all(isinstance(x, (str, int, float, bool)) for x in d):
+            arr = F.array(*[F.lit(x) for x in d])
+            return arr.cast(dtype) if isinstance(dtype, T.ArrayType) else arr
+    return None
+
+
 def cast_column(col: Column, dtype: T.DataType, rule: Rule) -> Column:
     """Coerce one column toward the rule's declared type. Non-coercible
     values become NULL (caught by the subsequent validation pass as a
@@ -84,7 +104,9 @@ def cast_column(col: Column, dtype: T.DataType, rule: Rule) -> Column:
             if isinstance(sub, dict):
                 c = cast_column(c, f.dataType, sub)
                 if "default" in sub:
-                    c = F.coalesce(c, F.lit(sub["default"]))
+                    dlit = _default_col(sub["default"], f.dataType)
+                    if dlit is not None:
+                        c = F.coalesce(c, dlit)
             fields.append(c.alias(f.name))
         rebuilt = F.struct(*fields)
         return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
@@ -157,7 +179,9 @@ def cast_df(df: DataFrame, rule: Rule, with_defaults: bool = True,
         if isinstance(sub, dict):
             c = cast_column(c, f.dataType, sub)
             if with_defaults and "default" in sub:
-                c = F.coalesce(c, F.lit(sub["default"]))
+                dlit = _default_col(sub["default"], f.dataType)
+                if dlit is not None:
+                    c = F.coalesce(c, dlit)
         out.append(c.alias(f.name))
     return df.select(*out)
 

@@ -754,11 +754,16 @@ def validate_df(
         return df.withColumn(valid_col, compiled.valid)
     viols = compiled.violations
     if mode == "early":
-        # with-chain semantics: only the first failing check is reported.
-        # The full array is still computed (columnar evaluation is eager),
-        # but the CASE gate behind `valid` short-circuits valid rows — the
-        # truncation changes what is COLLECTED, matching :early vs :finally.
-        viols = F.slice(viols, 1, 1)
+        # with-chain semantics (behaviour.ex:95, validator.ex:854): the
+        # reference's :early stops at the first failing KEYWORD GROUP but
+        # keeps every error of that group (e.g. all failing properties), so
+        # we keep every violation sharing the first violation's keyword
+        # rather than truncating to one row. The full array is still
+        # computed (columnar evaluation is eager), but the CASE gate behind
+        # `valid` short-circuits valid rows — the filter changes what is
+        # COLLECTED, matching :early vs :finally.
+        first_kw = F.element_at(viols, 1).getField("keyword")
+        viols = F.filter(viols, lambda v: v.getField("keyword") == first_kw)
     return df.withColumn(valid_col, compiled.valid).withColumn(violations_col, viols)
 
 

@@ -71,6 +71,61 @@ def read_verdicts(spark: SparkSession, output_dir: str) -> DataFrame:
     return v.join(F.broadcast(lin), ["run_id", "bucket"], "left_semi")
 
 
+def enrich_verdicts(docs: DataFrame, compiled, n_buckets: int) -> DataFrame:
+    """The single-pass projection: compact verdict rows (doc_id, bucket,
+    valid, violations, media_refs, n_bytes) from the raw documents frame.
+    Shared by the batch runner and the streaming foreachBatch sink so both
+    write the SAME verdict-table schema."""
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    has_spans = "spans" in docs.columns
+    media_refs = (
+        F.filter(F.col("spans.media_ref"), lambda x: x.isNotNull())
+        if has_spans else F.array().cast("array<string>")
+    )
+    n_bytes = (
+        F.coalesce(F.aggregate(F.col("spans"),
+                               F.lit(0).cast("long"),
+                               lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), F.lit(0))
+                               + F.coalesce(F.length(s["media_ref"]).cast("long"), F.lit(0)) + F.lit(16)),
+                   F.lit(0))
+        if has_spans else F.lit(0).cast("long")
+    )
+    return docs.select(
+        F.col("doc_id"),
+        bucket.alias("bucket"),
+        compiled.valid.alias("valid"),
+        compiled.violations.alias("violations"),
+        media_refs.alias("media_refs"),
+        n_bytes.alias("n_bytes"),
+    )
+
+
+def commit_lineage(spark: SparkSession, output_dir: str, run_id: str,
+                   scan_elapsed: float) -> list:
+    """Aggregate THIS run's verdict rows into per-bucket summary rows and
+    append them to the lineage sidecar — the COMMIT that makes the run's
+    (run_id, bucket) pairs visible to read_verdicts. Returns the summary
+    rows (<= n_buckets of them) so callers can derive totals without a
+    read-back job."""
+    verdict_dir = os.path.join(output_dir, "verdicts")
+    lineage_dir = os.path.join(output_dir, "lineage")
+    this_run = spark.read.parquet(verdict_dir).filter(F.col("run_id") == run_id)
+    new_summary = (this_run.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum(F.size("violations").cast("long")).alias("n_violations"),
+        F.sum("n_bytes").alias("n_bytes"),
+    ))
+    summary_rows = new_summary.collect()
+    lineage = spark.createDataFrame(summary_rows, new_summary.schema).select(
+        "bucket", "n_rows", "n_valid", "n_violations", "n_bytes",
+        F.lit(run_id).alias("run_id"),
+        F.lit(float(scan_elapsed)).alias("scan_elapsed_sec"),
+    ).coalesce(1)
+    lineage.write.mode("append").parquet(lineage_dir)
+    return summary_rows
+
+
 def run_validation(
     spark: SparkSession,
     docs: DataFrame,
@@ -102,29 +157,7 @@ def run_validation(
     col = F.struct(*[F.col(c) for c in docs.columns])
     compiled = compile_rule(rule, col, dtype)
 
-    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
-    has_spans = "spans" in docs.columns
-    media_refs = (
-        F.filter(F.col("spans.media_ref"), lambda x: x.isNotNull())
-        if has_spans else F.array().cast("array<string>")
-    )
-    n_bytes = (
-        F.coalesce(F.aggregate(F.col("spans"),
-                               F.lit(0).cast("long"),
-                               lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), F.lit(0))
-                               + F.coalesce(F.length(s["media_ref"]).cast("long"), F.lit(0)) + F.lit(16)),
-                   F.lit(0))
-        if has_spans else F.lit(0).cast("long")
-    )
-
-    enriched = docs.select(
-        F.col("doc_id"),
-        bucket.alias("bucket"),
-        compiled.valid.alias("valid"),
-        compiled.violations.alias("violations"),
-        media_refs.alias("media_refs"),
-        n_bytes.alias("n_bytes"),
-    )
+    enriched = enrich_verdicts(docs, compiled, n_buckets)
     if done:
         enriched = enriched.filter(~F.col("bucket").isin(*[int(b) for b in done]))
 
@@ -149,28 +182,13 @@ def run_validation(
     scan_elapsed = time.time() - t0
     scan_obs = obs.get
 
-    # THIS run's rows only (partition-pruned read): orphan files from a
-    # previous crashed attempt carry a different run_id and stay invisible
-    this_run = spark.read.parquet(verdict_dir).filter(F.col("run_id") == run_id)
-
-    # Per-bucket summary == per-partition pass/fail table == the lineage
-    # sidecar rows for THIS run. Its append is the COMMIT: only after it
-    # lands do this run's buckets become visible to read_verdicts.
-    new_summary = (this_run.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("valid").cast("long")).alias("n_valid"),
-        F.sum(F.size("violations").cast("long")).alias("n_violations"),
-        F.sum("n_bytes").alias("n_bytes"),
-    ))
-    # materialize the (<= n_buckets)-row summary ONCE: it feeds the lineage
-    # write AND the global totals, so no read-back aggregation job is needed
-    summary_rows = new_summary.collect()
-    lineage = spark.createDataFrame(summary_rows, new_summary.schema).select(
-        "bucket", "n_rows", "n_valid", "n_violations", "n_bytes",
-        F.lit(run_id).alias("run_id"),
-        F.lit(float(scan_elapsed)).alias("scan_elapsed_sec"),
-    ).coalesce(1)
-    lineage.write.mode("append").parquet(lineage_dir)
+    # Per-bucket summary of THIS run's rows (partition-pruned read — orphan
+    # files from a crashed attempt carry a different run_id and stay
+    # invisible) appended to the lineage sidecar: the COMMIT that makes this
+    # run's buckets visible to read_verdicts. The (<= n_buckets)-row summary
+    # is materialized once and also feeds the global totals below, so no
+    # read-back aggregation job is needed.
+    summary_rows = commit_lineage(spark, output_dir, run_id, scan_elapsed)
 
     # Everything below reads the COMMITTED view (prior runs + this run).
     # Three consumers (violations, duplicate metric, referential check) scan

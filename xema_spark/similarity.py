@@ -122,39 +122,65 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             inline_max_literals: int = 4096) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_cells
     Voronoi cells (by cosine) around deterministic sampled centroids — the
-    first n_cells vectors by id; at real scale swap in kmeans||-trained
-    centroids, the plumbing is identical — then each query scans only its
-    n_probe nearest cells instead of the full corpus.
+    n_cells smallest ids; at real scale swap in kmeans||-trained centroids,
+    the plumbing is identical — then each query scans only its n_probe
+    nearest cells instead of the full corpus.
 
-    Scale shape: centroids are collected once (n_cells rows) and inlined as
-    literals, so cell assignment is a pure Column projection over the
-    corpus (no join, no shuffle); the probe join touches ~n_probe/n_cells
-    of the data; the final top-k window runs over candidates only, never
-    the whole corpus. Everything is deterministic double math — DuckDB can
-    replay it bit-for-bit (ties broken by cos DESC, cid DESC)."""
-    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in
-             corpus.select(id_col, vec_col).filter(F.col(id_col) < n_cells).collect()]
+    Scale shape: centroids are collected once (n_cells rows). When
+    n_cells*dim <= inline_max_literals they are inlined as plan literals, so
+    cell assignment is a pure Column projection (no join, no shuffle).
+    ABOVE the threshold (production shape: thousands of kmeans cells x ~1k
+    dims) literal inlining would bake millions of expressions into the plan
+    twice — a driver/analysis blowup — so the centroids ride along as ONE
+    broadcast row holding array<struct<cid,vec>> (BroadcastNestedLoopJoin of
+    a 1-row frame; there is no equi-key to hash on for an argmax-over-all-
+    centroids, so a nested-loop broadcast of one row IS the right join) and
+    scoring becomes F.transform over that array — same math, O(1) plan size.
+    The probe join then touches ~n_probe/n_cells of the data; the final
+    top-k window runs over candidates only, never the whole corpus.
+    Everything is deterministic double math — DuckDB can replay it
+    bit-for-bit (ties broken by cos DESC, cid DESC)."""
+    cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    if not cent_rows:
+        raise ValueError("ivf_topk: corpus has no rows to draw centroids from")
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    dim = len(cents[0][1])
 
-    def cell_scores(vec: Column) -> Column:
-        # array<struct<cos,cid>> so array_max / sort_array order by cos
-        # first, then cid — an explicit, engine-independent tie-break
-        return F.array(*[
-            F.struct(F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 6).alias("cos"),
-                     F.lit(cid).alias("cid"))
-            for cid, cvec in cents
-        ])
+    if len(cents) * dim <= inline_max_literals:
+        def with_scores(df: DataFrame, vec: Column) -> DataFrame:
+            # array<struct<cos,cid>> so array_max / sort_array order by cos
+            # first, then cid — an explicit, engine-independent tie-break
+            return df.withColumn("__scores", F.array(*[
+                F.struct(F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 6).alias("cos"),
+                         F.lit(cid).alias("cid"))
+                for cid, cvec in cents
+            ]))
+    else:
+        cent_df = corpus.sparkSession.createDataFrame(
+            [([(cid, cvec) for cid, cvec in cents],)],
+            "__cents array<struct<cid:int,vec:array<double>>>")
 
-    corpus_cells = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        F.array_max(cell_scores(F.col(vec_col))).getField("cid").alias("cell"))
-    probes = queries.select(
-        F.col(q_id_col), F.col(q_vec_col),
-        F.explode(F.slice(F.sort_array(cell_scores(F.col(q_vec_col)), asc=False),
-                          1, n_probe)).alias("p")
-    ).select(q_id_col, q_vec_col, F.col("p.cid").alias("cell"))
+        def with_scores(df: DataFrame, vec: Column) -> DataFrame:
+            return (df.join(F.broadcast(cent_df))
+                    .withColumn("__scores", F.transform(
+                        F.col("__cents"),
+                        lambda c: F.struct(
+                            F.round(cosine(vec, c["vec"]), 6).alias("cos"),
+                            c["cid"].alias("cid"))))
+                    .drop("__cents"))
+
+    corpus_cells = with_scores(corpus.select(id_col, vec_col), F.col(vec_col)) \
+        .select(F.col(id_col), F.col(vec_col),
+                F.array_max(F.col("__scores")).getField("cid").alias("cell"))
+    probes = with_scores(queries.select(q_id_col, q_vec_col), F.col(q_vec_col)) \
+        .select(F.col(q_id_col), F.col(q_vec_col),
+                F.explode(F.slice(F.sort_array(F.col("__scores"), asc=False),
+                                  1, n_probe)).alias("p")) \
+        .select(q_id_col, q_vec_col, F.col("p.cid").alias("cell"))
     cand = corpus_cells.join(F.broadcast(probes), "cell").select(
         F.col(q_id_col), F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"))

@@ -179,16 +179,47 @@ def worst_partitions(summary: DataFrame, k: int = 10,
 
 
 def sample_violations(violations: DataFrame, group_cols: list[str],
-                      order_cols: list[str], k: int = 5) -> DataFrame:
+                      order_cols: list[str], k: int = 5,
+                      partition_bound: bool = True) -> DataFrame:
     """Bounded violation sample: at most k rows per group (e.g. per keyword
     or per bucket), deterministically ordered — the triage view a 10^12-doc
-    run needs instead of an unbounded violation dump. row_number over
-    (group, order) ranks inside each group only; group cardinality bounds
-    the output at k * n_groups rows."""
+    run needs instead of an unbounded violation dump.
+
+    Skew design: group keys like `keyword` have constant cardinality, so a
+    bare row_number window partitioned by them would shuffle EVERY violation
+    row in the corpus into n_groups reducer tasks — one hot keyword = one
+    reducer eating the whole violation stream (the same single-digit-
+    partition window skew removed from sim_knn_threshold in r2). Instead:
+
+    stage 1 (partition_bound) groups by (group, spark_partition_id()) and
+    keeps the k smallest rows per group PER INPUT PARTITION via
+    slice(sort_array(collect_list(key)), 1, k). The hot group's rows now
+    hash across n_input_partitions reducer keys instead of one, and the
+    global top-k per group is provably a subset of the union of per-partition
+    top-ks (total order on (order_cols, row)).
+
+    stage 2 runs the exact k-per-group row_number over the survivors —
+    at most k * n_input_partitions rows per group, never the raw stream.
+
+    Tie semantics: ties in order_cols break on the remaining row columns in
+    stage 1 (struct comparison), so callers wanting oracle-stable output
+    should pass order_cols that are unique within a group (as the bare-window
+    form already required)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(*[F.asc(c) for c in order_cols])
-    return (violations.withColumn("sample_rank", F.row_number().over(w))
+    src = violations
+    if partition_bound:
+        key = F.struct(
+            *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+            F.struct(*[F.col(c) for c in violations.columns]).alias("__row"))
+        bounded = (violations
+                   .groupBy(F.spark_partition_id().alias("__pid"), *group_cols)
+                   .agg(F.slice(F.sort_array(F.collect_list(key)), 1, k)
+                        .alias("__top")))
+        src = (bounded.select(F.explode("__top").alias("__t"))
+               .select("__t.__row.*"))
+    return (src.withColumn("sample_rank", F.row_number().over(w))
             .filter(F.col("sample_rank") <= k))
 
 

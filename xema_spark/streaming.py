@@ -94,29 +94,58 @@ def stateful_key_verdicts(stream_df: DataFrame, rule: dict,
 
 def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
                              checkpoint_dir: str, n_buckets: int = 64):
-    """foreachBatch sink writing the SAME layout as runner.run_validation's
-    verdict table, so streaming ingest and batch backfill share consumers.
+    """foreachBatch sink writing the SAME layout and commit protocol as
+    runner.run_validation — verdicts under verdicts/run_id=<id>/bucket=<b>/
+    with a lineage row per committed micro-batch — so streaming ingest and
+    batch backfill genuinely share consumers: runner.read_verdicts sees both.
+
+    Exactly-once visibility on top of foreachBatch's at-least-once replay:
+    each micro-batch commits under run_id '<stream-b{batch_id}>-<uuid>'.
+    A replay after a crash BEFORE the lineage append writes fresh files
+    under a new uuid and the dead attempt's orphans stay invisible (the
+    batch runner's crash-window rule). A replay after a crash AFTER the
+    lineage append but before the checkpoint advanced is detected by the
+    batch-id prefix already existing in the lineage and skipped.
+
     Returns the configured DataStreamWriter — the caller picks the trigger
     and calls .start() (e.g. `.trigger(availableNow=True).start()`), which
     keeps trigger policy out of the library."""
     import os
+    import time
+    import uuid
 
     from pyspark.sql import types as T
 
+    from xema_spark.runner import commit_lineage, enrich_verdicts
+
     rule_n = normalize_rule(rule)
     meta_validate(rule_n)
+    verdict_dir = os.path.join(output_dir, "verdicts")
+    lineage_dir = os.path.join(output_dir, "lineage")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        dtype = T.StructType([T.StructField(f.name, f.dataType) for f in batch_df.schema.fields])
+        spark = batch_df.sparkSession
+        prefix = f"stream-b{batch_id:09d}"
+        try:
+            already = (spark.read.parquet(lineage_dir)
+                       .filter(F.col("run_id").startswith(prefix))
+                       .limit(1).count() > 0)
+        except Exception:
+            already = False  # no lineage yet — first commit ever
+        if already:
+            return  # replayed micro-batch that was fully committed
+        run_id = f"{prefix}-{uuid.uuid4().hex[:6]}"
+        dtype = T.StructType([T.StructField(f.name, f.dataType)
+                              for f in batch_df.schema.fields])
         col = F.struct(*[F.col(c) for c in batch_df.columns])
         compiled = compile_rule(rule_n, col, dtype)
-        (batch_df.select(
-            F.col("doc_id"),
-            F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int").alias("bucket"),
-            compiled.valid.alias("valid"),
-            compiled.violations.alias("violations"),
-        ).write.mode("append").partitionBy("bucket")
-         .parquet(os.path.join(output_dir, "verdicts")))
+        t0 = time.time()
+        (enrich_verdicts(batch_df, compiled, n_buckets)
+         .withColumn("run_id", F.lit(run_id))
+         .repartition(n_buckets, "bucket")
+         .write.mode("append").partitionBy("run_id", "bucket")
+         .parquet(verdict_dir))
+        commit_lineage(spark, output_dir, run_id, time.time() - t0)
 
     return (stream_df.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir))

@@ -249,8 +249,13 @@ def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str = "text",
 
     norm = F.substring(normalize_text(F.col(text_col)), 1, 32768)
     n_grams = F.greatest(F.lit(0), F.length(norm) - F.lit(k - 1))
-    grams = F.transform(F.sequence(F.lit(1), n_grams),
-                        lambda i: norm.substr(i, F.lit(k)))
+    # sequence(1, 0) defaults to step -1 and yields [1, 0] — a text shorter
+    # than k would produce two bogus truncated grams (only masked downstream
+    # when w > 2), so gate the empty case explicitly
+    grams = F.when(n_grams >= 1,
+                   F.transform(F.sequence(F.lit(1), n_grams),
+                               lambda i: norm.substr(i, F.lit(k)))) \
+        .otherwise(F.array().cast("array<string>"))
     g = (df.select(F.col(id_col).alias("doc"), grams.alias("g"))
          .filter(F.size("g") >= w)
          .select("doc", F.posexplode("g").alias("pos", "gram")))
