@@ -185,6 +185,15 @@ def test_compiler_conformance(spark):
             cases.append((f"{rel}|{gdesc}|{t['description']}",
                           compiled.valid, t["valid"]))
 
+    per_draft = {}
+    for name, _c, _e in cases:
+        per_draft[name.split(os.sep)[0]] = per_draft.get(name.split(os.sep)[0], 0) + 1
+    # the battery must cover ALL THREE drafts (draft-4/6 keyword variants —
+    # boolean exclusiveMinimum etc. — fold in at normalize time), not just
+    # draft-7; a draft dropping out of the compilable set is a regression
+    assert set(per_draft) == {"draft4", "draft6", "draft7"}, per_draft
+    assert all(n > 300 for n in per_draft.values()), per_draft
+    print(f"compiler battery cases per draft: {per_draft}")
     assert len(cases) > 400, f"suspiciously few compilable cases: {len(cases)}"
     failures = []
     chunk = 300  # fewer jobs: per-job fixed latency dominates the battery

@@ -339,3 +339,30 @@ def test_ivf_centroid_selection(spark):
 
     with pytest.raises(ValueError, match="centroid"):
         similarity.ivf_topk(emb.filter(F.col("vec_id") < 0), q, n_cells=4)
+
+
+def test_star_cc_equivalent_to_label_propagation(spark):
+    """large-star/small-star must produce the same (doc -> component-min)
+    labeling as min-label propagation on random graphs, and converge in
+    O(log n) rounds on a chain where label propagation needs O(diameter)."""
+    import random
+
+    from xema_spark import dedup
+
+    rnd = random.Random(7)
+    edges = {(rnd.randrange(60), rnd.randrange(60)) for _ in range(80)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    lbl = {r["doc"]: r["component"]
+           for r in dedup.connected_components(pairs, algorithm="label").collect()}
+    star = {r["doc"]: r["component"]
+            for r in dedup.connected_components(pairs, algorithm="star").collect()}
+    assert lbl == star
+
+    # chain 0-1-2-...-63: diameter 63, star must finish in O(log n) rounds
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  ["doc_a", "doc_b"])
+    comp = {r["doc"]: r["component"]
+            for r in dedup.connected_components_star(chain, max_iter=12).collect()}
+    assert set(comp) == set(range(64))
+    assert set(comp.values()) == {0}

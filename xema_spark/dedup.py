@@ -224,38 +224,117 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
 
 
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
-                         b_col: str = "doc_b", max_iter: int = 50) -> DataFrame:
+                         b_col: str = "doc_b", max_iter: int = 50,
+                         algorithm: str = "label") -> DataFrame:
     """Transitive near-dup grouping: label every vertex of the pair graph
     with the minimum id reachable from it. Returns (doc, component).
 
-    Min-label propagation, driver-coordinated: each round is one join +
-    partial-aggregated groupBy over the PAIR set (which is orders of
-    magnitude smaller than the corpus — only docs that collided in LSH),
-    converging in O(component diameter) rounds; near-dup clusters are
-    shallow in practice (boilerplate families), so this terminates in a
-    handful of rounds. localCheckpoint truncates the growing lineage so
-    round N doesn't replay rounds 1..N-1. For adversarially long chains at
-    extreme scale, switch to the large-star/small-star formulation (same
-    join primitive, O(log n) rounds)."""
+    algorithm='label' (default, oracle-checked): min-label propagation,
+    driver-coordinated — each round is one join + partial-aggregated groupBy
+    over the PAIR set (which is orders of magnitude smaller than the corpus
+    — only docs that collided in LSH), converging in O(component diameter)
+    rounds; near-dup clusters are shallow in practice (boilerplate
+    families), so this terminates in a handful of rounds.
+
+    algorithm='star': the large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — O(log n)
+    rounds on adversarially long chains; see connected_components_star.
+
+    Both variants piggyback their convergence check on the SAME job that
+    materializes the round (df.observe + localCheckpoint) instead of firing
+    a separate per-round count action, so a k-round run launches k jobs,
+    not 2k. localCheckpoint truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1."""
+    if algorithm == "star":
+        return connected_components_star(pairs, a_col, b_col, max_iter)
+    from pyspark.sql import Observation
+
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
         .distinct().localCheckpoint()
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("lbl", F.col("node"))
-    for _ in range(max_iter):
+    prev_sum = None
+    for i in range(max_iter):
         nbr = (edges.join(labels, edges["src"] == labels["node"])
                .select(F.col("dst").alias("node"), F.col("lbl")))
-        new_labels = (nbr.unionByName(labels.select("node", "lbl"))
-                      .groupBy("node").agg(F.min("lbl").alias("lbl"))
-                      .localCheckpoint())
-        changed = (new_labels.withColumnRenamed("lbl", "new_lbl")
-                   .join(labels, "node")
-                   .filter(F.col("new_lbl") != F.col("lbl")).count())
-        labels = new_labels
-        if changed == 0:
+        # min-label is monotone non-increasing, so an unchanged sum(lbl)
+        # across rounds proves an unchanged label set — the checksum rides
+        # on the localCheckpoint materialization job via observe (no
+        # separate count action per round)
+        obs = Observation(f"cc_label_{i}")
+        labels = (nbr.unionByName(labels.select("node", "lbl"))
+                  .groupBy("node").agg(F.min("lbl").alias("lbl"))
+                  .observe(obs, F.sum("lbl").alias("s"))
+                  .localCheckpoint())
+        cur_sum = obs.get["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("component"))
+
+
+def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
+                              b_col: str = "doc_b",
+                              max_iter: int = 30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al., SoCC'14):
+    alternating rounds rewire every node toward its neighborhood minimum —
+    large-star hangs each node's strictly-larger neighbors under the local
+    minimum, small-star re-parents the smaller-or-equal ones — and the edge
+    set converges to a star forest (node -> component min) in O(log n)
+    rounds even on a chain, where plain label propagation needs O(n).
+
+    Each round is two groupBy(min)+join passes over the EDGE set only;
+    convergence is detected from an order-independent checksum
+    (count + sum(xxhash64(u,v))) observed on the same job that
+    materializes the round's edges — no extra per-round action. The edge
+    set only shrinks/rewires toward minima (monotone), so an unchanged
+    checksum across a full round proves a fixed point."""
+    from pyspark.sql import Observation
+
+    edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
+                          F.col(b_col).cast("long").alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+    nodes = (edges.select(F.col("u").alias("node"))
+             .unionByName(edges.select(F.col("v").alias("node")))
+             .distinct().localCheckpoint())
+
+    prev = None
+    for i in range(max_iter):
+        # large-star: per node u over the UNDIRECTED neighborhood,
+        # m = min(N(u) ∪ {u}); emit (v, m) for every neighbor v > u
+        und = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (und.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", F.col("u")).alias("m")))
+        edges = (und.filter(F.col("v") > F.col("u"))
+                 .join(mins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
+        # small-star: orient each edge large->small; per node a,
+        # m = min(smaller-neighbors ∪ {a}); re-parent those neighbors and a
+        oriented = edges.select(F.greatest("u", "v").alias("a"),
+                                F.least("u", "v").alias("b"))
+        minsS = (oriented.groupBy("a").agg(F.min("b").alias("m")))
+        obs = Observation(f"cc_star_{i}")
+        edges = (oriented.join(minsS, "a")
+                 .select(F.col("b").alias("u"), F.col("m").alias("v"))
+                 .unionByName(minsS.select(F.col("a").alias("u"),
+                                           F.col("m").alias("v")))
+                 .filter(F.col("u") != F.col("v")).distinct()
+                 .observe(obs,
+                          F.count(F.lit(1)).alias("n"),
+                          F.sum(F.xxhash64("u", "v")).alias("h"))
+                 .localCheckpoint())
+        cur = (obs.get["n"], obs.get["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # final edges point node -> component min; roots have no outgoing edge
+    return (nodes.join(edges.withColumnRenamed("u", "node"), "node", "left")
+            .select(F.col("node").alias("doc"),
+                    F.coalesce(F.col("v"), F.col("node")).alias("component")))
 
 
 def minhash_dedupe(df: DataFrame, id_col: str, text_col: str = "text",

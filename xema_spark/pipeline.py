@@ -4,8 +4,9 @@ actually runs — schema validation -> quality / language / repetition filters
 expensive stages see progressively fewer rows.
 
 Scan discipline (the 100 TB shape):
-- validation + quality ratios + language-ID fuse into ONE projection over
-  the input scan (all pure Column expressions);
+- validation + quality ratios fuse into ONE projection over the input scan
+  (all pure Column expressions); language-ID defaults to the measured-faster
+  explode->one-groupBy table variant (see curate's lang_strategy);
 - repetition signals (the only multi-pass stage: explode n-grams -> groupBy)
   run on filter SURVIVORS only;
 - exact dedupe is one window on the survivors' content hash;
@@ -43,6 +44,7 @@ def curate(
     max_shingles: int = 512,
     scrub_pii: bool = False,
     cache_survivors: bool = True,
+    lang_strategy: str = "table",
 ) -> DataFrame:
     """Curated corpus: rows that pass the rule + quality gates, with exact
     and near duplicates removed (keep the lowest id), optionally with PII
@@ -56,8 +58,22 @@ def curate(
         base = (validate_df(base, rule, mode="verdict")
                 .filter(F.col("valid")).drop("valid"))
 
-    # ONE projection: quality ratios + language id
-    q = T.quality_features(base, text_col).withColumn("lang", T.lang_id(F.col(text_col)))
+    # quality ratios + language id. Two shapes for the language stage:
+    # - 'fused': per-row HOF argmax in the same projection (zero shuffle,
+    #   but each language score re-filters the token array through the
+    #   interpreted higher-order functions);
+    # - 'table': explode->one-groupBy lang_id_table + join back (token
+    #   stream materialized once, at the price of a corpus-sized shuffle).
+    # Measured on the curate path (SCALING.md "curate language stage"):
+    # 'table' wins ~2x at both 5k and 100k docs — the 5-language HOF
+    # re-evaluation costs more than the token shuffle, the same lesson as
+    # minhash/simhash — so it is the default; 'fused' remains for
+    # shuffle-constrained deployments.
+    if lang_strategy == "table":
+        q = T.quality_features(base, text_col).join(
+            T.lang_id_table(base, id_col, text_col, out_col="lang"), id_col)
+    else:
+        q = T.quality_features(base, text_col).withColumn("lang", T.lang_id(F.col(text_col)))
     keep = F.col("q_alpha_ratio") >= F.lit(float(min_alpha_ratio))
     if langs:
         keep = keep & F.col("lang").isin(*langs)
