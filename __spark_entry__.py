@@ -422,6 +422,24 @@ def _q_dedup_components(spark, sf_dir):
     return dedup.connected_components(edges)
 
 
+def _q_dedup_components_star(spark, sf_dir):
+    """Same component problem through the large-star/small-star formulation
+    (dedup.connected_components_star, O(log n) rounds): identical labeling,
+    identical recursive-CTE oracle — the scale-path variant is driver-checked
+    against the same ground truth as the label-propagation default."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    sh = d.select("doc_id", dedup.shingles(F.col("text"), n=3, max_shingles=4096).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("doc_a"),
+                  F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = a.join(b, "doc_a")
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)))
+    edges = j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")) \
+        .filter(F.col("jaccard") >= 0.28)
+    return dedup.connected_components(edges, algorithm="star")
+
+
 def _q_cast_union(spark, sf_dir):
     """Combiner cast (xema.ex:1078-1147): anyOf[integer, number] over a
     string column — first subschema whose cast succeeds wins (coalesce)."""
@@ -679,6 +697,34 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, q, k=10, n_cells=16, n_probe=4)
 
 
+def _q_ann_ivf_trained(spark, sf_dir):
+    """IVF with Lloyd-refined centroids (similarity.train_ivf_centroids):
+    2 rounds of assign->elementwise-mean over the corpus, components rounded
+    to 6 decimals per round so DuckDB replays the ENTIRE training loop plus
+    the search bit-for-bit (assignment via the same rounded-cos argmax,
+    means via per-(cell,pos) avg)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, iters=2)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3,
+                               centroids=cents)
+
+
+def _q_ann_ivf_bcast(spark, sf_dir):
+    """The IVF broadcast-centroid path (inline_max_literals=1 forces the
+    1-row broadcast-array shape used when n_cells*dim would blow up the
+    plan): identical math, identical oracle as ann_ivf — so BOTH plan
+    shapes are value-checked by the driver."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return similarity.ivf_topk(emb, q, k=10, n_cells=16, n_probe=4,
+                               inline_max_literals=1)
+
+
 def _q_ann_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k — oracle-checked: deterministic literal
     hyperplanes, band-bucket candidate join, cosine rounded to 6 decimals
@@ -772,7 +818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_tuple_items": _q_v_tuple_items,
         "v_multi_rule": _q_v_multi_rule,
         "dedup_components": _q_dedup_components,
+        "dedup_components_star": _q_dedup_components_star,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_bcast": _q_ann_ivf_bcast,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "sim_near_dups": _q_sim_near_dups,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
@@ -1163,6 +1212,83 @@ def _pipeline_oracle_sql(min_alpha: float = 0.81, max_top: float = 0.15,
         FROM f3 WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
 
 
+def _ivf_trained_oracle_sql(k: int = 10, n_cells: int = 8, n_probe: int = 3,
+                            n_queries: int = 3, iters: int = 2,
+                            dim: int = 64) -> str:
+    """DuckDB replica of _q_ann_ivf_trained: the full Lloyd loop (seed =
+    n_cells smallest ids; per round: rounded-cos argmax assignment ->
+    per-(cell,pos) avg rounded to 6 -> rebuilt centroid arrays, empty cells
+    keep their previous centroid) followed by the IVF search. Assignment
+    CTEs are AS MATERIALIZED — each is referenced downstream and DuckDB
+    would otherwise re-expand the whole upstream tree per reference."""
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b})) + 1e-12), 6)")
+    parts = [f"""
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cid, v AS cvec FROM emb
+               ORDER BY vec_id LIMIT {n_cells})"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f"""
+        s{i} AS MATERIALIZED (
+          SELECT e.vec_id, c.cid, {cos.format(a='e.v', b='c.cvec')} AS cos
+          FROM emb e CROSS JOIN {prev} c
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid DESC) AS rn
+            FROM s{i}) WHERE rn = 1
+        ),
+        m{i} AS (
+          SELECT a.cell, t.i AS pos, round(avg(e.v[t.i]), 6) AS m
+          FROM a{i} a JOIN emb e USING (vec_id), range(1, {dim + 1}) t(i)
+          GROUP BY a.cell, t.i
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT c.cid, coalesce(n.vec, c.cvec) AS cvec
+          FROM {prev} c LEFT JOIN (
+            SELECT cell AS cid, list(m ORDER BY pos) AS vec
+            FROM m{i} GROUP BY cell) n USING (cid)
+        )""")
+    cf = f"c{iters}"
+    parts.append(f"""
+        scored AS MATERIALIZED (
+          SELECT e.vec_id, c.cid, {cos.format(a='e.v', b='c.cvec')} AS cos
+          FROM emb e CROSS JOIN {cf} c
+        ),
+        ranked AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid DESC) AS rn
+          FROM scored
+        ),
+        assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS q_id, cid AS cell FROM ranked
+          WHERE vec_id < {n_queries} AND rn <= {n_probe}
+        ),
+        cand AS (
+          SELECT p.q_id, a.vec_id,
+                 {cos.format(a='ec.v', b='eq.v')} AS cos
+          FROM probes p
+          JOIN assign a ON a.cell = p.cell
+          JOIN emb ec ON ec.vec_id = a.vec_id
+          JOIN emb eq ON eq.vec_id = p.q_id
+        )
+        SELECT q_id, vec_id, cos, rank FROM (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM cand
+        ) WHERE rank <= {k}""")
+    return ",".join(parts)
+
+
 def _ivf_oracle_sql(k: int = 10, n_cells: int = 16, n_probe: int = 4,
                     n_queries: int = 3) -> str:
     """DuckDB replica of _q_ann_ivf: centroid scoring, argmax cell
@@ -1212,7 +1338,7 @@ def _ivf_oracle_sql(k: int = 10, n_cells: int = 16, n_probe: int = 4,
 def oracle_sql() -> dict[str, str]:
     norm = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
     toks = "string_split(text, ' ')"
-    return {
+    out = {
         "v_enum_lang": f"""
             SELECT doc_id,
                    (lang IS NULL OR lang IN ('en','de','fr','es','it')) AS valid
@@ -1721,3 +1847,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag""",
         "pipeline_curate": _pipeline_oracle_sql(),
     }
+    # variant queries share their base query's ground truth: the star CC
+    # formulation must produce the identical labeling, and the IVF
+    # broadcast-centroid plan the identical top-k — one oracle checks both
+    # plan shapes
+    out["dedup_components_star"] = out["dedup_components"]
+    out["ann_ivf_bcast"] = out["ann_ivf"]
+    out["ann_ivf_trained"] = _ivf_trained_oracle_sql()
+    return out

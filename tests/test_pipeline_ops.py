@@ -366,3 +366,35 @@ def test_star_cc_equivalent_to_label_propagation(spark):
             for r in dedup.connected_components_star(chain, max_iter=12).collect()}
     assert set(comp) == set(range(64))
     assert set(comp.values()) == {0}
+
+
+def test_ivf_trained_centroids_improve_recall(spark):
+    """Lloyd-refined centroids must (a) keep the same cid set, (b) be
+    deterministic, and (c) not hurt recall vs seed centroids on the test
+    embeddings."""
+    from pyspark.sql import functions as F
+
+    from xema_spark import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = similarity.train_ivf_centroids(emb, n_cells=8, iters=2)
+    again = similarity.train_ivf_centroids(emb, n_cells=8, iters=2)
+    assert cents == again                       # deterministic
+    assert [c for c, _ in cents] == list(range(8))
+    dim = len(cents[0][1])
+    assert all(len(v) == dim for _, v in cents)
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r["q_id"], r["vec_id"])
+             for r in similarity.brute_force_topk(emb, q, k=10).collect()}
+
+    def recall(centroids):
+        got = {(r["q_id"], r["vec_id"]) for r in similarity.ivf_topk(
+            emb, q, k=10, n_cells=8, n_probe=3, centroids=centroids).collect()}
+        return len(exact & got) / len(exact)
+
+    seed = [(int(r[0]), [float(x) for x in r[1]]) for r in
+            emb.orderBy("vec_id").limit(8).collect()]
+    assert recall(cents) >= recall(seed) - 0.05  # refined never much worse

@@ -259,14 +259,17 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     for i in range(max_iter):
         nbr = (edges.join(labels, edges["src"] == labels["node"])
                .select(F.col("dst").alias("node"), F.col("lbl")))
-        # min-label is monotone non-increasing, so an unchanged sum(lbl)
+        # labels only ever decrease (monotone), so an unchanged checksum
         # across rounds proves an unchanged label set — the checksum rides
         # on the localCheckpoint materialization job via observe (no
-        # separate count action per round)
+        # separate count action per round). Each hash term is reduced mod
+        # 2^31-1 BEFORE the sum: raw sum(xxhash64)/sum(id) overflows long
+        # under ANSI at scale (reduced terms stay < 2^31, so 2^32 rows fit)
         obs = Observation(f"cc_label_{i}")
         labels = (nbr.unionByName(labels.select("node", "lbl"))
                   .groupBy("node").agg(F.min("lbl").alias("lbl"))
-                  .observe(obs, F.sum("lbl").alias("s"))
+                  .observe(obs, F.sum(F.pmod(F.xxhash64("node", "lbl"),
+                                             F.lit((1 << 31) - 1))).alias("s"))
                   .localCheckpoint())
         cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
@@ -325,7 +328,9 @@ def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
                  .filter(F.col("u") != F.col("v")).distinct()
                  .observe(obs,
                           F.count(F.lit(1)).alias("n"),
-                          F.sum(F.xxhash64("u", "v")).alias("h"))
+                          # mod-reduced terms keep the sum ANSI-overflow-free
+                          F.sum(F.pmod(F.xxhash64("u", "v"),
+                                       F.lit((1 << 31) - 1))).alias("h"))
                  .localCheckpoint())
         cur = (obs.get["n"], obs.get["h"])
         if cur == prev:

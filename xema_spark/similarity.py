@@ -119,16 +119,62 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16, iters: int = 2,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        round_decimals: int = 6) -> list[tuple[int, list[float]]]:
+    """Lloyd-refine IVF centroids: seed with the n_cells smallest ids, then
+    `iters` rounds of (assign each vector to its max-cosine cell -> new
+    centroid = elementwise mean of the cell's members). Returns
+    [(cid, vec)] for ivf_topk(centroids=...).
+
+    Scale shape: each round is ONE pass over the corpus — cell assignment is
+    the same literal/broadcast scoring ivf_topk uses, and the elementwise
+    mean is posexplode(vec) -> groupBy(cell, pos) avg -> rebuild (dim is
+    bounded, the exploded frame is |corpus| x dim rows with full partial
+    aggregation). Only n_cells x dim numbers ever reach the driver per
+    round. Components are rounded to `round_decimals` after each round so
+    the whole training loop is deterministic double math an external oracle
+    (DuckDB) can replay; cells that lose all members keep their previous
+    centroid (standard Lloyd degenerate-cell handling)."""
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in
+             corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()]
+    if not cents:
+        raise ValueError("train_ivf_centroids: corpus has no rows")
+    for _ in range(iters):
+        scores = F.array(*[
+            F.struct(F.round(cosine(F.col(vec_col),
+                                    F.array(*[F.lit(x) for x in cvec])), 6).alias("cos"),
+                     F.lit(cid).alias("cid"))
+            for cid, cvec in cents
+        ])
+        # stage the score array through a projection first: struct field
+        # aliases inside a raw expression aren't resolved for getField
+        assigned = (corpus.withColumn("__scores", scores)
+                    .select(F.array_max("__scores").getField("cid").alias("cell"),
+                            F.posexplode(F.col(vec_col)).alias("pos", "val")))
+        rows = (assigned.groupBy("cell", "pos")
+                .agg(F.round(F.avg("val"), round_decimals).alias("m"))
+                .groupBy("cell")
+                .agg(F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"]).alias("vec"))
+                .collect())
+        new = {int(r["cell"]): [float(x) for x in r["vec"]] for r in rows}
+        cents = [(cid, new.get(cid, cvec)) for cid, cvec in cents]
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-             inline_max_literals: int = 4096) -> DataFrame:
+             inline_max_literals: int = 4096,
+             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into n_cells
-    Voronoi cells (by cosine) around deterministic sampled centroids — the
-    n_cells smallest ids; at real scale swap in kmeans||-trained centroids,
-    the plumbing is identical — then each query scans only its n_probe
-    nearest cells instead of the full corpus.
+    Voronoi cells (by cosine) around deterministic centroids — the n_cells
+    smallest ids by default, or pass centroids=train_ivf_centroids(...) for
+    Lloyd-refined cells — then each query scans only its n_probe nearest
+    cells instead of the full corpus.
 
     Scale shape: centroids are collected once (n_cells rows). When
     n_cells*dim <= inline_max_literals they are inlined as plan literals, so
@@ -144,10 +190,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     top-k window runs over candidates only, never the whole corpus.
     Everything is deterministic double math — DuckDB can replay it
     bit-for-bit (ties broken by cos DESC, cid DESC)."""
-    cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    if not cent_rows:
-        raise ValueError("ivf_topk: corpus has no rows to draw centroids from")
-    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    if centroids is not None:
+        cents = [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids]
+        if not cents:
+            raise ValueError("ivf_topk: empty centroid list")
+    else:
+        cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+        if not cent_rows:
+            raise ValueError("ivf_topk: corpus has no rows to draw centroids from")
+        cents = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
     dim = len(cents[0][1])
 
     if len(cents) * dim <= inline_max_literals:
