@@ -5,12 +5,13 @@ entry()    — flagship single-pass validation over sf0.001, returning per-row
              deterministically from the flat documents table.
 queries()  — one entry per implemented operator family (SURVEY.md §2 +
              training-pipeline ops); each callable takes (spark, sf_dir).
-oracle_sql() — DuckDB-equivalent ANSI SQL for EVERY query (55/55): column
+oracle_sql() — DuckDB-equivalent ANSI SQL for EVERY query (60/60): column
              names/aliases match EXACTLY; doubles rounded identically on
              both sides. Hash-chain queries use the portable md5-derived
              flavor; generated-input queries re-derive the closed-form
              corpus from range(n) arithmetic; LSH/IVF queries inline the
-             deterministic hyperplane/centroid literals.
+             deterministic hyperplane/centroid literals (the Lloyd-trained
+             IVF oracle replays the full training loop in SQL).
 
 All engine-side queries are ANSI-mode-safe (the driver session has
 spark.sql.ansi.enabled=true): every fallible cast/parse goes through
@@ -697,6 +698,28 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, q, k=10, n_cells=16, n_probe=4)
 
 
+def _q_sample_stratified(spark, sf_dir):
+    """Reproducible stratified sampling (sampling.py): membership is a pure
+    hash filter — hash(doc_id, salt) under a per-stratum threshold — so the
+    exact sample set is engine-independent and DuckDB re-derives it row for
+    row (portable md5 flavor)."""
+    from xema_spark import sampling
+
+    d = _docs(spark, sf_dir, "doc_id", "lang")
+    return sampling.stratified_deterministic_sample(
+        d, "doc_id", "lang", {"en": 1.0, "de": 0.5, "fr": 0.25},
+        default_rate=0.1, salt="v1", hash_fn="portable") \
+        .select("doc_id", "lang")
+
+
+def _q_text_top_tokens(spark, sf_dir):
+    """Corpus vocabulary heavy-hitters: explode->one groupBy->TakeOrdered
+    top-k with a token tie-break; DuckDB unnests the same token stream."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    return text.top_tokens(d, k=30).select(
+        "token", F.col("n").cast("long").alias("n"))
+
+
 def _q_ann_ivf_trained(spark, sf_dir):
     """IVF with Lloyd-refined centroids (similarity.train_ivf_centroids):
     2 rounds of assign->elementwise-mean over the corpus, components rounded
@@ -822,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_bcast": _q_ann_ivf_bcast,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "sample_stratified": _q_sample_stratified,
+        "text_top_tokens": _q_text_top_tokens,
         "sim_near_dups": _q_sim_near_dups,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_features": _q_multimodal_features,
@@ -1854,4 +1879,21 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_components_star"] = out["dedup_components"]
     out["ann_ivf_bcast"] = out["ann_ivf"]
     out["ann_ivf_trained"] = _ivf_trained_oracle_sql()
+    # thresholds computed with the SAME python expression sampling.py uses,
+    # so int() truncation can never diverge between engine and oracle
+    from xema_spark.dedup import _P31 as _P
+    _h31 = "(('0x' || substr(md5(doc_id::VARCHAR || '|v1'), 1, 15))::BIGINT % 2147483647)"
+    out["sample_stratified"] = f"""
+        SELECT doc_id, lang FROM {_T}
+        WHERE {_h31} < CASE lang
+            WHEN 'en' THEN {int(1.0 * _P)}
+            WHEN 'de' THEN {int(0.5 * _P)}
+            WHEN 'fr' THEN {int(0.25 * _P)}
+            ELSE {int(0.1 * _P)} END"""
+    out["text_top_tokens"] = f"""
+        SELECT token, count(*)::BIGINT AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> '')) AS token
+          FROM {_T})
+        GROUP BY token ORDER BY n DESC, token LIMIT 30"""
     return out

@@ -398,3 +398,21 @@ def test_ivf_trained_centroids_improve_recall(spark):
     seed = [(int(r[0]), [float(x) for x in r[1]]) for r in
             emb.orderBy("vec_id").limit(8).collect()]
     assert recall(cents) >= recall(seed) - 0.05  # refined never much worse
+
+
+def test_top_tokens_take_ordered(spark):
+    """Vocabulary heavy-hitters: correct counts, deterministic tie-break,
+    and a TakeOrderedAndProject plan (per-task heap, no global sort)."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(1, "a b b c c c"), (2, "c a A  b")], ["doc_id", "text"])
+    out = text.top_tokens(df, k=2).collect()
+    assert [(r["token"], r["n"]) for r in out] == [("c", 4), ("a", 3)]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        text.top_tokens(df, k=2).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan

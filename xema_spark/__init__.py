@@ -35,6 +35,10 @@ from xema_spark.compiler import (
 from xema_spark.cast import cast_and_validate, cast_df
 from xema_spark.pipeline import curate
 from xema_spark.runner import read_verdicts, run_validation
+from xema_spark.sampling import (
+    deterministic_sample,
+    stratified_deterministic_sample,
+)
 
 __all__ = [
     "normalize_rule",
@@ -55,6 +59,8 @@ __all__ = [
     "run_validation",
     "read_verdicts",
     "curate",
+    "deterministic_sample",
+    "stratified_deterministic_sample",
 ]
 
 __version__ = "0.1.0"

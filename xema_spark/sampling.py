@@ -1,0 +1,58 @@
+"""Reproducible sampling for training-data mixes.
+
+`df.sample()` is seed-dependent on partitioning and Spark version; a
+training pipeline that wants the SAME subset on every rerun (and an
+auditable membership rule per doc) needs content-addressed sampling: a doc
+is in the sample iff hash(doc_id, salt) falls below the rate threshold.
+That makes sampling a pure filter — no shuffle, pushdown-friendly, stable
+under repartitioning, and resumable for free (membership is a function of
+the row, not of execution order).
+
+The 'portable' flavor uses the md5-derived 31-bit hash (dedup.portable_hash31)
+so an external SQL engine reproduces the exact membership set; 'xxhash64'
+is the cheaper production default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from xema_spark.dedup import _P31, portable_hash31
+
+
+def _bucket31(col: Column, salt: str, hash_fn: str) -> Column:
+    keyed = F.concat(col.cast("string"), F.lit("|" + salt))
+    if hash_fn == "portable":
+        return portable_hash31(keyed)
+    return F.pmod(F.xxhash64(keyed), F.lit(_P31))
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float,
+                         salt: str = "v1",
+                         hash_fn: str = "xxhash64") -> DataFrame:
+    """Keep ~rate of rows, membership decided by hash(id, salt) — identical
+    set on every run/cluster/partitioning. Change `salt` to draw an
+    independent sample; keep it to reproduce one."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    thr = int(rate * _P31)
+    return df.filter(_bucket31(F.col(id_col), salt, hash_fn) < F.lit(thr))
+
+
+def stratified_deterministic_sample(df: DataFrame, id_col: str,
+                                    strata_col: str, rates: dict[str, float],
+                                    default_rate: float = 0.0,
+                                    salt: str = "v1",
+                                    hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-stratum rates (e.g. {'en': 1.0, 'de': 0.3}): the up/down-sampling
+    step of a training-mix recipe, still a pure filter — the rate threshold
+    is a CASE over the stratum column, the membership hash is shared, so a
+    doc's inclusion at rate r implies inclusion at every r' > r (nested
+    samples: raising a stratum's rate only ADDS docs — stable curricula)."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
+    thr: Column = F.lit(int(default_rate * _P31))
+    for s, r in rates.items():
+        thr = F.when(F.col(strata_col) == s, F.lit(int(r * _P31))).otherwise(thr)
+    return df.filter(_bucket31(F.col(id_col), salt, hash_fn) < thr)

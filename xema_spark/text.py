@@ -130,6 +130,20 @@ def lang_id_table(df: DataFrame, id_col: str, text_col: str = "text",
             .select(id_col, F.coalesce(out_col, F.lit("und")).alias(out_col)))
 
 
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50,
+               min_len: int = 1) -> DataFrame:
+    """Corpus-level token frequency top-k (the vocabulary / heavy-hitters
+    view a data mix needs): explode tokens once, ONE partial-aggregated
+    groupBy(token), then orderBy+limit — which compiles to
+    TakeOrderedAndProject (per-task k-row heap, no global sort). Ties break
+    on the token string so the k-th place is deterministic for oracle
+    comparison."""
+    t = df.select(F.explode(tokens(F.col(text_col))).alias("token")) \
+        .filter(F.length("token") >= min_len)
+    return (t.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("token")).limit(k))
+
+
 def normalize_text(col: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse non-alnum."""
     return F.regexp_replace(F.lower(col), r"[^a-z0-9]+", "")
