@@ -115,3 +115,45 @@ def test_stateful_key_verdicts(spark, tmp_path):
     assert len(got) == 4
     for r in got:
         assert (r["n_rows"], r["n_valid"]) == truth[r["key"]]
+
+
+def test_micro_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch_id whose lineage
+    already landed must be skipped (no duplicate rows in the committed
+    view); a crash BEFORE the lineage append leaves orphans invisible and
+    a reattempt under the same batch_id commits cleanly."""
+    from xema_spark.runner import read_verdicts
+    from xema_spark.streaming import commit_micro_batch
+
+    out = str(tmp_path / "replay_out")
+    docs = gen_documents(spark, 100).select("doc_id", "spans")
+
+    rid1 = commit_micro_batch(docs, 0, FLAGSHIP_RULE, out, n_buckets=4)
+    assert rid1 and rid1.startswith("stream-b000000000-")
+    assert read_verdicts(spark, out).count() == 100
+
+    # full replay of the same batch_id -> detected via lineage, skipped
+    assert commit_micro_batch(docs, 0, FLAGSHIP_RULE, out, n_buckets=4) is None
+    assert read_verdicts(spark, out).count() == 100
+
+    # crash-window simulation for batch 1: verdicts written, no lineage
+    from pyspark.sql import functions as F2
+
+    from xema_spark.compiler import compile_rule
+    from xema_spark.rules import normalize_rule
+    from xema_spark.runner import enrich_verdicts
+    from pyspark.sql import types as T2
+    rule_n = normalize_rule(FLAGSHIP_RULE)
+    dtype = T2.StructType([T2.StructField(f.name, f.dataType) for f in docs.schema.fields])
+    compiled = compile_rule(rule_n, F2.struct(*[F2.col(c) for c in docs.columns]), dtype)
+    (enrich_verdicts(docs, compiled, 4)
+     .withColumn("run_id", F2.lit("stream-b000000001-dead00"))
+     .repartition(4, "bucket")
+     .write.mode("append").partitionBy("run_id", "bucket")
+     .parquet(f"{out}/verdicts"))
+    assert read_verdicts(spark, out).count() == 100  # orphans invisible
+
+    # reattempt commits under a fresh uuid; orphan stays invisible
+    rid2 = commit_micro_batch(docs, 1, FLAGSHIP_RULE, out, n_buckets=4)
+    assert rid2 and rid2 != "stream-b000000001-dead00"
+    assert read_verdicts(spark, out).count() == 200

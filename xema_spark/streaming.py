@@ -110,6 +110,22 @@ def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
     Returns the configured DataStreamWriter — the caller picks the trigger
     and calls .start() (e.g. `.trigger(availableNow=True).start()`), which
     keeps trigger policy out of the library."""
+    rule_n = normalize_rule(rule)
+    meta_validate(rule_n)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_micro_batch(batch_df, batch_id, rule_n, output_dir, n_buckets)
+
+    return (stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir))
+
+
+def commit_micro_batch(batch_df: DataFrame, batch_id: int, rule: dict,
+                       output_dir: str, n_buckets: int = 64) -> str | None:
+    """One micro-batch through the batch runner's commit protocol. Returns
+    the committed run_id, or None when this batch_id was already committed
+    (foreachBatch replay after a crash past the lineage append). Module-level
+    so the replay-idempotence path is directly testable."""
     import os
     import time
     import uuid
@@ -119,33 +135,28 @@ def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
     from xema_spark.runner import commit_lineage, enrich_verdicts
 
     rule_n = normalize_rule(rule)
-    meta_validate(rule_n)
     verdict_dir = os.path.join(output_dir, "verdicts")
     lineage_dir = os.path.join(output_dir, "lineage")
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prefix = f"stream-b{batch_id:09d}"
-        try:
-            already = (spark.read.parquet(lineage_dir)
-                       .filter(F.col("run_id").startswith(prefix))
-                       .limit(1).count() > 0)
-        except Exception:
-            already = False  # no lineage yet — first commit ever
-        if already:
-            return  # replayed micro-batch that was fully committed
-        run_id = f"{prefix}-{uuid.uuid4().hex[:6]}"
-        dtype = T.StructType([T.StructField(f.name, f.dataType)
-                              for f in batch_df.schema.fields])
-        col = F.struct(*[F.col(c) for c in batch_df.columns])
-        compiled = compile_rule(rule_n, col, dtype)
-        t0 = time.time()
-        (enrich_verdicts(batch_df, compiled, n_buckets)
-         .withColumn("run_id", F.lit(run_id))
-         .repartition(n_buckets, "bucket")
-         .write.mode("append").partitionBy("run_id", "bucket")
-         .parquet(verdict_dir))
-        commit_lineage(spark, output_dir, run_id, time.time() - t0)
-
-    return (stream_df.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", checkpoint_dir))
+    spark = batch_df.sparkSession
+    prefix = f"stream-b{batch_id:09d}"
+    try:
+        already = (spark.read.parquet(lineage_dir)
+                   .filter(F.col("run_id").startswith(prefix))
+                   .limit(1).count() > 0)
+    except Exception:
+        already = False  # no lineage yet — first commit ever
+    if already:
+        return None  # replayed micro-batch that was fully committed
+    run_id = f"{prefix}-{uuid.uuid4().hex[:6]}"
+    dtype = T.StructType([T.StructField(f.name, f.dataType)
+                          for f in batch_df.schema.fields])
+    col = F.struct(*[F.col(c) for c in batch_df.columns])
+    compiled = compile_rule(rule_n, col, dtype)
+    t0 = time.time()
+    (enrich_verdicts(batch_df, compiled, n_buckets)
+     .withColumn("run_id", F.lit(run_id))
+     .repartition(n_buckets, "bucket")
+     .write.mode("append").partitionBy("run_id", "bucket")
+     .parquet(verdict_dir))
+    commit_lineage(spark, output_dir, run_id, time.time() - t0)
+    return run_id
