@@ -262,14 +262,10 @@ def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str = "text",
     from xema_spark.dedup import portable_hash31
 
     norm = F.substring(normalize_text(F.col(text_col)), 1, 32768)
-    n_grams = F.greatest(F.lit(0), F.length(norm) - F.lit(k - 1))
-    # sequence(1, 0) defaults to step -1 and yields [1, 0] — a text shorter
-    # than k would produce two bogus truncated grams (only masked downstream
-    # when w > 2), so gate the empty case explicitly
-    grams = F.when(n_grams >= 1,
-                   F.transform(F.sequence(F.lit(1), n_grams),
-                               lambda i: norm.substr(i, F.lit(k)))) \
-        .otherwise(F.array().cast("array<string>"))
+    # one lookahead-regex scan yields every overlapping k-gram in order in
+    # O(len) (vs O(len^2) substr-by-index), and is empty — not [1,0]-bogus —
+    # for texts shorter than k, which also closes the sequence(1,0) hazard
+    grams = F.regexp_extract_all(norm, F.lit(f"(?=(.{{{k}}}))"), 1)
     g = (df.select(F.col(id_col).alias("doc"), grams.alias("g"))
          .filter(F.size("g") >= w)
          .select("doc", F.posexplode("g").alias("pos", "gram")))
