@@ -569,10 +569,19 @@ def main() -> None:
     levels: list[dict] = []
     efficiency = scan_eff = None
     control: dict = {}
+    scale_error = None
     skip_scale = os.environ.get("XEMA_BENCH_SKIP_SCALE") == "1"
     if not skip_scale:
-        control = cpu_control(SCALE_LEVELS)
-        levels = run_scaling_interleaved(SCALE_LEVELS, SCALE_N, SCALE_REPS)
+        # the scaling phase must never cost the round its bench artifact: a
+        # dead worker JVM degrades the output to headline-only JSON (with
+        # the error recorded) instead of a traceback and no parseable line
+        try:
+            control = cpu_control(SCALE_LEVELS)
+            levels = run_scaling_interleaved(SCALE_LEVELS, SCALE_N, SCALE_REPS)
+        except Exception as exc:  # noqa: BLE001
+            scale_error = f"{type(exc).__name__}: {exc}"[:200]
+            skip_scale, levels = True, []
+    if not skip_scale:
         append_history(levels, control)
         minima = history_minima()
         factor = SCALE_LEVELS[1] / SCALE_LEVELS[0]
@@ -601,8 +610,16 @@ def main() -> None:
                           queries, minima, primary_eff, primary_basis)
         headline = levels[1]
     else:
-        minima = None
-        primary_eff = primary_basis = None
+        # even without a fresh scaling phase the cross-run minima still
+        # carry the gate figure (the estimator is history-based by design)
+        minima = history_minima() if scale_error else None
+        if minima is not None:
+            primary_eff = minima["efficiency_scan"]
+            primary_basis = ("per-level minima, %d runs / %s reps (THIS run's "
+                             "scaling phase failed: %s)"
+                             % (minima["n_runs"], minima["n_reps"], scale_error))
+        else:
+            primary_eff = primary_basis = None
         headline = {"elapsed_sec": None, "n_docs": n_docs, "docs_per_sec": None}
 
     # The final printed line is the DRIVER CONTRACT and must stay compact
@@ -640,7 +657,12 @@ def main() -> None:
             "history_minima": minima,
             "cpu_control_efficiency": control.get("efficiency"),
             "detail": "raw reps + health in BENCH/history.jsonl; prose in BENCH/BASELINE.md",
-        } if levels else None,
+        } if levels else ({
+            "efficiency_n_to_4n": round(primary_eff, 3) if primary_eff else None,
+            "efficiency_basis": primary_basis,
+            "scale_phase_error": scale_error,
+            "history_minima": minima,
+        } if scale_error else None),
     }
     line = json.dumps(result)
     if len(line) >= 2048 and result["scaling"]:
