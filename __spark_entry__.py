@@ -656,6 +656,40 @@ def _q_drift_group_quantiles(spark, sf_dir):
                     *[F.round(F.col(c), 6).alias(c) for c in ("q25", "q50", "q75")])
 
 
+def _q_v_map_keywords(spark, sf_dir):
+    """Open-map keywords (min/max_properties, pattern_properties,
+    property_names, additional_properties) on a REAL MapType column with a
+    data-dependent key set — the map compile branch end-to-end, not just
+    pytest fixtures. The map carries 2 constant keys plus 'big' (present
+    iff n_chars>300, value 'y' iff n_chars>400) and 'Bad!' (present iff
+    lang='de'), so the verdict discriminates per doc and DuckDB re-derives
+    it from the same conditions."""
+    d = _docs(spark, sf_dir, "doc_id", "lang", "source", "n_chars")
+    meta = F.map_filter(
+        F.create_map(
+            F.lit("lang"), F.col("lang"),
+            F.lit("source"), F.col("source"),
+            F.lit("big"), F.when(F.col("n_chars") > 300,
+                                 F.when(F.col("n_chars") > 400, F.lit("y"))
+                                 .otherwise(F.lit("n"))),
+            F.lit("Bad!"), F.when(F.col("lang") == "de", F.lit("x")),
+        ),
+        lambda _k, v: v.isNotNull())
+    df = d.select("doc_id", meta.alias("meta"))
+    rule = {"type": "object", "properties": {"meta": {
+        "type": "object",
+        "minProperties": 3,
+        "maxProperties": 3,
+        "properties": {"lang": {"minLength": 2}},
+        "patternProperties": {"^big$": {"const": "y"}},
+        "propertyNames": {"pattern": "^[a-z]+$"},
+        "additionalProperties": {"minLength": 1},
+    }}}
+    v = validate_df(df, rule, mode="verdict")
+    return v.select("doc_id", F.col("valid"),
+                    F.size(F.map_keys("meta")).alias("n_keys"))
+
+
 def _q_v_multi_rule(spark, sf_dir):
     """validate_many fusion: N rule documents evaluated in ONE projection /
     one scan (the 100TB-side point: k validation passes must not mean k
@@ -840,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_custom_validator": _q_v_custom_validator,
         "v_tuple_items": _q_v_tuple_items,
         "v_multi_rule": _q_v_multi_rule,
+        "v_map_keywords": _q_v_map_keywords,
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
         "ann_ivf": _q_ann_ivf,
@@ -1896,4 +1931,18 @@ def oracle_sql() -> dict[str, str]:
                                     t -> t <> '')) AS token
           FROM {_T})
         GROUP BY token ORDER BY n DESC, token LIMIT 30"""
+    # map-keyword semantics re-derived from the same key-presence conditions
+    # the query builds the map from: keys = {lang, source} ∪ {big iff
+    # n_chars>600 (value 'y' iff >900)} ∪ {Bad! iff lang='de'}
+    _nk = ("(2 + CASE WHEN n_chars > 300 THEN 1 ELSE 0 END"
+           " + CASE WHEN lang = 'de' THEN 1 ELSE 0 END)")
+    out["v_map_keywords"] = f"""
+        SELECT doc_id,
+               ({_nk} BETWEEN 3 AND 3
+                AND (n_chars <= 300 OR n_chars > 400)
+                AND lang <> 'de'
+                AND length(lang) >= 2
+                AND length(source) >= 1) AS valid,
+               {_nk}::INT AS n_keys
+        FROM {_T}"""
     return out
