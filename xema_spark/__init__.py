@@ -32,6 +32,7 @@ from xema_spark.compiler import (
     validate_df,
     validate_many,
 )
+from xema_spark import builder
 from xema_spark.cast import cast_and_validate, cast_df
 from xema_spark.pipeline import curate
 from xema_spark.runner import read_verdicts, run_validation
@@ -54,6 +55,7 @@ __all__ = [
     "explode_violations",
     "Compiled",
     "VIOLATION_ARRAY_TYPE",
+    "builder",
     "cast_df",
     "cast_and_validate",
     "run_validation",
