@@ -5,7 +5,7 @@ entry()    — flagship single-pass validation over sf0.001, returning per-row
              deterministically from the flat documents table.
 queries()  — one entry per implemented operator family (SURVEY.md §2 +
              training-pipeline ops); each callable takes (spark, sf_dir).
-oracle_sql() — DuckDB-equivalent ANSI SQL for EVERY query (60/60): column
+oracle_sql() — DuckDB-equivalent ANSI SQL for EVERY query (63/63): column
              names/aliases match EXACTLY; doubles rounded identically on
              both sides. Hash-chain queries use the portable md5-derived
              flavor; generated-input queries re-derive the closed-form
@@ -656,6 +656,42 @@ def _q_drift_group_quantiles(spark, sf_dir):
                     *[F.round(F.col(c), 6).alias(c) for c in ("q25", "q50", "q75")])
 
 
+def _q_v_ref_inline(spark, sf_dir):
+    """$ref/definitions through the compile-time inliner
+    (behaviour.ex:160-223 analogue) on the data path: both property rules
+    arrive as local JSON pointers and must behave exactly like the inlined
+    dicts — DuckDB re-derives the verdict from the pointed-to semantics."""
+    d = _docs(spark, sf_dir, "doc_id", "text", "lang")
+    rule = {
+        "type": "object",
+        "definitions": {"short_text": {"type": "string", "maxLength": 300},
+                        "western": {"enum": ["en", "de", "fr"]}},
+        "properties": {"text": {"$ref": "#/definitions/short_text"},
+                       "lang": {"$ref": "#/definitions/western"}},
+        "required": ["text", "lang"],
+    }
+    return validate_df(d, rule, mode="verdict").select("doc_id", "valid")
+
+
+def _q_v_fail_mode_early(spark, sf_dir):
+    """:early fail mode on the data path (behaviour.ex:95): per doc, only
+    the FIRST failing keyword group survives — both min_length violations
+    when either string is short (same keyword group), the pattern violation
+    only when no min_length failed. DuckDB re-derives the kept rows from
+    the same precedence."""
+    from xema_spark.compiler import explode_violations
+
+    d = _docs(spark, sf_dir, "doc_id", "text", "source", "lang")
+    rule = {"type": "object", "properties": {
+        "text": {"type": "string", "minLength": 150},
+        "source": {"type": "string", "minLength": 5},
+        "lang": {"type": "string", "pattern": "^(en|de)$"},
+    }}
+    v = validate_df(d, rule, mode="early")
+    return explode_violations(v.filter(~F.col("valid")), ["doc_id"]) \
+        .select("doc_id", "path", "keyword")
+
+
 def _q_v_map_keywords(spark, sf_dir):
     """Open-map keywords (min/max_properties, pattern_properties,
     property_names, additional_properties) on a REAL MapType column with a
@@ -875,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_tuple_items": _q_v_tuple_items,
         "v_multi_rule": _q_v_multi_rule,
         "v_map_keywords": _q_v_map_keywords,
+        "v_ref_inline": _q_v_ref_inline,
+        "v_fail_mode_early": _q_v_fail_mode_early,
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
         "ann_ivf": _q_ann_ivf,
@@ -1931,6 +1969,26 @@ def oracle_sql() -> dict[str, str]:
                                     t -> t <> '')) AS token
           FROM {_T})
         GROUP BY token ORDER BY n DESC, token LIMIT 30"""
+    out["v_ref_inline"] = f"""
+        SELECT doc_id,
+               (text IS NOT NULL AND length(text) <= 300
+                AND lang IN ('en', 'de', 'fr')) AS valid
+        FROM {_T}"""
+    out["v_fail_mode_early"] = f"""
+        WITH flags AS (
+          SELECT doc_id,
+                 (text IS NOT NULL AND length(text) < 150) AS f_text,
+                 (source IS NOT NULL AND length(source) < 5) AS f_source,
+                 (lang IS NOT NULL
+                  AND NOT regexp_matches(lang, '^(en|de)$')) AS f_lang
+          FROM {_T})
+        SELECT doc_id, '$.text' AS path, 'min_length' AS keyword
+        FROM flags WHERE f_text
+        UNION ALL
+        SELECT doc_id, '$.source', 'min_length' FROM flags WHERE f_source
+        UNION ALL
+        SELECT doc_id, '$.lang', 'pattern'
+        FROM flags WHERE f_lang AND NOT f_text AND NOT f_source"""
     # map-keyword semantics re-derived from the same key-presence conditions
     # the query builds the map from: keys = {lang, source} ∪ {big iff
     # n_chars>600 (value 'y' iff >900)} ∪ {Bad! iff lang='de'}
