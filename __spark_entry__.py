@@ -1992,15 +1992,17 @@ def oracle_sql() -> dict[str, str]:
     # map-keyword semantics re-derived from the same key-presence conditions
     # the query builds the map from: keys = {lang, source} ∪ {big iff
     # n_chars>600 (value 'y' iff >900)} ∪ {Bad! iff lang='de'}
-    _nk = ("(2 + CASE WHEN n_chars > 300 THEN 1 ELSE 0 END"
+    _nk = ("(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END"
+           " + CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END"
+           " + CASE WHEN n_chars > 300 THEN 1 ELSE 0 END"
            " + CASE WHEN lang = 'de' THEN 1 ELSE 0 END)")
     out["v_map_keywords"] = f"""
         SELECT doc_id,
                ({_nk} BETWEEN 3 AND 3
                 AND (n_chars <= 300 OR n_chars > 400)
-                AND lang <> 'de'
-                AND length(lang) >= 2
-                AND length(source) >= 1) AS valid,
+                AND (lang IS NULL OR lang <> 'de')
+                AND (lang IS NULL OR length(lang) >= 2)
+                AND (source IS NULL OR length(source) >= 1)) AS valid,
                {_nk}::INT AS n_keys
         FROM {_T}"""
     return out

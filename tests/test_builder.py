@@ -55,3 +55,20 @@ def test_builder_flagship_equivalent(spark):
                        .withColumnRenamed("valid", "v_dict"),
                        built, mode="verdict")
     assert both.filter(F.col("v_dict") != F.col("valid")).count() == 0
+
+
+def test_builder_const_none_and_rate_guard():
+    """const(None) is the must-be-null rule, not an accept-everything {};
+    sampling validates default_rate like every stratum rate."""
+    import pytest
+
+    assert x.const(None) == {"const": None}
+
+    from xema_spark.sampling import stratified_deterministic_sample
+
+    class _FakeDF:  # rate validation happens before any Spark work
+        pass
+
+    with pytest.raises(ValueError, match="default_rate"):
+        stratified_deterministic_sample(_FakeDF(), "id", "s", {"a": 0.5},
+                                        default_rate=-0.2)

@@ -416,3 +416,19 @@ def test_top_tokens_take_ordered(spark):
         text.top_tokens(df, k=2).explain("formatted")
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_star_cc_string_ids(spark):
+    """algorithm='star' must be a drop-in for string doc ids (the engine's
+    own 'doc-XXXXXXXX' format) — no long cast, lexicographic minima, same
+    labeling as the label variant."""
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("x", "y")],
+        ["doc_a", "doc_b"])
+    star = {r["doc"]: r["component"]
+            for r in dedup.connected_components(pairs, algorithm="star").collect()}
+    lbl = {r["doc"]: r["component"]
+           for r in dedup.connected_components(pairs, algorithm="label").collect()}
+    assert star == lbl
+    assert star["doc-a"] == star["doc-b"] == star["doc-c"] == "doc-a"
+    assert star["x"] == star["y"] == "x"

@@ -157,3 +157,18 @@ def test_micro_batch_replay_idempotent(spark, tmp_path):
     rid2 = commit_micro_batch(docs, 1, FLAGSHIP_RULE, out, n_buckets=4)
     assert rid2 and rid2 != "stream-b000000001-dead00"
     assert read_verdicts(spark, out).count() == 200
+
+
+def test_empty_micro_batch_does_not_crash(spark, tmp_path):
+    """A zero-row first micro-batch (recovery/watermark-only/empty source)
+    must not kill the stream: the commit is a no-op and a following
+    non-empty batch commits normally."""
+    from xema_spark.runner import read_verdicts
+    from xema_spark.streaming import commit_micro_batch
+
+    out = str(tmp_path / "empty_out")
+    docs = gen_documents(spark, 50).select("doc_id", "spans")
+    commit_micro_batch(docs.limit(0), 0, FLAGSHIP_RULE, out, n_buckets=4)
+    rid = commit_micro_batch(docs, 1, FLAGSHIP_RULE, out, n_buckets=4)
+    assert rid is not None
+    assert read_verdicts(spark, out).count() == 50

@@ -107,7 +107,9 @@ def enum(*values, **kw) -> Rule:
 
 
 def const(value, **kw) -> Rule:
-    return _clean(None, dict(const=value, **kw))
+    # const(None) is the must-be-null rule — it must survive _clean's
+    # None-means-absent convention, not silently become {}
+    return {"const": value, **_clean(None, kw)}
 
 
 def any_of(*schemas: Rule, **kw) -> Rule:

@@ -300,8 +300,10 @@ def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
     checksum across a full round proves a fixed point."""
     from pyspark.sql import Observation
 
-    edges = (pairs.select(F.col(a_col).cast("long").alias("u"),
-                          F.col(b_col).cast("long").alias("v"))
+    # ids keep their native type (string doc ids order lexicographically,
+    # exactly as the label variant's F.min does) — casting to long would
+    # crash under ANSI on the engine's own 'doc-XXXXXXXX' id format
+    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
              .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
     nodes = (edges.select(F.col("u").alias("node"))
              .unionByName(edges.select(F.col("v").alias("node")))

@@ -109,7 +109,14 @@ def commit_lineage(spark: SparkSession, output_dir: str, run_id: str,
     read-back job."""
     verdict_dir = os.path.join(output_dir, "verdicts")
     lineage_dir = os.path.join(output_dir, "lineage")
-    this_run = spark.read.parquet(verdict_dir).filter(F.col("run_id") == run_id)
+    try:
+        this_run = spark.read.parquet(verdict_dir) \
+            .filter(F.col("run_id") == run_id)
+    except Exception:
+        # zero-row run (empty corpus / empty micro-batch): the write left
+        # only _SUCCESS, there is nothing to commit and nothing a consumer
+        # could see — an empty lineage is the correct record
+        return []
     new_summary = (this_run.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("valid").cast("long")).alias("n_valid"),

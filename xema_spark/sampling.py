@@ -49,7 +49,7 @@ def stratified_deterministic_sample(df: DataFrame, id_col: str,
     is a CASE over the stratum column, the membership hash is shared, so a
     doc's inclusion at rate r implies inclusion at every r' > r (nested
     samples: raising a stratum's rate only ADDS docs — stable curricula)."""
-    for s, r in rates.items():
+    for s, r in list(rates.items()) + [("default_rate", default_rate)]:
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {s!r} must be in [0,1], got {r}")
     thr: Column = F.lit(int(default_rate * _P31))

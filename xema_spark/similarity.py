@@ -143,7 +143,8 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16, iters: int = 2,
     for _ in range(iters):
         scores = F.array(*[
             F.struct(F.round(cosine(F.col(vec_col),
-                                    F.array(*[F.lit(x) for x in cvec])), 6).alias("cos"),
+                                    F.array(*[F.lit(x) for x in cvec])),
+                             round_decimals).alias("cos"),
                      F.lit(cid).alias("cid"))
             for cid, cvec in cents
         ])

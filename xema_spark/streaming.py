@@ -140,8 +140,11 @@ def commit_micro_batch(batch_df: DataFrame, batch_id: int, rule: dict,
     spark = batch_df.sparkSession
     prefix = f"stream-b{batch_id:09d}"
     try:
+        # the '-' terminator makes the check exact: without it, batch id
+        # 1_000_000_000 (which outgrows the 9-digit padding) would
+        # prefix-match batch 100_000_000's rows and be silently dropped
         already = (spark.read.parquet(lineage_dir)
-                   .filter(F.col("run_id").startswith(prefix))
+                   .filter(F.col("run_id").startswith(prefix + "-"))
                    .limit(1).count() > 0)
     except Exception:
         already = False  # no lineage yet — first commit ever
