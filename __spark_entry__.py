@@ -674,18 +674,21 @@ def _q_v_ref_inline(spark, sf_dir):
 
 
 def _q_v_fail_mode_early(spark, sf_dir):
-    """:early fail mode on the data path (behaviour.ex:95): per doc, only
-    the FIRST failing keyword group survives — both min_length violations
-    when either string is short (same keyword group), the pattern violation
-    only when no min_length failed. DuckDB re-derives the kept rows from
-    the same precedence."""
+    """:early fail mode on the data path (behaviour.ex:95, ADVICE r3): per
+    doc, EVERY failing property is kept (they all belong to the single
+    all_properties with-chain step, validator.ex:797-827), but each
+    property's own chain truncates to its first failing step — text's
+    min_length (rank 10) shadows its pattern (rank 12), lang's enum
+    (default-keyword rank, before string keywords) shadows its pattern.
+    DuckDB re-derives the kept rows from the same per-property precedence."""
     from xema_spark.compiler import explode_violations
 
     d = _docs(spark, sf_dir, "doc_id", "text", "source", "lang")
     rule = {"type": "object", "properties": {
-        "text": {"type": "string", "minLength": 150},
+        "text": {"type": "string", "minLength": 150, "pattern": "q"},
         "source": {"type": "string", "minLength": 5},
-        "lang": {"type": "string", "pattern": "^(en|de)$"},
+        "lang": {"type": "string", "enum": ["en", "de", "zh"],
+                 "pattern": "^(en|de)$"},
     }}
     v = validate_df(d, rule, mode="early")
     return explode_violations(v.filter(~F.col("valid")), ["doc_id"]) \
@@ -862,24 +865,42 @@ def _q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver stamps a CORRECTNESS row for only the FIRST
+    # 50 entries each round. Policy (VERDICT r3 directive #1): the flagship
+    # stays pinned at slot 1 permanently; queries that have never had (or
+    # lost) a driver row come next; the tail (>50) holds keyword/cast
+    # micro-queries that were driver-green in BOTH r2 and r3 and whose
+    # semantics are unchanged — they stay oracle-checked every round by
+    # tests/test_entry_oracle.py regardless of the driver window.
     return {
+        # -- pinned flagship (north-rule headline, never rotate out) --
+        "flagship_interleaved": _q_flagship_interleaved,
+        # -- never driver-stamped before r4 (VERDICT r3 "What's missing" #1) --
+        "pipeline_curate": _q_pipeline_curate,
+        "stats_worst_partitions": _q_stats_worst_partitions,
+        "violations_sample": _q_violations_sample,
+        "drift_group_quantiles": _q_drift_group_quantiles,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf_trained": _q_ann_ivf_trained,
+        "sample_stratified": _q_sample_stratified,
+        "text_top_tokens": _q_text_top_tokens,
+        # -- r3-evicted, back in the window --
+        "referential_spans": _q_referential_spans,
+        "sim_near_dups": _q_sim_near_dups,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
+        # -- changed this round (must re-stamp) --
+        "v_fail_mode_early": _q_v_fail_mode_early,
+        "dedup_components": _q_dedup_components,
+        "dedup_components_star": _q_dedup_components_star,
         # keyword validation (oracle-checked)
         "v_enum_lang": _q_v_enum_lang,
         "v_range_nchars": _q_v_range_nchars,
-        "v_exclusive_range": _q_v_exclusive_range,
         "v_strlen_pattern": _q_v_strlen_pattern,
-        "v_array_items": _q_v_array_items,
-        "v_contains": _q_v_contains,
-        "v_unique_items": _q_v_unique_items,
-        "v_one_of": _q_v_one_of,
-        "v_if_then_else": _q_v_if_then_else,
         "v_required_dependencies": _q_v_required_dependencies,
-        "v_format_ipv4": _q_v_format_ipv4,
-        "v_format_date": _q_v_format_date,
         "violations_explode": _q_violations_explode,
         "v_json_dynamic": _q_v_json_dynamic,
         "cast_pipeline": _q_cast_pipeline,
-        "v_not_allof": _q_v_not_allof,
         "drift_quantile": _q_drift_quantile,
         "dedup_jaccard_consecutive": _q_dedup_jaccard_consecutive,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
@@ -902,34 +923,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_threshold": _q_sim_knn_threshold,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        # cast extensions + custom hooks + tuple items (oracle-checked)
-        "cast_union": _q_cast_union,
-        "cast_decimal": _q_cast_decimal,
-        "cast_delete": _q_cast_delete,
-        "cast_custom": _q_cast_custom,
+        "ann_ivf": _q_ann_ivf,
+        "ann_ivf_bcast": _q_ann_ivf_bcast,
+        # custom hooks + multi-rule + map/ref keywords
         "v_custom_validator": _q_v_custom_validator,
         "v_tuple_items": _q_v_tuple_items,
         "v_multi_rule": _q_v_multi_rule,
         "v_map_keywords": _q_v_map_keywords,
         "v_ref_inline": _q_v_ref_inline,
-        "v_fail_mode_early": _q_v_fail_mode_early,
-        "dedup_components": _q_dedup_components,
-        "dedup_components_star": _q_dedup_components_star,
-        "ann_ivf": _q_ann_ivf,
-        "ann_ivf_bcast": _q_ann_ivf_bcast,
-        "ann_ivf_trained": _q_ann_ivf_trained,
-        "sample_stratified": _q_sample_stratified,
-        "text_top_tokens": _q_text_top_tokens,
-        "sim_near_dups": _q_sim_near_dups,
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_features": _q_multimodal_features,
-        "flagship_interleaved": _q_flagship_interleaved,
-        "referential_spans": _q_referential_spans,
-        "ann_topk": _q_ann_topk,
-        "stats_worst_partitions": _q_stats_worst_partitions,
-        "violations_sample": _q_violations_sample,
-        "drift_group_quantiles": _q_drift_group_quantiles,
-        "pipeline_curate": _q_pipeline_curate,
+        # ---- tail (beyond the driver's 50-query window): driver-green in
+        # r2 AND r3, semantics untouched since; still oracle-checked in CI --
+        "v_exclusive_range": _q_v_exclusive_range,
+        "v_format_ipv4": _q_v_format_ipv4,
+        "v_format_date": _q_v_format_date,
+        "v_array_items": _q_v_array_items,
+        "v_contains": _q_v_contains,
+        "v_unique_items": _q_v_unique_items,
+        "v_one_of": _q_v_one_of,
+        "v_if_then_else": _q_v_if_then_else,
+        "v_not_allof": _q_v_not_allof,
+        "cast_union": _q_cast_union,
+        "cast_decimal": _q_cast_decimal,
+        "cast_delete": _q_cast_delete,
+        "cast_custom": _q_cast_custom,
     }
 
 
@@ -1202,7 +1218,7 @@ def _pipeline_oracle_sql(min_alpha: float = 0.81, max_top: float = 0.15,
     toks = ("list_filter(string_split_regex(lower(text), '\\s+'), "
             "x -> x <> '')")
     return f"""
-        WITH docs0 AS (
+        WITH RECURSIVE docs0 AS (
           SELECT doc_id, text FROM documents
           UNION ALL
           SELECT doc_id + 1000000, text || ' zqx vbnm plka qwrt'
@@ -1296,8 +1312,8 @@ def _pipeline_oracle_sql(min_alpha: float = 0.81, max_top: float = 0.15,
           FROM sized a JOIN sized b USING (band, bucket)
           WHERE a.doc_id < b.doc_id AND a.c <= {max_bucket}
         ),
-        losers AS MATERIALIZED (
-          SELECT DISTINCT greatest(doc_a, doc_b) AS doc_id FROM (
+        verified AS MATERIALIZED (
+          SELECT doc_a, doc_b FROM (
             SELECT doc_a, doc_b,
                    round(len(list_intersect(sa.g, sb.g))::DOUBLE /
                          greatest(len(list_distinct(sa.g || sb.g)), 1), 6) AS jaccard
@@ -1305,6 +1321,23 @@ def _pipeline_oracle_sql(min_alpha: float = 0.81, max_top: float = 0.15,
             JOIN sh sa ON sa.doc_id = cand.doc_a
             JOIN sh sb ON sb.doc_id = cand.doc_b
           ) WHERE jaccard >= {jac_threshold}
+        ),
+        -- transitive dedupe (curate's transitive=True default): verified
+        -- pairs -> connected components by reachability, survivor = the
+        -- component's min id, exactly dedup.connected_components
+        cc_edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM verified
+          UNION
+          SELECT doc_b, doc_a FROM verified
+        ),
+        reach(node, r) AS (
+          SELECT src, src FROM cc_edges
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN cc_edges e ON e.src = reach.node
+        ),
+        losers AS MATERIALIZED (
+          SELECT node AS doc_id FROM reach GROUP BY node
+          HAVING min(r) <> node
         )
         SELECT doc_id, lang, q_alpha_ratio, top_ngram_frac
         FROM f3 WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
@@ -1975,23 +2008,28 @@ def oracle_sql() -> dict[str, str]:
                 AND lang IN ('en', 'de', 'fr')) AS valid
         FROM {_T}"""
     out["v_fail_mode_early"] = f"""
-        WITH flags AS (
-          SELECT doc_id,
-                 (text IS NOT NULL AND length(text) < 150) AS f_text,
-                 (source IS NOT NULL AND length(source) < 5) AS f_source,
-                 (lang IS NOT NULL
-                  AND NOT regexp_matches(lang, '^(en|de)$')) AS f_lang
-          FROM {_T})
-        SELECT doc_id, '$.text' AS path, 'min_length' AS keyword
-        FROM flags WHERE f_text
+        -- every failing property is kept (one all_properties step); within
+        -- a property the earlier chain step shadows the later one
+        SELECT doc_id, '$.text' AS path,
+               CASE WHEN length(text) < 150 THEN 'min_length'
+                    ELSE 'pattern' END AS keyword
+        FROM {_T}
+        WHERE text IS NOT NULL
+          AND (length(text) < 150 OR NOT regexp_matches(text, 'q'))
         UNION ALL
-        SELECT doc_id, '$.source', 'min_length' FROM flags WHERE f_source
+        SELECT doc_id, '$.source', 'min_length'
+        FROM {_T} WHERE source IS NOT NULL AND length(source) < 5
         UNION ALL
-        SELECT doc_id, '$.lang', 'pattern'
-        FROM flags WHERE f_lang AND NOT f_text AND NOT f_source"""
+        SELECT doc_id, '$.lang',
+               CASE WHEN lang NOT IN ('en','de','zh') THEN 'enum'
+                    ELSE 'pattern' END
+        FROM {_T}
+        WHERE lang IS NOT NULL
+          AND (lang NOT IN ('en','de','zh')
+               OR NOT regexp_matches(lang, '^(en|de)$'))"""
     # map-keyword semantics re-derived from the same key-presence conditions
     # the query builds the map from: keys = {lang, source} ∪ {big iff
-    # n_chars>600 (value 'y' iff >900)} ∪ {Bad! iff lang='de'}
+    # n_chars>300 (value 'y' iff >400)} ∪ {Bad! iff lang='de'}
     _nk = ("(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END"
            " + CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END"
            " + CASE WHEN n_chars > 300 THEN 1 ELSE 0 END"

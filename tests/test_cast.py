@@ -155,17 +155,21 @@ def test_fail_mode_early_vs_finally(spark):
     assert early_rows["violations"][0]["keyword"] == finally_rows["violations"][0]["keyword"]
     assert "violations" not in imm.columns and imm.collect()[0]["valid"] is False
 
-    # keyword-group semantics: two properties failing the SAME keyword are
-    # both kept by :early (the reference reports every error of the failing
-    # with-chain step), while the later differing keyword is dropped
+    # with-chain GROUP semantics (ADVICE r3): every per-property subtree is
+    # part of the single all_properties step (validator.ex:797-827), so
+    # :early keeps ALL failing properties — a minLength error on `a` does
+    # NOT shadow a maximum error on `b` — while each property's own chain
+    # still truncates internally (c fails maximum AND multipleOf -> only
+    # maximum survives, number chain order validator.ex:201-207).
     df2 = spark.createDataFrame([Row(a="x", b="y", c=5)])
     rule2 = {"type": "object", "properties": {
-        "a": {"minLength": 3}, "b": {"minLength": 3}, "c": {"maximum": 1}}}
+        "a": {"minLength": 3}, "b": {"minLength": 3},
+        "c": {"maximum": 1, "multipleOf": 7}}}
     fin2 = validate_df(df2, rule2, mode="finally").collect()[0]
     early2 = validate_df(df2, rule2, mode="early").collect()[0]
-    assert len(fin2["violations"]) == 3
-    assert len(early2["violations"]) == 2
-    assert {v["keyword"] for v in early2["violations"]} == {"min_length"}
+    assert len(fin2["violations"]) == 4
+    assert len(early2["violations"]) == 3
+    assert {v["keyword"] for v in early2["violations"]} == {"min_length", "maximum"}
 
 
 def test_nested_struct_and_array_cast(spark):
@@ -198,8 +202,11 @@ def test_map_value_cast(spark):
 
 
 def test_fail_mode_early_nested_rule(spark):
-    """:early on a NESTED rule still reports exactly the first failing check
-    (document order = the with-chain's order), not one per nesting level."""
+    """:early truncation is HIERARCHICAL: an earlier with-chain step at the
+    top level (required, rank before all_properties — validator.ex:148-156)
+    shadows every property error; with required satisfied, all failing
+    properties are kept across nesting levels, each property's own node
+    truncated to ITS first failing step."""
     from pyspark.sql import Row
 
     from xema_spark.compiler import validate_df
@@ -207,16 +214,27 @@ def test_fail_mode_early_nested_rule(spark):
     df = spark.createDataFrame([Row(obj=Row(name="x", n=999), tag="nope")])
     rule = {"type": "object", "properties": {
         "obj": {"type": "object", "properties": {
-            "name": {"minLength": 3},
+            "name": {"minLength": 3, "pattern": "^ok"},
             "n": {"maximum": 100}}},
         "tag": {"pattern": "^ok"},
     }}
     fin = validate_df(df, rule, mode="finally").collect()[0]
     early = validate_df(df, rule, mode="early").collect()[0]
-    assert len(fin["violations"]) == 3  # name, n, tag all fail
-    assert len(early["violations"]) == 1
-    assert early["violations"][0] == fin["violations"][0]
-    assert early["violations"][0]["path"].startswith("$.obj")
+    # finally: name.min_length, name.pattern, n.maximum, tag.pattern
+    assert len(fin["violations"]) == 4
+    # early: all_properties collects obj AND tag; within name, min_length
+    # (chain rank 10) shadows pattern (rank 12)
+    assert {(v["path"], v["keyword"]) for v in early["violations"]} == {
+        ("$.obj.name", "min_length"), ("$.obj.n", "maximum"),
+        ("$.tag", "pattern")}
+
+    # a failing earlier step (required precedes all_properties in the map
+    # chain) shadows the whole property step under :early
+    rule_req = dict(rule, required=["missing"])
+    early_req = validate_df(df, rule_req, mode="early").collect()[0]
+    fin_req = validate_df(df, rule_req, mode="finally").collect()[0]
+    assert [v["keyword"] for v in early_req["violations"]] == ["required"]
+    assert len(fin_req["violations"]) == 5
 
 
 def test_composite_defaults_do_not_crash(spark):

@@ -368,6 +368,21 @@ def test_star_cc_equivalent_to_label_propagation(spark):
     assert set(comp.values()) == {0}
 
 
+def test_star_cc_self_loop_only_doc(spark):
+    """A doc appearing ONLY in self-pairs must still get a (doc, doc)
+    component row from BOTH variants — drop-in equivalence (ADVICE r3:
+    star derived its node set after filtering u!=v, losing such docs)."""
+    from xema_spark import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 3), (2, 1), (4, 4), (4, 5)], ["doc_a", "doc_b"])
+    want = {1: 1, 2: 1, 3: 3, 4: 4, 5: 4}
+    for algo in ("label", "star"):
+        got = {r["doc"]: r["component"]
+               for r in dedup.connected_components(pairs, algorithm=algo).collect()}
+        assert got == want, algo
+
+
 def test_ivf_trained_centroids_improve_recall(spark):
     """Lloyd-refined centroids must (a) keep the same cid set, (b) be
     deterministic, and (c) not hurt recall vs seed centroids on the test

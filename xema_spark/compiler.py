@@ -58,7 +58,32 @@ _FLOAT_EPS = 1e-9
 
 # Compile-scoped options (set by validate_df around compile_rule; a module
 # flag avoids threading one more parameter through every recursion site).
-_OPTS = {"exact_graphemes": False}
+# 'early' switches the per-node violation combiner to first-failing-GROUP
+# truncation (the reference's fail: :early with-chains, validator.ex:99-215).
+_OPTS = {"exact_graphemes": False, "early": False}
+
+# With-chain group ranks — one rank per `:ok <-` step of the reference's
+# non-:finally chains, in reference order (validator.ex:99-107 default
+# keywords run BEFORE type-specific ones, :99-215). Checks sharing a rank
+# form ONE chain step: e.g. every per-property subtree is part of the single
+# all_properties step (validator.ex:797-827), so :early keeps ALL failing
+# properties of that step while dropping later steps. :finally ignores ranks
+# entirely (violations stay in compile/append order).
+_G_TYPE = 1
+_G_ENUM = 2
+_G_NOT = 3
+_G_ALL_OF = 4
+_G_ANY_OF = 5
+_G_ONE_OF = 6
+_G_CONST = 7
+_G_IF = 8
+_G_MODULE = 9
+# type-specific steps, 5 slots in chain order (string: min/max_length,
+# pattern, format; number: min, max, ex_max, ex_min, multiple_of; list:
+# min/max_items, unique, items, contains; map: size, keys, required,
+# property_names, dependencies, all_properties)
+_G_T1, _G_T2, _G_T3, _G_T4, _G_T5, _G_PROPS = 10, 11, 12, 13, 14, 15
+_G_VALIDATOR = 99  # custom_validator is the chain's last step (validator.ex:95)
 
 
 def _grapheme_length(col: Column) -> Column:
@@ -127,6 +152,33 @@ def _and_all(parts: list[Compiled]) -> Compiled:
         valid = valid & p.valid
     viols = parts[0].violations if len(parts) == 1 else F.concat(*[p.violations for p in parts])
     return Compiled(valid, viols)
+
+
+def _first_failing_group(checks: list[tuple[int, Compiled]]) -> Column:
+    """Violations of the FIRST failing with-chain step at this node — the
+    reference's fail: :early combiner (behaviour.ex:95, validator.ex:148-169):
+    the chain aborts at the first failing step, but that step keeps every
+    error it collected (e.g. all failing properties under all_properties,
+    all failing items under items). Checks sharing a rank are one step;
+    steps are tried in chain-rank order (stable within a rank, so :finally's
+    append order is preserved inside a step). Nested nodes truncate
+    themselves the same way — their sub-compile already ran in early mode."""
+    if not checks:
+        return _empty_viols()
+    order = sorted(range(len(checks)), key=lambda i: checks[i][0])
+    groups: list[list[Compiled]] = []
+    last_rank: int | None = None
+    for i in order:
+        rank, comp = checks[i]
+        if rank != last_rank:
+            groups.append([])
+            last_rank = rank
+        groups[-1].append(comp)
+    chain = None
+    for comps in groups:
+        g = _and_all(comps)
+        chain = F.when(~g.valid, g.violations) if chain is None else chain.when(~g.valid, g.violations)
+    return chain.otherwise(_empty_viols())
 
 
 def _is_num(x: Any) -> bool:
@@ -296,7 +348,7 @@ def compile_rule(
         target = resolve_pointer(root, rule["ref"])
         return compile_rule(target, col, dtype, path, root, _depth + 1)
 
-    checks: list[Compiled] = []
+    checks: list[tuple[int, Compiled]] = []
 
     # --- type (validator.ex:226-268) ---
     if "type" in rule:
@@ -308,15 +360,15 @@ def compile_rule(
         if "null" in types:
             # explicit nullable union: non-guarded isNull already passes
             pass
-        checks.append(_check(col, pred, path, "type", f"expected type {t!r}"))
+        checks.append((_G_TYPE, _check(col, pred, path, "type", f"expected type {t!r}")))
 
     # --- const / enum (validator.ex:274-292, 346-376) ---
     if "const" in rule:
-        checks.append(_check(col, _const_pred(rule["const"], col, dtype), path, "const",
-                             f"expected const {rule['const']!r}"))
+        checks.append((_G_CONST, _check(col, _const_pred(rule["const"], col, dtype), path, "const",
+                                        f"expected const {rule['const']!r}")))
     if "enum" in rule:
-        checks.append(_check(col, _enum_pred(rule["enum"], col, dtype), path, "enum",
-                             f"value not in enum {rule['enum']!r}"))
+        checks.append((_G_ENUM, _check(col, _enum_pred(rule["enum"], col, dtype), path, "enum",
+                                       f"value not in enum {rule['enum']!r}")))
 
     # --- custom validator hook (validator.ex:1020-1041): a registered
     #     Series->Series function compiled to ONE Arrow-batched pandas UDF,
@@ -333,8 +385,8 @@ def compile_rule(
             return out if isinstance(out, pd.Series) else pd.Series(out)
 
         vudf = F.pandas_udf(_vbatch, T.BooleanType())
-        checks.append(_check(col, vudf(col), path, "validator",
-                             f"custom validator {vname!r} failed"))
+        checks.append((_G_VALIDATOR, _check(col, vudf(col), path, "validator",
+                                            f"custom validator {vname!r} failed")))
 
     # --- numeric bounds (validator.ex:483-562) ---
     if _numeric(dtype):
@@ -345,43 +397,43 @@ def compile_rule(
             strict = ex_min is True  # draft-4 boolean form folds in (validator.ex:511-530)
             pred = (col > F.lit(m)) if strict else (col >= F.lit(m))
             kw = "exclusive_minimum" if strict else "minimum"
-            checks.append(_check(col, pred, path, kw, f"value must be {'>' if strict else '>='} {m}"))
+            checks.append((_G_T1, _check(col, pred, path, kw, f"value must be {'>' if strict else '>='} {m}")))
         if "maximum" in rule:
             m = rule["maximum"]
             strict = ex_max is True
             pred = (col < F.lit(m)) if strict else (col <= F.lit(m))
             kw = "exclusive_maximum" if strict else "maximum"
-            checks.append(_check(col, pred, path, kw, f"value must be {'<' if strict else '<='} {m}"))
+            checks.append((_G_T2, _check(col, pred, path, kw, f"value must be {'<' if strict else '<='} {m}")))
         if _is_num(ex_min):  # draft-6 numeric form (validator.ex:497-509)
-            checks.append(_check(col, col > F.lit(ex_min), path, "exclusive_minimum",
-                                 f"value must be > {ex_min}"))
+            checks.append((_G_T4, _check(col, col > F.lit(ex_min), path, "exclusive_minimum",
+                                          f"value must be > {ex_min}")))
         if _is_num(ex_max):  # (validator.ex:483-495)
-            checks.append(_check(col, col < F.lit(ex_max), path, "exclusive_maximum",
-                                 f"value must be < {ex_max}"))
+            checks.append((_G_T3, _check(col, col < F.lit(ex_max), path, "exclusive_maximum",
+                                          f"value must be < {ex_max}")))
         if "multiple_of" in rule:
             m = rule["multiple_of"]
-            checks.append(_check(col, _multiple_of_pred(m, col, dtype), path, "multiple_of",
-                                 f"value must be a multiple of {m}"))
+            checks.append((_G_T5, _check(col, _multiple_of_pred(m, col, dtype), path, "multiple_of",
+                                          f"value must be a multiple of {m}")))
 
     # --- string keywords (validator.ex:564-596; format validator.ex:1007-1017) ---
     if isinstance(dtype, T.StringType):
         if "min_length" in rule:
             n = rule["min_length"]
-            checks.append(_check(col, _strlen(col) >= n, path, "min_length",
-                                 f"string length must be >= {n}"))
+            checks.append((_G_T1, _check(col, _strlen(col) >= n, path, "min_length",
+                                          f"string length must be >= {n}")))
         if "max_length" in rule:
             n = rule["max_length"]
-            checks.append(_check(col, _strlen(col) <= n, path, "max_length",
-                                 f"string length must be <= {n}"))
+            checks.append((_G_T2, _check(col, _strlen(col) <= n, path, "max_length",
+                                          f"string length must be <= {n}")))
         if "pattern" in rule:
             p = rule["pattern"]
-            checks.append(_check(col, col.rlike(p), path, "pattern",
-                                 f"string must match {p!r}"))
+            checks.append((_G_T3, _check(col, col.rlike(p), path, "pattern",
+                                          f"string must match {p!r}")))
         if "format" in rule:
             fmt = rule["format"]
             pred = _formats.predicate(fmt, col)
             if pred is not None:  # unknown formats pass (validator.ex:1017)
-                checks.append(_check(col, pred, path, "format", f"invalid {fmt}"))
+                checks.append((_G_T4, _check(col, pred, path, "format", f"invalid {fmt}")))
 
     # --- array keywords ---
     if isinstance(dtype, T.ArrayType):
@@ -396,23 +448,23 @@ def compile_rule(
     # --- combiners (validator.ex:388-481) ---
     if "not" in rule:
         sub = compile_rule(rule["not"], col, dtype, path, root, _depth + 1)
-        checks.append(_check(col, ~sub.valid, path, "not", "value must not match schema"))
+        checks.append((_G_NOT, _check(col, ~sub.valid, path, "not", "value must not match schema")))
     if "all_of" in rule:
         subs = [compile_rule(s, col, dtype, path, root, _depth + 1) for s in rule["all_of"]]
-        checks.append(_and_all(subs))
+        checks.append((_G_ALL_OF, _and_all(subs)))
     if "any_of" in rule:
         subs = [compile_rule(s, col, dtype, path, root, _depth + 1) for s in rule["any_of"]]
         pred = subs[0].valid
         for s in subs[1:]:
             pred = pred | s.valid
-        checks.append(_check(col, pred, path, "any_of", "no anyOf branch matched"))
+        checks.append((_G_ANY_OF, _check(col, pred, path, "any_of", "no anyOf branch matched")))
     if "one_of" in rule:
         subs = [compile_rule(s, col, dtype, path, root, _depth + 1) for s in rule["one_of"]]
         total = subs[0].valid.cast("int")
         for s in subs[1:]:
             total = total + s.valid.cast("int")
-        checks.append(_check(col, total == 1, path, "one_of",
-                             "exactly one oneOf branch must match"))
+        checks.append((_G_ONE_OF, _check(col, total == 1, path, "one_of",
+                                         "exactly one oneOf branch must match")))
     if "if" in rule:
         # if/then/else (validator.ex:294-316)
         cif = compile_rule(rule["if"], col, dtype, path, root, _depth + 1)
@@ -422,15 +474,16 @@ def compile_rule(
                  if "else" in rule else Compiled(F.lit(True), _empty_viols()))
         valid = F.when(cif.valid, cthen.valid).otherwise(celse.valid)
         viols = F.when(cif.valid, cthen.violations).otherwise(celse.violations)
-        checks.append(Compiled(_guard(col, valid), F.when(col.isNull(), _empty_viols()).otherwise(viols)))
+        checks.append((_G_IF, Compiled(_guard(col, valid), F.when(col.isNull(), _empty_viols()).otherwise(viols))))
 
-    out = _and_all(checks)
+    out = _and_all([c for _, c in checks])
     valid = _guard(col, out.valid)
     # Violations are gated behind the verdict: higher-order functions are
     # CodegenFallback (interpreted), and CASE WHEN short-circuits per row, so
     # the (heavy) violation-building tree only ever runs for invalid rows —
     # measured 4x on the flagship corpus (~2% invalid).
-    viols = F.when(valid, _empty_viols()).otherwise(out.violations)
+    body = _first_failing_group(checks) if _OPTS["early"] else out.violations
+    viols = F.when(valid, _empty_viols()).otherwise(body)
     return Compiled(valid, viols)
 
 
@@ -439,23 +492,23 @@ def compile_rule(
 # ---------------------------------------------------------------------------
 
 def _compile_array(rule: Rule, col: Column, dtype: T.ArrayType, path: Column,
-                   root: Rule, depth: int) -> list[Compiled]:
-    checks: list[Compiled] = []
+                   root: Rule, depth: int) -> list[tuple[int, Compiled]]:
+    checks: list[tuple[int, Compiled]] = []
     elem_dt = dtype.elementType
 
     if "min_items" in rule:
         n = rule["min_items"]
-        checks.append(_check(col, F.size(col) >= n, path, "min_items",
-                             f"array must have >= {n} items"))
+        checks.append((_G_T1, _check(col, F.size(col) >= n, path, "min_items",
+                                     f"array must have >= {n} items")))
     if "max_items" in rule:
         n = rule["max_items"]
-        checks.append(_check(col, F.size(col) <= n, path, "max_items",
-                             f"array must have <= {n} items"))
+        checks.append((_G_T2, _check(col, F.size(col) <= n, path, "max_items",
+                                     f"array must have <= {n} items")))
     if rule.get("unique_items"):
         # hash-set walk in the reference (validator.ex:618-649) ==
         # distinct-size equality columnar
-        checks.append(_check(col, F.size(col) == F.size(F.array_distinct(col)),
-                             path, "unique_items", "array items must be unique"))
+        checks.append((_G_T3, _check(col, F.size(col) == F.size(F.array_distinct(col)),
+                                     path, "unique_items", "array items must be unique")))
 
     items = rule.get("items")
     if isinstance(items, (dict, bool)) and items is not True:
@@ -471,18 +524,18 @@ def _compile_array(rule: Rule, col: Column, dtype: T.ArrayType, path: Column,
 
         viols = F.flatten(F.transform(col, elem_viols))
         ok = _guard(col, pred)
-        checks.append(Compiled(ok, F.when(col.isNull(), _empty_viols()).otherwise(viols)))
+        checks.append((_G_T4, Compiled(ok, F.when(col.isNull(), _empty_viols()).otherwise(viols))))
     elif isinstance(items, list):
         # tuple form + additional_items (validator.ex:684-692,723-777)
         for i, sub in enumerate(items):
             elem = F.try_element_at(col, F.lit(i + 1))
             p = F.concat(path, F.lit(f"[{i}]"))
-            checks.append(compile_rule(sub, elem, elem_dt, p, root, depth + 1))
+            checks.append((_G_T4, compile_rule(sub, elem, elem_dt, p, root, depth + 1)))
         extra = rule.get("additional_items")
         k = len(items)
         if extra is False:
-            checks.append(_check(col, F.size(col) <= k, path, "additional_items",
-                                 f"no more than {k} items allowed"))
+            checks.append((_G_T4, _check(col, F.size(col) <= k, path, "additional_items",
+                                         f"no more than {k} items allowed")))
         elif isinstance(extra, (dict, bool)) and extra is not True:
             tail = _tail(col, k)
 
@@ -495,7 +548,7 @@ def _compile_array(rule: Rule, col: Column, dtype: T.ArrayType, path: Column,
 
             ok = _guard(col, F.forall(tail, extra_valid))
             viols = F.when(col.isNull(), _empty_viols()).otherwise(F.flatten(F.transform(tail, extra_viols)))
-            checks.append(Compiled(ok, viols))
+            checks.append((_G_T4, Compiled(ok, viols)))
 
     if "contains" in rule:
         # >=1 element valid (validator.ex:651-675). A NULL element is
@@ -508,8 +561,8 @@ def _compile_array(rule: Rule, col: Column, dtype: T.ArrayType, path: Column,
         def any_valid(x: Column) -> Column:
             return x.isNotNull() & compile_rule(sub, x, elem_dt, path, root, depth + 1).valid
 
-        checks.append(_check(col, F.exists(col, any_valid), path, "contains",
-                             "no array item matches contains schema"))
+        checks.append((_G_T5, _check(col, F.exists(col, any_valid), path, "contains",
+                                     "no array item matches contains schema")))
     return checks
 
 
@@ -518,8 +571,8 @@ def _compile_array(rule: Rule, col: Column, dtype: T.ArrayType, path: Column,
 # ---------------------------------------------------------------------------
 
 def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
-                    root: Rule, depth: int) -> list[Compiled]:
-    checks: list[Compiled] = []
+                    root: Rule, depth: int) -> list[tuple[int, Compiled]]:
+    checks: list[tuple[int, Compiled]] = []
     fields = _struct_fields(dtype)
     props: dict[str, Rule] = rule.get("properties", {})
     pattern_props: dict[str, Rule] = rule.get("pattern_properties", {})
@@ -532,14 +585,14 @@ def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
     if "module" in rule:
         expected = _MODULES.get(rule["module"])
         shape_ok = expected is None or _struct_shape_matches(dtype, expected)
-        checks.append(_check(col, F.lit(bool(shape_ok)), path, "module",
-                             f"struct shape does not match module {rule['module']!r}"))
+        checks.append((_G_MODULE, _check(col, F.lit(bool(shape_ok)), path, "module",
+                                         f"struct shape does not match module {rule['module']!r}")))
 
     # properties: absent keys skipped (validator.ex:830-859, 846-849)
     for name, sub in props.items():
         if name in fields:
             p = F.concat(path, F.lit(_quote_path_seg(name)))
-            checks.append(compile_rule(sub, col.getField(name), fields[name], p, root, depth + 1))
+            checks.append((_G_PROPS, compile_rule(sub, col.getField(name), fields[name], p, root, depth + 1)))
         # property declared in rule but not in the physical schema: it can
         # never be present, so nothing to validate (absent => skip).
 
@@ -550,7 +603,7 @@ def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
         for name, fdt in fields.items():
             if cre.search(name):
                 p = F.concat(path, F.lit(_quote_path_seg(name)))
-                checks.append(compile_rule(sub, col.getField(name), fdt, p, root, depth + 1))
+                checks.append((_G_PROPS, compile_rule(sub, col.getField(name), fdt, p, root, depth + 1)))
 
     # required (validator.ex:861-875)
     for name in rule.get("required", []):
@@ -558,7 +611,7 @@ def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
             pred = _struct_present(col, name)
         else:
             pred = F.lit(False)  # physically impossible to satisfy
-        checks.append(_check(col, pred, path, "required", f"required property {name!r} is missing"))
+        checks.append((_G_T3, _check(col, pred, path, "required", f"required property {name!r} is missing")))
 
     # min/max_properties: present == non-null field (validator.ex:877-897)
     if "min_properties" in rule or "max_properties" in rule:
@@ -567,12 +620,12 @@ def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
             n_present = n_present + _struct_present(col, name).cast("int")
         if "min_properties" in rule:
             n = rule["min_properties"]
-            checks.append(_check(col, n_present >= n, path, "min_properties",
-                                 f"object must have >= {n} properties"))
+            checks.append((_G_T1, _check(col, n_present >= n, path, "min_properties",
+                                         f"object must have >= {n} properties")))
         if "max_properties" in rule:
             n = rule["max_properties"]
-            checks.append(_check(col, n_present <= n, path, "max_properties",
-                                 f"object must have <= {n} properties"))
+            checks.append((_G_T1, _check(col, n_present <= n, path, "max_properties",
+                                         f"object must have <= {n} properties")))
 
     # property_names: evaluate the name rule per static field name on the
     # driver (validator.ex:318-344); a field with an invalid name must be absent
@@ -580,8 +633,8 @@ def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
         name_rule = rule["property_names"]
         for name in fields:
             if not _interp.validate_value(name_rule, name, root=root):
-                checks.append(_check(col, ~_struct_present(col, name), path, "property_names",
-                                     f"property name {name!r} is invalid"))
+                checks.append((_G_T4, _check(col, ~_struct_present(col, name), path, "property_names",
+                                             f"property name {name!r} is invalid")))
 
     # additional_properties (validator.ex:919-963): fields beyond
     # properties ∪ pattern_properties
@@ -593,12 +646,12 @@ def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
         for name in undeclared:
             p = F.concat(path, F.lit(_quote_path_seg(name)))
             if extra_rule is False:
-                checks.append(_check(col, ~_struct_present(col, name), path,
-                                     "additional_properties",
-                                     f"additional property {name!r} not allowed"))
+                checks.append((_G_PROPS, _check(col, ~_struct_present(col, name), path,
+                                                "additional_properties",
+                                                f"additional property {name!r} not allowed")))
             else:
-                checks.append(compile_rule(extra_rule, col.getField(name), fields[name],
-                                           p, root, depth + 1))
+                checks.append((_G_PROPS, compile_rule(extra_rule, col.getField(name), fields[name],
+                                                      p, root, depth + 1)))
 
     # dependencies (validator.ex:965-1004)
     for key, dep in rule.get("dependencies", {}).items():
@@ -607,12 +660,12 @@ def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
             need = F.lit(True)
             for d in dep:
                 need = need & (_struct_present(col, d) if d in fields else F.lit(False))
-            checks.append(_check(col, ~has_key | need, path, "dependencies",
-                                 f"property {key!r} requires {dep!r}"))
+            checks.append((_G_T5, _check(col, ~has_key | need, path, "dependencies",
+                                         f"property {key!r} requires {dep!r}")))
         else:
             sub = compile_rule(dep, col, dtype, path, root, depth + 1)
-            checks.append(_check(col, ~has_key | sub.valid, path, "dependencies",
-                                 f"schema dependency of {key!r} not satisfied"))
+            checks.append((_G_T5, _check(col, ~has_key | sub.valid, path, "dependencies",
+                                         f"schema dependency of {key!r} not satisfied")))
     return checks
 
 
@@ -621,28 +674,28 @@ def _compile_struct(rule: Rule, col: Column, dtype: T.StructType, path: Column,
 # ---------------------------------------------------------------------------
 
 def _compile_map(rule: Rule, col: Column, dtype: T.MapType, path: Column,
-                 root: Rule, depth: int) -> list[Compiled]:
-    checks: list[Compiled] = []
+                 root: Rule, depth: int) -> list[tuple[int, Compiled]]:
+    checks: list[tuple[int, Compiled]] = []
     val_dt = dtype.valueType
     props: dict[str, Rule] = rule.get("properties", {})
     pattern_props: dict[str, Rule] = rule.get("pattern_properties", {})
 
     for name, sub in props.items():
         p = F.concat(path, F.lit(_quote_path_seg(name)))
-        checks.append(compile_rule(sub, F.try_element_at(col, F.lit(name)), val_dt, p, root, depth + 1))
+        checks.append((_G_PROPS, compile_rule(sub, F.try_element_at(col, F.lit(name)), val_dt, p, root, depth + 1)))
 
     for name in rule.get("required", []):
-        checks.append(_check(col, F.map_contains_key(col, F.lit(name)), path, "required",
-                             f"required property {name!r} is missing"))
+        checks.append((_G_T3, _check(col, F.map_contains_key(col, F.lit(name)), path, "required",
+                                     f"required property {name!r} is missing")))
 
     if "min_properties" in rule:
         n = rule["min_properties"]
-        checks.append(_check(col, F.size(col) >= n, path, "min_properties",
-                             f"object must have >= {n} properties"))
+        checks.append((_G_T1, _check(col, F.size(col) >= n, path, "min_properties",
+                                     f"object must have >= {n} properties")))
     if "max_properties" in rule:
         n = rule["max_properties"]
-        checks.append(_check(col, F.size(col) <= n, path, "max_properties",
-                             f"object must have <= {n} properties"))
+        checks.append((_G_T1, _check(col, F.size(col) <= n, path, "max_properties",
+                                     f"object must have <= {n} properties")))
 
     def _value_pred(sub_rule: Rule):
         # closure factory, NOT a default-arg lambda: pyspark derives the
@@ -652,9 +705,9 @@ def _compile_map(rule: Rule, col: Column, dtype: T.MapType, path: Column,
 
     for regex, sub in pattern_props.items():
         matched_vals = F.map_values(F.map_filter(col, lambda k, v: k.rlike(regex)))
-        checks.append(_check(col, F.forall(matched_vals, _value_pred(sub)), path,
-                             "pattern_properties",
-                             f"value of key matching {regex!r} is invalid"))
+        checks.append((_G_PROPS, _check(col, F.forall(matched_vals, _value_pred(sub)), path,
+                                        "pattern_properties",
+                                        f"value of key matching {regex!r} is invalid")))
 
     if "property_names" in rule:
         name_rule = rule["property_names"]
@@ -662,8 +715,8 @@ def _compile_map(rule: Rule, col: Column, dtype: T.MapType, path: Column,
         def nv(k: Column) -> Column:
             return compile_rule(name_rule, k, T.StringType(), path, root, depth + 1).valid
 
-        checks.append(_check(col, F.forall(F.map_keys(col), nv), path, "property_names",
-                             "a property name is invalid"))
+        checks.append((_G_T4, _check(col, F.forall(F.map_keys(col), nv), path, "property_names",
+                                     "a property name is invalid")))
 
     extra_rule = rule.get("additional_properties")
     if extra_rule is not None and extra_rule is not True:
@@ -678,14 +731,14 @@ def _compile_map(rule: Rule, col: Column, dtype: T.MapType, path: Column,
 
         extras = F.map_filter(col, is_extra)
         if extra_rule is False:
-            checks.append(_check(col, F.size(extras) == 0, path, "additional_properties",
-                                 "additional properties not allowed"))
+            checks.append((_G_PROPS, _check(col, F.size(extras) == 0, path, "additional_properties",
+                                            "additional properties not allowed")))
         else:
             def ev(x: Column) -> Column:
                 return compile_rule(extra_rule, x, val_dt, path, root, depth + 1).valid
 
-            checks.append(_check(col, F.forall(F.map_values(extras), ev), path,
-                                 "additional_properties", "an additional property is invalid"))
+            checks.append((_G_PROPS, _check(col, F.forall(F.map_values(extras), ev), path,
+                                            "additional_properties", "an additional property is invalid")))
 
     for key, dep in rule.get("dependencies", {}).items():
         has_key = F.map_contains_key(col, F.lit(key))
@@ -693,12 +746,12 @@ def _compile_map(rule: Rule, col: Column, dtype: T.MapType, path: Column,
             need = F.lit(True)
             for d in dep:
                 need = need & F.map_contains_key(col, F.lit(d))
-            checks.append(_check(col, ~has_key | need, path, "dependencies",
-                                 f"property {key!r} requires {dep!r}"))
+            checks.append((_G_T5, _check(col, ~has_key | need, path, "dependencies",
+                                         f"property {key!r} requires {dep!r}")))
         else:
             sub = compile_rule(dep, col, dtype, path, root, depth + 1)
-            checks.append(_check(col, ~has_key | sub.valid, path, "dependencies",
-                                 f"schema dependency of {key!r} not satisfied"))
+            checks.append((_G_T5, _check(col, ~has_key | sub.valid, path, "dependencies",
+                                         f"schema dependency of {key!r} not satisfied")))
     return checks
 
 
@@ -726,9 +779,12 @@ def validate_df(
 
     Reference fail-mode mapping (behaviour.ex:36, validator.ex:121-169):
       :immediately -> 'verdict'     boolean only, no error detail
-      :early       -> 'early'      violations truncated to the FIRST failing
-                                   check per row (the with-chain stops at
-                                   the first error)
+      :early       -> 'early'      per node, only the FIRST failing
+                                   with-chain step's violations survive, but
+                                   that step keeps every error it collected
+                                   (all failing properties/items) — applied
+                                   recursively at each nesting level, exactly
+                                   the reference's aborted with-chains
       :finally     -> 'violations' every violation collected per row
     """
     rule = normalize_rule(rule)
@@ -744,27 +800,21 @@ def validate_df(
     else:
         col = F.col(target)
         dtype = df.schema[target].dataType
-    prev = _OPTS["exact_graphemes"]
+    prev = dict(_OPTS)
     _OPTS["exact_graphemes"] = exact_graphemes
+    # :early is compiled in, not post-filtered: each node's violations become
+    # a CASE chain over its with-chain steps (_first_failing_group), so
+    # nested levels truncate themselves too — a flat keyword/group filter on
+    # the final array cannot express that hierarchy (it either drops sibling
+    # properties' errors of the same failing step or keeps later steps).
+    _OPTS["early"] = mode == "early"
     try:
         compiled = compile_rule(rule, col, dtype)
     finally:
-        _OPTS["exact_graphemes"] = prev
+        _OPTS.update(prev)
     if mode == "verdict":
         return df.withColumn(valid_col, compiled.valid)
-    viols = compiled.violations
-    if mode == "early":
-        # with-chain semantics (behaviour.ex:95, validator.ex:854): the
-        # reference's :early stops at the first failing KEYWORD GROUP but
-        # keeps every error of that group (e.g. all failing properties), so
-        # we keep every violation sharing the first violation's keyword
-        # rather than truncating to one row. The full array is still
-        # computed (columnar evaluation is eager), but the CASE gate behind
-        # `valid` short-circuits valid rows — the filter changes what is
-        # COLLECTED, matching :early vs :finally.
-        first_kw = F.element_at(viols, 1).getField("keyword")
-        viols = F.filter(viols, lambda v: v.getField("keyword") == first_kw)
-    return df.withColumn(valid_col, compiled.valid).withColumn(violations_col, viols)
+    return df.withColumn(valid_col, compiled.valid).withColumn(violations_col, compiled.violations)
 
 
 def validate_many(df: DataFrame, rules: dict[str, Rule],

@@ -259,26 +259,29 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
         .distinct().localCheckpoint()
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("lbl", F.col("node"))
-    prev_sum = None
     for i in range(max_iter):
         nbr = (edges.join(labels, edges["src"] == labels["node"])
                .select(F.col("dst").alias("node"), F.col("lbl")))
-        # labels only ever decrease (monotone), so an unchanged checksum
-        # across rounds proves an unchanged label set — the checksum rides
-        # on the localCheckpoint materialization job via observe (no
-        # separate count action per round). Each hash term is reduced mod
-        # 2^31-1 BEFORE the sum: raw sum(xxhash64)/sum(id) overflows long
-        # under ANSI at scale (reduced terms stay < 2^31, so 2^32 rows fit)
+        # EXACT convergence: the round's own label row is tagged (is_old) so
+        # the same groupBy that computes the new min-label also recovers the
+        # previous one (each node contributes exactly one old row), and the
+        # observed metric is the count of nodes whose label actually changed
+        # this round — zero changes IS a fixed point, no hash-collision
+        # caveat (ADVICE r3: a sum-of-hash checksum could cancel). The count
+        # still rides the localCheckpoint materialization job via observe,
+        # so a k-round run stays k jobs.
         obs = Observation(f"cc_label_{i}")
-        labels = (nbr.unionByName(labels.select("node", "lbl"))
-                  .groupBy("node").agg(F.min("lbl").alias("lbl"))
-                  .observe(obs, F.sum(F.pmod(F.xxhash64("node", "lbl"),
-                                             F.lit((1 << 31) - 1))).alias("s"))
+        merged = (nbr.withColumn("is_old", F.lit(False))
+                  .unionByName(labels.select("node", "lbl")
+                               .withColumn("is_old", F.lit(True))))
+        labels = (merged.groupBy("node")
+                  .agg(F.min("lbl").alias("lbl"),
+                       F.max(F.when(F.col("is_old"), F.col("lbl"))).alias("_prev"))
+                  .observe(obs, F.count_if(F.col("lbl") != F.col("_prev")).alias("changed"))
+                  .drop("_prev")
                   .localCheckpoint())
-        cur_sum = obs.get["s"]
-        if cur_sum == prev_sum:
+        if obs.get["changed"] == 0:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc"), F.col("lbl").alias("component"))
 
 
@@ -294,20 +297,26 @@ def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
 
     Each round is two groupBy(min)+join passes over the EDGE set only;
     convergence is detected from an order-independent checksum
-    (count + sum(xxhash64(u,v))) observed on the same job that
-    materializes the round's edges — no extra per-round action. The edge
-    set only shrinks/rewires toward minima (monotone), so an unchanged
-    checksum across a full round proves a fixed point."""
+    (count + two independently-seeded sum(xxhash64) digests) observed on
+    the same job that materializes the round's edges — no extra per-round
+    action. The edge set only shrinks/rewires toward minima (monotone), so
+    an unchanged checksum across a full round indicates a fixed point with
+    overwhelming probability (a premature stop needs changed edges whose
+    hash-delta sums cancel under BOTH seeds at equal count, ~2^-62 per
+    round — not a proof; the label variant's change-count is exact)."""
     from pyspark.sql import Observation
 
     # ids keep their native type (string doc ids order lexicographically,
     # exactly as the label variant's F.min does) — casting to long would
-    # crash under ANSI on the engine's own 'doc-XXXXXXXX' id format
-    edges = (pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-             .filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
-    nodes = (edges.select(F.col("u").alias("node"))
-             .unionByName(edges.select(F.col("v").alias("node")))
+    # crash under ANSI on the engine's own 'doc-XXXXXXXX' id format.
+    # The node set comes from the UNFILTERED pair frame: a doc appearing
+    # only in self-pairs must still get its (doc, doc) output row, matching
+    # algorithm='label' drop-in (ADVICE r3)
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    nodes = (raw.select(F.col("u").alias("node"))
+             .unionByName(raw.select(F.col("v").alias("node")))
              .distinct().localCheckpoint())
+    edges = (raw.filter(F.col("u") != F.col("v")).distinct().localCheckpoint())
 
     prev = None
     for i in range(max_iter):
@@ -334,11 +343,15 @@ def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
                  .filter(F.col("u") != F.col("v")).distinct()
                  .observe(obs,
                           F.count(F.lit(1)).alias("n"),
-                          # mod-reduced terms keep the sum ANSI-overflow-free
+                          # mod-reduced terms keep the sums ANSI-overflow-free;
+                          # two independent seeds shrink the cancelling-delta
+                          # window to ~2^-62 per round
                           F.sum(F.pmod(F.xxhash64("u", "v"),
-                                       F.lit((1 << 31) - 1))).alias("h"))
+                                       F.lit((1 << 31) - 1))).alias("h"),
+                          F.sum(F.pmod(F.xxhash64(F.lit("s2"), "u", "v"),
+                                       F.lit((1 << 31) - 1))).alias("h2"))
                  .localCheckpoint())
-        cur = (obs.get["n"], obs.get["h"])
+        cur = (obs.get["n"], obs.get["h"], obs.get["h2"])
         if cur == prev:
             break
         prev = cur

@@ -44,6 +44,7 @@ import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.errors import AnalysisException
 
 if __package__ in (None, ""):  # executed as a script (spark-submit runner.py)
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -112,11 +113,18 @@ def commit_lineage(spark: SparkSession, output_dir: str, run_id: str,
     try:
         this_run = spark.read.parquet(verdict_dir) \
             .filter(F.col("run_id") == run_id)
-    except Exception:
+    except AnalysisException as e:
         # zero-row run (empty corpus / empty micro-batch): the write left
-        # only _SUCCESS, there is nothing to commit and nothing a consumer
-        # could see — an empty lineage is the correct record
-        return []
+        # only _SUCCESS (or nothing), there is nothing to commit and nothing
+        # a consumer could see — an empty lineage is the correct record.
+        # ONLY the missing-path / unreadable-empty-dir cases are swallowed;
+        # any other read failure after a non-empty write must fail loudly,
+        # or the written verdicts would be permanently orphaned (ADVICE r3)
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg \
+                or "Path does not exist" in msg:
+            return []
+        raise
     new_summary = (this_run.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("valid").cast("long")).alias("n_valid"),
@@ -165,7 +173,8 @@ def run_validation(
     compiled = compile_rule(rule, col, dtype)
 
     enriched = enrich_verdicts(docs, compiled, n_buckets)
-    if done:
+    fully_resumed = len(done) >= n_buckets
+    if done and not fully_resumed:
         enriched = enriched.filter(~F.col("bucket").isin(*[int(b) for b in done]))
 
     t0 = time.time()
@@ -178,24 +187,32 @@ def run_validation(
     # (zero extra scans — the Spark-native single-pass metric channel).
     from pyspark.sql import Observation
 
-    obs = Observation(f"xema_scan_{run_id}")
-    (enriched.observe(obs,
-                      F.count(F.lit(1)).alias("rows"),
-                      F.sum(F.col("valid").cast("long")).alias("valid"),
-                      F.sum(F.size("violations").cast("long")).alias("violations"))
-     .withColumn("run_id", F.lit(run_id))
-     .repartition(n_buckets, "bucket")
-     .write.mode("append").partitionBy("run_id", "bucket").parquet(verdict_dir))
-    scan_elapsed = time.time() - t0
-    scan_obs = obs.get
+    if fully_resumed:
+        # every bucket already has a lineage row (this run's or another
+        # writer's — streaming and batch share the sidecar): there is no
+        # input left to scan, so skip the pass entirely instead of running
+        # a zero-task write whose Observation would never fire (obs.get
+        # asserts on an unmaterialized observation)
+        scan_elapsed, scan_obs, summary_rows = 0.0, {}, []
+    else:
+        obs = Observation(f"xema_scan_{run_id}")
+        (enriched.observe(obs,
+                          F.count(F.lit(1)).alias("rows"),
+                          F.sum(F.col("valid").cast("long")).alias("valid"),
+                          F.sum(F.size("violations").cast("long")).alias("violations"))
+         .withColumn("run_id", F.lit(run_id))
+         .repartition(n_buckets, "bucket")
+         .write.mode("append").partitionBy("run_id", "bucket").parquet(verdict_dir))
+        scan_elapsed = time.time() - t0
+        scan_obs = obs.get
 
-    # Per-bucket summary of THIS run's rows (partition-pruned read — orphan
-    # files from a crashed attempt carry a different run_id and stay
-    # invisible) appended to the lineage sidecar: the COMMIT that makes this
-    # run's buckets visible to read_verdicts. The (<= n_buckets)-row summary
-    # is materialized once and also feeds the global totals below, so no
-    # read-back aggregation job is needed.
-    summary_rows = commit_lineage(spark, output_dir, run_id, scan_elapsed)
+        # Per-bucket summary of THIS run's rows (partition-pruned read —
+        # orphan files from a crashed attempt carry a different run_id and
+        # stay invisible) appended to the lineage sidecar: the COMMIT that
+        # makes this run's buckets visible to read_verdicts. The
+        # (<= n_buckets)-row summary is materialized once and also feeds the
+        # global totals below, so no read-back aggregation job is needed.
+        summary_rows = commit_lineage(spark, output_dir, run_id, scan_elapsed)
 
     # Everything below reads the COMMITTED view (prior runs + this run).
     # Three consumers (violations, duplicate metric, referential check) scan
@@ -224,8 +241,11 @@ def run_validation(
     n_valid = sum(r["n_valid"] for r in summary_rows)
     n_viol = sum(r["n_violations"] for r in summary_rows)
     if done:  # totals include previously-completed buckets from the sidecar
-        prior = (spark.read.parquet(lineage_dir)
-                 .filter(F.col("run_id") != run_id)
+        prior_lineage = spark.read.parquet(lineage_dir)
+        if not fully_resumed:
+            # rows this attempt just committed are already in summary_rows
+            prior_lineage = prior_lineage.filter(F.col("run_id") != run_id)
+        prior = (prior_lineage
                  .agg(F.sum("n_rows"), F.sum("n_valid"), F.sum("n_violations")).head())
         n_rows += prior[0] or 0
         n_valid += prior[1] or 0
