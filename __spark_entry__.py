@@ -656,6 +656,96 @@ def _q_drift_group_quantiles(spark, sf_dir):
                     *[F.round(F.col(c), 6).alias(c) for c in ("q25", "q50", "q75")])
 
 
+def _drift_oracle_sql() -> str:
+    """DuckDB replay of _q_drift_run_report: both exact stats_profile passes
+    (count / nulls / count-distinct / mean / stddev_samp / quantile_cont ==
+    F.percentile linear interpolation) plus every drift_report score formula
+    with the engine's own eps and tolerances."""
+    probs = "[0.05, 0.25, 0.5, 0.75, 0.95]"
+
+    def prof(side: str, col: str, src: str) -> str:
+        return f"""
+          SELECT '{col}' AS "column", '{side}' AS side,
+                 count({col}::DOUBLE) AS n,
+                 coalesce(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0) AS n_nulls,
+                 count(DISTINCT {col}::DOUBLE) AS nd,
+                 avg({col}::DOUBLE) AS mean,
+                 coalesce(stddev_samp({col}::DOUBLE), 0.0) AS sd,
+                 quantile_cont({col}::DOUBLE, {probs}) AS q
+          FROM {src}"""
+
+    base_src = "documents"
+    cur_src = ("(SELECT * FROM documents "
+               "WHERE lang IN ('en', 'de') AND n_chars <= 400)")
+    parts = [prof("base", c, base_src) for c in ("n_chars", "doc_id")] + \
+            [prof("cur", c, cur_src) for c in ("n_chars", "doc_id")]
+    eps = "1e-09"
+    return f"""
+        WITH prof AS ({" UNION ALL ".join(parts)}),
+        j AS (
+          SELECT b."column",
+                 b.n AS bn, b.n_nulls AS bnull, b.nd AS bnd,
+                 b.mean AS bmean, b.sd AS bsd, b.q AS bq,
+                 c.n AS cn, c.n_nulls AS cnull, c.nd AS cnd,
+                 c.mean AS cmean, c.sd AS csd, c.q AS cq
+          FROM prof b JOIN prof c ON b."column" = c."column"
+          WHERE b.side = 'base' AND c.side = 'cur'),
+        scored AS (
+          SELECT "column", 'mean_shift' AS metric,
+                 bmean AS baseline_value, cmean AS current_value,
+                 abs(cmean - bmean) / ((bsd + csd) / 2 + {eps}) AS score,
+                 0.25 AS tol
+          FROM j
+          UNION ALL
+          SELECT "column", 'null_frac',
+                 bnull / (bn + bnull + {eps}),
+                 cnull / (cn + cnull + {eps}),
+                 abs(cnull / (cn + cnull + {eps})
+                     - bnull / (bn + bnull + {eps})),
+                 0.05
+          FROM j
+          UNION ALL
+          SELECT "column", 'distinct_ratio',
+                 bnd::DOUBLE, cnd::DOUBLE,
+                 greatest(greatest(cnd, 1)::DOUBLE / greatest(bnd, 1),
+                          greatest(bnd, 1)::DOUBLE / greatest(cnd, 1)),
+                 2.0
+          FROM j
+          UNION ALL
+          SELECT "column", 'quantile_shift',
+                 bq[5], cq[5],
+                 greatest(abs(cq[1] - bq[1]), abs(cq[2] - bq[2]),
+                          abs(cq[3] - bq[3]), abs(cq[4] - bq[4]),
+                          abs(cq[5] - bq[5])) / (bq[5] - bq[1] + {eps}),
+                 0.25
+          FROM j)
+        SELECT "column", metric,
+               score > tol AS drifted,
+               round(baseline_value, 6) AS baseline_value,
+               round(current_value, 6) AS current_value,
+               round(score, 6) AS score
+        FROM scored"""
+
+
+def _q_drift_run_report(spark, sf_dir):
+    """Cross-run distribution-drift gate (north_star's 'KLL quantile
+    sketches for distribution-drift checks' at run granularity): profile
+    the baseline corpus and a skewed 'current' slice (short western docs)
+    with stats.stats_profile — ONE agg pass per side — then join the two
+    len(cols)-row profiles into per-(column, metric) drift verdicts.
+    exact=True (count_distinct + F.percentile) so DuckDB replays both
+    profiles and every score formula bit-for-bit."""
+    base_src = _docs(spark, sf_dir, "doc_id", "lang", "n_chars")
+    cur_src = base_src.filter(F.col("lang").isin("en", "de")
+                              & (F.col("n_chars") <= 400))
+    cols = ["n_chars", "doc_id"]
+    base = stats.stats_profile(base_src, cols, exact=True)
+    cur = stats.stats_profile(cur_src, cols, exact=True)
+    return (stats.drift_report(cur, base)
+            .select("column", "metric", "baseline_value", "current_value",
+                    "score", "drifted"))
+
+
 def _q_v_ref_inline(spark, sf_dir):
     """$ref/definitions through the compile-time inliner
     (behaviour.ex:160-223 analogue) on the data path: both property rules
@@ -882,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_group_quantiles": _q_drift_group_quantiles,
         "ann_topk": _q_ann_topk,
         "ann_ivf_trained": _q_ann_ivf_trained,
+        # -- new in r4 --
+        "drift_run_report": _q_drift_run_report,
         "sample_stratified": _q_sample_stratified,
         "text_top_tokens": _q_text_top_tokens,
         # -- r3-evicted, back in the window --
@@ -2007,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
                (text IS NOT NULL AND length(text) <= 300
                 AND lang IN ('en', 'de', 'fr')) AS valid
         FROM {_T}"""
+    out["drift_run_report"] = _drift_oracle_sql()
     out["v_fail_mode_early"] = f"""
         -- every failing property is kept (one all_properties step); within
         -- a property the earlier chain step shadows the later one

@@ -392,41 +392,73 @@ def append_history(levels: list[dict], control: dict) -> None:
         f.write(json.dumps(rec) + "\n")
 
 
-def history_minima() -> dict | None:
-    """Per-level minimum scan/wall across every history record of the SAME
-    job shape (n_docs, partition count, level pair), and the efficiency of
-    those minima."""
+def _history_records() -> list[dict]:
     try:
         with open(HISTORY_PATH) as f:
-            recs = [json.loads(line) for line in f if line.strip()]
+            return [json.loads(line) for line in f if line.strip()]
     except OSError:
-        return None
+        return []
+
+
+def _minima_for(recs: list[dict], n_docs: int, partitions: int,
+                levels: tuple[int, ...]) -> dict | None:
     per: dict[int, dict[str, list[float]]] = {}
     n_runs = 0
     for r in recs:
-        if r.get("n_docs") != SCALE_N or r.get("partitions") != FIXED_PARTITIONS:
+        if r.get("n_docs") != n_docs or r.get("partitions") != partitions:
             continue
-        if sorted(lvl["cpus"] for lvl in r["levels"]) != sorted(SCALE_LEVELS):
+        if sorted(lvl["cpus"] for lvl in r["levels"]) != sorted(levels):
             continue
         n_runs += 1
         for lvl in r["levels"]:
             d = per.setdefault(lvl["cpus"], {"scan": [], "wall": []})
             d["scan"].extend(lvl["all_scan_sec"])
             d["wall"].extend(lvl["all_runs_sec"])
-    if sorted(per) != sorted(SCALE_LEVELS):
+    if sorted(per) != sorted(levels):
         return None
-    lo, hi = SCALE_LEVELS
+    lo, hi = levels
     factor = hi / lo
     return {
+        "n_docs": n_docs,
+        "levels": list(levels),
         "n_runs": n_runs,
-        "n_reps": {str(c): len(per[c]["scan"]) for c in SCALE_LEVELS},
-        "min_scan_sec": {str(c): round(min(per[c]["scan"]), 3) for c in SCALE_LEVELS},
-        "min_wall_sec": {str(c): round(min(per[c]["wall"]), 3) for c in SCALE_LEVELS},
+        "n_reps": {str(c): len(per[c]["scan"]) for c in levels},
+        "min_scan_sec": {str(c): round(min(per[c]["scan"]), 3) for c in levels},
+        "min_wall_sec": {str(c): round(min(per[c]["wall"]), 3) for c in levels},
         "efficiency_scan": round(
             (min(per[lo]["scan"]) / min(per[hi]["scan"])) / factor, 3),
         "efficiency_wall": round(
             (min(per[lo]["wall"]) / min(per[hi]["wall"])) / factor, 3),
     }
+
+
+def history_minima() -> dict | None:
+    """Per-level minimum scan/wall across every history record of the SAME
+    job shape (n_docs, partition count, level pair), and the efficiency of
+    those minima."""
+    return _minima_for(_history_records(), SCALE_N, FIXED_PARTITIONS,
+                       SCALE_LEVELS)
+
+
+def history_minima_all_shapes() -> list[dict]:
+    """Minima pools for EVERY job shape recorded in history — the wider
+    (n_docs, level-pair) experiments (e.g. the 10M-doc e2e-amortization run)
+    stay visible in every regenerated BASELINE.md instead of living only in
+    the round that produced them."""
+    recs = _history_records()
+    shapes: list[tuple[int, int, tuple[int, ...]]] = []
+    for r in recs:
+        shape = (r.get("n_docs"), r.get("partitions"),
+                 tuple(sorted(lvl["cpus"] for lvl in r["levels"])))
+        if None not in shape and shape not in shapes:
+            shapes.append(shape)
+    out = []
+    for n_docs, parts, levels in shapes:
+        m = _minima_for(recs, n_docs, parts, levels)
+        if m is not None:
+            m["partitions"] = parts
+            out.append(m)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -530,16 +562,38 @@ def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
          f"makes this the estimator a single stolen benchmark window cannot "
          f"destroy." if minima else ""),
         "",
-        "**Larger-N sanity point** (measured 2026-08-17, calm window, pinned "
-        "cores 0-7): the same single-pass job on a 10,000,000-doc corpus "
-        "(4.2x the bench input, 512 input partitions, 256 buckets) at "
-        "local[8]: scan 42.4 s = 236k docs/s (within 13% of the 2.4M-doc "
-        "rate) and end-to-end 62.7 s = 160k docs/s — HIGHER end-to-end "
-        "throughput than at 2.4M docs because the fixed per-action latency "
-        "amortizes, exactly the scaling argument above. Reproduce: "
-        "`taskset -c 0-7` + `run_validation(gen_documents(spark, 10_000_000, "
-        "n_partitions=512), FLAGSHIP_RULE, out, assets=gen_assets(spark, "
-        "10_000_000), n_buckets=256)` on local[8].",
+        "**Larger-N end-to-end gate** (measured 2026-08-17 with the full "
+        "interleaved two-JVM protocol, recorded in history.jsonl): the same "
+        "single-pass job on a 10,000,000-doc corpus (4.2x the bench input, "
+        "128 partitions) at local[2] vs local[8]: per-level minima scan "
+        "120.3 s -> 31.7 s (315k docs/s) = scan efficiency **0.948**, "
+        "end-to-end 155.9 s -> 43.1 s (232k docs/s) = **e2e efficiency "
+        "0.904 — the north_rule >= 0.8 criterion clears END-TO-END at this "
+        "input size**, because the fixed per-action latency that bounds the "
+        "2.4M-doc e2e figure amortizes with input volume (the production "
+        "10^12-doc shape is 5 orders of magnitude further in that "
+        "direction). Reproduce: XEMA_BENCH_SCALE_N=10000000 "
+        "python tools/run_scaling_once.py.",
+        "",
+        "## Scaling history minima by job shape",
+        "",
+        "Every scaling run (including wider one-off experiments fired from "
+        "tools/run_scaling_once.py) appends raw reps to BENCH/history.jsonl; "
+        "this table is recomputed from the FULL history at every bench run, "
+        "per job shape. The e2e column is the north_rule's end-to-end "
+        "throughput-scaling figure; larger inputs amortize the fixed "
+        "per-action latency, which is why e2e efficiency rises with n_docs.",
+        "",
+        "| n_docs | partitions | cores lo->hi | runs | reps/level | min scan (s) | scan eff | min e2e (s) | e2e eff |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+        *[
+            (lambda m: f"| {m['n_docs']:,} | {m['partitions']} "
+             f"| {m['levels'][0]}->{m['levels'][1]} | {m['n_runs']} "
+             f"| {m['n_reps']} | {m['min_scan_sec']} "
+             f"| **{m['efficiency_scan']:.3f}** | {m['min_wall_sec']} "
+             f"| **{m['efficiency_wall']:.3f}** |")(m)
+            for m in history_minima_all_shapes()
+        ],
         "",
         "Why N=2 vs 4N=8 cores as the primary pair: this sandbox is a shared-host "
         "VM with intermittent multi-minute steal windows (load avg >6 with zero "

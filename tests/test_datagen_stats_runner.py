@@ -88,6 +88,51 @@ def test_column_stats_and_drift(spark):
     assert stats.quantile_drift(a, b, "x") > 0.1
 
 
+def test_stats_profile_and_cross_run_drift(spark, tmp_path):
+    """Cross-run drift gate: stats_profile (one agg pass, long format) ->
+    sidecar round-trip stamped by run_id -> drift_report scores. A shifted
+    copy must trip mean_shift + quantile_shift; the identical frame must
+    trip nothing (scores 0 / ratio 1)."""
+    docs = gen_documents(spark, N)
+    flat = docs.select(F.explode("spans").alias("s")).select("s.offset")
+    prof = stats.stats_profile(flat, ["offset"], exact=True)
+    row = prof.head()
+    assert row["column"] == "offset" and row["n"] > 0
+    assert list(row["quantiles"]) == sorted(row["quantiles"])
+    assert len(row["quantiles"]) == len(row["q_probs"]) == 5
+
+    # sidecar round-trip: two runs appended, each readable by its run_id
+    out = str(tmp_path / "out")
+    stats.write_stats_sidecar(prof, out, "run-a")
+    shifted = flat.select((F.col("offset") + 500).alias("offset"))
+    stats.write_stats_sidecar(
+        stats.stats_profile(shifted, ["offset"], exact=True), out, "run-b")
+    base = stats.read_stats_sidecar(spark, out, "run-a")
+    cur = stats.read_stats_sidecar(spark, out, "run-b")
+    assert base.count() == cur.count() == 1
+
+    rep = {(r["column"], r["metric"]): r
+           for r in stats.drift_report(cur, base).collect()}
+    assert rep[("offset", "mean_shift")]["drifted"]
+    assert rep[("offset", "quantile_shift")]["drifted"]
+    # +constant shift: distinct count and null fraction unchanged
+    assert not rep[("offset", "distinct_ratio")]["drifted"]
+    assert rep[("offset", "distinct_ratio")]["score"] == 1.0
+    assert not rep[("offset", "null_frac")]["drifted"]
+
+    # self-comparison is drift-free on every metric
+    self_rep = stats.drift_report(base, base).collect()
+    assert all(not r["drifted"] for r in self_rep)
+    assert all(r["score"] == 0.0 for r in self_rep
+               if r["metric"] in ("mean_shift", "null_frac", "quantile_shift"))
+
+    # approx flavor (HLL + percentile_approx sketch) keeps the same shape
+    # and close values — the scale path at 100 TB
+    ap = stats.stats_profile(flat, ["offset"]).head()
+    assert ap["n"] == row["n"]
+    assert abs(ap["mean"] - row["mean"]) < 1e-6
+
+
 def test_worst_partitions_and_violation_sample(spark):
     from xema_spark.compiler import explode_violations, validate_df
     docs = gen_documents(spark, N, n_partitions=8)
@@ -164,6 +209,34 @@ def test_runner_single_pass_and_resume(spark, tmp_path):
     lin = spark.read.parquet(os.path.join(out_res, "lineage"))
     assert lin.select("bucket").distinct().count() == 8
     assert lin.count() == 8
+
+
+def test_runner_profile_sidecar_and_drift_gate(spark, tmp_path):
+    """run_validation(profile_cols=...) writes a run_id-stamped profile
+    sidecar; a second run with drift_baseline_run gates itself against it
+    and reports the drifted (column, metric) count in its metrics + the
+    verdict rows under <out>/drift/."""
+    out = str(tmp_path / "out")
+    docs = gen_documents(spark, 300).withColumn(
+        "n_spans", F.size("spans").cast("long"))
+    m1 = run_validation(spark, docs, FLAGSHIP_RULE, out, n_buckets=4,
+                        resume=False, run_id="run-1",
+                        profile_cols=["n_spans"])
+    assert "drifted_metrics" not in m1
+    assert stats.read_stats_sidecar(spark, out, "run-1").count() == 1
+
+    shifted = docs.withColumn("n_spans", F.col("n_spans") + 50)
+    m2 = run_validation(spark, shifted, FLAGSHIP_RULE, out, n_buckets=4,
+                        resume=False, run_id="run-2",
+                        profile_cols=["n_spans"],
+                        drift_baseline_run="run-1")
+    assert m2["drift_baseline_run"] == "run-1"
+    assert m2["drifted_metrics"] >= 2  # mean_shift + quantile_shift at least
+    rep = spark.read.parquet(os.path.join(out, "drift"))
+    assert rep.filter("run_id = 'run-2' AND drifted").count() \
+        == m2["drifted_metrics"]
+    drifted = {r["metric"] for r in rep.filter("drifted").collect()}
+    assert {"mean_shift", "quantile_shift"} <= drifted
 
 
 def test_runner_crash_window_idempotent(spark, tmp_path):

@@ -40,6 +40,12 @@ from xema_spark.sampling import (
     deterministic_sample,
     stratified_deterministic_sample,
 )
+from xema_spark.stats import (
+    drift_report,
+    read_stats_sidecar,
+    stats_profile,
+    write_stats_sidecar,
+)
 
 __all__ = [
     "normalize_rule",
@@ -63,6 +69,10 @@ __all__ = [
     "curate",
     "deterministic_sample",
     "stratified_deterministic_sample",
+    "stats_profile",
+    "write_stats_sidecar",
+    "read_stats_sidecar",
+    "drift_report",
 ]
 
 __version__ = "0.1.0"

@@ -150,9 +150,19 @@ def run_validation(
     n_buckets: int = 64,
     resume: bool = True,
     run_id: str | None = None,
+    profile_cols: list[str] | None = None,
+    drift_baseline_run: str | None = None,
 ) -> dict:
     """Execute the single-pass job; returns the metrics dict that is also
-    persisted to the lineage sidecar. Idempotent under resume."""
+    persisted to the lineage sidecar. Idempotent under resume.
+
+    profile_cols: opt-in numeric-column profiling — ONE extra agg pass over
+    the input writes a run_id-stamped stats_profile sidecar next to the
+    lineage table. With drift_baseline_run set, the profile is additionally
+    gated against that earlier run's sidecar via stats.drift_report; the
+    per-(column, metric) verdict rows land in <output_dir>/drift/ and the
+    drifted count in the metrics dict — the production loop is "each run
+    profiles itself and gates against run N-1"."""
     rule = normalize_rule(rule)
     meta_validate(rule)
     import uuid
@@ -262,6 +272,23 @@ def run_validation(
         dangling = refs.join(F.broadcast(assets.select("media_ref")), "media_ref", "left_anti")
         metrics["dangling_refs"] = dangling.count()
 
+    if profile_cols:
+        from xema_spark import stats as _stats
+
+        prof = _stats.stats_profile(docs, profile_cols).localCheckpoint()
+        _stats.write_stats_sidecar(prof, output_dir, run_id)
+        if drift_baseline_run is not None:
+            base = _stats.read_stats_sidecar(spark, output_dir,
+                                             drift_baseline_run)
+            report = (_stats.drift_report(prof, base)
+                      .withColumn("run_id", F.lit(run_id))
+                      .withColumn("baseline_run", F.lit(drift_baseline_run))
+                      .localCheckpoint())
+            report.write.mode("append").parquet(
+                os.path.join(output_dir, "drift"))
+            metrics["drifted_metrics"] = report.filter("drifted").count()
+            metrics["drift_baseline_run"] = drift_baseline_run
+
     verdicts.unpersist()
     with open(os.path.join(output_dir, f"metrics_{run_id}.json"), "w") as f:
         json.dump(metrics, f, indent=2)
@@ -282,6 +309,11 @@ def main() -> None:
     p.add_argument("--rule-json", default=None, help="path to JSON-Schema rule file")
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--profile-cols", default=None,
+                   help="comma-separated numeric columns to stats-profile "
+                        "into the run's sidecar")
+    p.add_argument("--drift-baseline", default=None,
+                   help="run_id whose sidecar profile this run gates against")
     args = p.parse_args()
 
     spark = get_spark(app_name="xema_spark_runner")
@@ -291,8 +323,12 @@ def main() -> None:
             rule = json.load(f)
     docs = spark.read.parquet(args.input)
     assets = spark.read.parquet(args.assets) if args.assets else None
-    metrics = run_validation(spark, docs, rule, args.output, assets=assets,
-                             n_buckets=args.buckets, resume=not args.no_resume)
+    metrics = run_validation(
+        spark, docs, rule, args.output, assets=assets,
+        n_buckets=args.buckets, resume=not args.no_resume,
+        profile_cols=(args.profile_cols.split(",") if args.profile_cols
+                      else None),
+        drift_baseline_run=args.drift_baseline)
     print(json.dumps(metrics))
 
 

@@ -150,6 +150,137 @@ def quantile_drift(df_a: DataFrame, df_b: DataFrame, col: str,
     return max(abs(a - b) for a, b in zip(qa, qb)) / iqr
 
 
+def stats_profile(df: DataFrame, cols: list[str],
+                  qs: tuple[float, ...] = (0.05, 0.25, 0.5, 0.75, 0.95),
+                  exact: bool = False, accuracy: int = 10000) -> DataFrame:
+    """Numeric-column profile in ONE aggregation pass, long format: one row
+    per column with (n, n_nulls, n_distinct, mean, stddev, min/max, the
+    quantile vector at `qs`, and the probe vector itself). This is the unit
+    a run persists as its stats sidecar (`write_stats_sidecar`) and the
+    input to cross-run `drift_report`.
+
+    Scale: a single partial+final hash agg over the corpus — distinct via
+    HLL (approx_count_distinct) and quantiles via percentile_approx
+    (KLL-style mergeable sketch) by default, so the 100 TB side reduces to
+    len(cols) rows before anything is shuffled or persisted. `exact=True`
+    switches to count_distinct + F.percentile (exact linear interpolation,
+    == DuckDB quantile_cont) for oracle parity at test scale."""
+    probs = [float(q) for q in qs]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        # try_cast: a non-numeric value profiles as null instead of killing
+        # the whole run under ANSI mode
+        d = F.col(c).try_cast("double")
+        aggs += [
+            F.count(d).alias(f"{c}__n"),
+            F.sum(d.isNull().cast("long")).alias(f"{c}__nulls"),
+            (F.count_distinct(d) if exact
+             else F.approx_count_distinct(d)).alias(f"{c}__distinct"),
+            F.avg(d).alias(f"{c}__mean"),
+            F.coalesce(F.stddev_samp(d), F.lit(0.0)).alias(f"{c}__stddev"),
+            F.min(d).alias(f"{c}__min"),
+            F.max(d).alias(f"{c}__max"),
+            (F.percentile(d, F.array(*[F.lit(p) for p in probs])) if exact
+             else F.percentile_approx(d, probs, accuracy)).alias(f"{c}__q"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__mean, "
+        f"{c}__stddev, {c}__min, {c}__max, {c}__q" for c in cols)
+    return (wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column, n, n_nulls, n_distinct, mean, stddev, min_value, "
+        "max_value, quantiles)")
+        .withColumn("q_probs", F.array(*[F.lit(p) for p in probs]))
+        .select("column", "n_rows", "n", "n_nulls", "n_distinct", "mean",
+                "stddev", "min_value", "max_value", "quantiles", "q_probs"))
+
+
+def write_stats_sidecar(profile: DataFrame, output_dir: str,
+                        run_id: str) -> None:
+    """Persist a run's column profile next to the runner's verdict/lineage
+    sidecars (`<output_dir>/stats/`), stamped with the run_id — the baseline
+    a later run gates itself against. Appending keeps full history; readers
+    select a run explicitly (no last-writer races)."""
+    import os
+
+    (profile.withColumn("run_id", F.lit(run_id))
+        .coalesce(1)
+        .write.mode("append").parquet(os.path.join(output_dir, "stats")))
+
+
+def read_stats_sidecar(spark, output_dir: str, run_id: str) -> DataFrame:
+    import os
+
+    return (spark.read.parquet(os.path.join(output_dir, "stats"))
+            .filter(F.col("run_id") == run_id).drop("run_id"))
+
+
+def drift_report(current: DataFrame, baseline: DataFrame,
+                 mean_shift_tol: float = 0.25,
+                 null_frac_tol: float = 0.05,
+                 distinct_ratio_tol: float = 2.0,
+                 quantile_shift_tol: float = 0.25,
+                 eps: float = 1e-9) -> DataFrame:
+    """Cross-run distribution-drift gate: join two `stats_profile` frames on
+    column name and emit one row per (column, metric) with the baseline /
+    current values, a scale-free score, and the drift verdict:
+
+    - mean_shift:     |Δmean| / pooled stddev (two-sample z-flavoured)
+    - null_frac:      |Δ null fraction| (absolute)
+    - distinct_ratio: max(cur/base, base/cur) of the distinct counts
+    - quantile_shift: max_i |Δq_i| / baseline quantile range (KS-flavoured,
+                      computed with zip_with over the two sketch vectors)
+
+    Everything is Column arithmetic over len(cols)-row frames — the corpus
+    passes already happened inside stats_profile, so gating a 10^12-doc run
+    against its previous run costs two tiny frames and no extra scan."""
+    cur = current.select(
+        F.col("column"),
+        *[F.col(c).alias(f"cur_{c}") for c in
+          ("n", "n_nulls", "n_distinct", "mean", "stddev", "quantiles")])
+    base = baseline.select(
+        F.col("column"),
+        *[F.col(c).alias(f"base_{c}") for c in
+          ("n", "n_nulls", "n_distinct", "mean", "stddev", "quantiles")])
+    j = cur.join(base, "column")
+
+    pooled_std = (F.col("base_stddev") + F.col("cur_stddev")) / 2 + F.lit(eps)
+    mean_score = F.abs(F.col("cur_mean") - F.col("base_mean")) / pooled_std
+    cur_nf = F.col("cur_n_nulls") / (F.col("cur_n") + F.col("cur_n_nulls") + F.lit(eps))
+    base_nf = F.col("base_n_nulls") / (F.col("base_n") + F.col("base_n_nulls") + F.lit(eps))
+    null_score = F.abs(cur_nf - base_nf)
+    d_cur = F.greatest(F.col("cur_n_distinct"), F.lit(1)).cast("double")
+    d_base = F.greatest(F.col("base_n_distinct"), F.lit(1)).cast("double")
+    distinct_score = F.greatest(d_cur / d_base, d_base / d_cur)
+    q_range = (F.array_max("base_quantiles") - F.array_min("base_quantiles")
+               + F.lit(eps))
+    q_score = (F.array_max(F.zip_with(
+        "cur_quantiles", "base_quantiles", lambda a, b: F.abs(a - b)))
+        / q_range)
+
+    def metric_row(name, base_v, cur_v, score, tol):
+        return j.select(
+            "column", F.lit(name).alias("metric"),
+            F.round(base_v.cast("double"), 6).alias("baseline_value"),
+            F.round(cur_v.cast("double"), 6).alias("current_value"),
+            F.round(score, 6).alias("score"),
+            (score > F.lit(tol)).alias("drifted"))
+
+    return (metric_row("mean_shift", F.col("base_mean"), F.col("cur_mean"),
+                       mean_score, mean_shift_tol)
+            .unionByName(metric_row("null_frac", base_nf, cur_nf,
+                                    null_score, null_frac_tol))
+            .unionByName(metric_row("distinct_ratio", F.col("base_n_distinct"),
+                                    F.col("cur_n_distinct"), distinct_score,
+                                    distinct_ratio_tol))
+            .unionByName(metric_row("quantile_shift",
+                                    F.array_max("base_quantiles"),
+                                    F.array_max("cur_quantiles"),
+                                    q_score, quantile_shift_tol)))
+
+
 def per_partition_summary(validated: DataFrame, valid_col: str = "valid",
                           violations_col: str = "violations") -> DataFrame:
     """Per-physical-partition pass/fail summary in one groupBy over the
