@@ -697,6 +697,15 @@ def _drift_oracle_sql() -> str:
                  0.25 AS tol
           FROM j
           UNION ALL
+          SELECT "column", 'row_count',
+                 (bn + bnull)::DOUBLE, (cn + cnull)::DOUBLE,
+                 greatest(greatest(cn + cnull, 1)::DOUBLE
+                            / greatest(bn + bnull, 1),
+                          greatest(bn + bnull, 1)::DOUBLE
+                            / greatest(cn + cnull, 1)),
+                 2.0
+          FROM j
+          UNION ALL
           SELECT "column", 'null_frac',
                  bnull / (bn + bnull + {eps}),
                  cnull / (cn + cnull + {eps}),
@@ -720,7 +729,7 @@ def _drift_oracle_sql() -> str:
                  0.25
           FROM j)
         SELECT "column", metric,
-               score > tol AS drifted,
+               coalesce(score > tol, TRUE) AS drifted,
                round(baseline_value, 6) AS baseline_value,
                round(current_value, 6) AS current_value,
                round(score, 6) AS score
@@ -993,7 +1002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_explode": _q_violations_explode,
         "v_json_dynamic": _q_v_json_dynamic,
         "cast_pipeline": _q_cast_pipeline,
-        "drift_quantile": _q_drift_quantile,
         "dedup_jaccard_consecutive": _q_dedup_jaccard_consecutive,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
         # dataset scope (oracle-checked)
@@ -1025,6 +1033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ref_inline": _q_v_ref_inline,
         # ---- tail (beyond the driver's 50-query window): driver-green in
         # r2 AND r3, semantics untouched since; still oracle-checked in CI --
+        # (drift_quantile demoted in r4 so v_ref_inline — green in r3 only —
+        # lands at slot 50 exactly; drift coverage stays in-window via
+        # drift_run_report / drift_group_quantiles / drift_hist_nchars)
+        "drift_quantile": _q_drift_quantile,
         "v_exclusive_range": _q_v_exclusive_range,
         "v_format_ipv4": _q_v_format_ipv4,
         "v_format_date": _q_v_format_date,

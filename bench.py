@@ -400,21 +400,42 @@ def _history_records() -> list[dict]:
         return []
 
 
+def _record_levels(r: dict) -> list[dict] | None:
+    """The record's per-level rep lists, or None when the record is
+    malformed (hand-edited history, an aborted run, or a future schema):
+    one bad line in BENCH/history.jsonl must degrade to 'skipped', never
+    crash BASELINE.md regeneration after the expensive measurement phase."""
+    lv = r.get("levels")
+    if not isinstance(lv, list) or not lv:
+        return None
+    for l in lv:
+        if not isinstance(l, dict) or not {"cpus", "all_scan_sec",
+                                           "all_runs_sec"} <= set(l):
+            return None
+    return lv
+
+
 def _minima_for(recs: list[dict], n_docs: int, partitions: int,
                 levels: tuple[int, ...]) -> dict | None:
+    # efficiency is defined for a PAIR; a 3+-level experiment (the env var
+    # accepts any comma list) pools under its own shape but yields no figure
+    if len(levels) != 2:
+        return None
     per: dict[int, dict[str, list[float]]] = {}
     n_runs = 0
     for r in recs:
         if r.get("n_docs") != n_docs or r.get("partitions") != partitions:
             continue
-        if sorted(lvl["cpus"] for lvl in r["levels"]) != sorted(levels):
+        rl = _record_levels(r)
+        if rl is None or sorted(lvl["cpus"] for lvl in rl) != sorted(levels):
             continue
         n_runs += 1
-        for lvl in r["levels"]:
+        for lvl in rl:
             d = per.setdefault(lvl["cpus"], {"scan": [], "wall": []})
             d["scan"].extend(lvl["all_scan_sec"])
             d["wall"].extend(lvl["all_runs_sec"])
-    if sorted(per) != sorted(levels):
+    if sorted(per) != sorted(levels) or not all(
+            per[c]["scan"] and per[c]["wall"] for c in levels):
         return None
     lo, hi = levels
     factor = hi / lo
@@ -448,8 +469,11 @@ def history_minima_all_shapes() -> list[dict]:
     recs = _history_records()
     shapes: list[tuple[int, int, tuple[int, ...]]] = []
     for r in recs:
+        rl = _record_levels(r)
+        if rl is None:
+            continue
         shape = (r.get("n_docs"), r.get("partitions"),
-                 tuple(sorted(lvl["cpus"] for lvl in r["levels"])))
+                 tuple(sorted(lvl["cpus"] for lvl in rl)))
         if None not in shape and shape not in shapes:
             shapes.append(shape)
     out = []

@@ -279,3 +279,105 @@ def test_runner_crash_window_idempotent(spark, tmp_path):
     final = read_verdicts(spark, out)
     assert final.count() == N
     assert final.select("doc_id").distinct().count() == docs.select("doc_id").distinct().count()
+
+
+def test_resume_coverage_not_count(spark, tmp_path):
+    """fully_resumed must test COVERAGE of range(n_buckets), not a bucket
+    count: a lineage sidecar holding buckets {4..9} written under a larger
+    n_buckets (foreign config sharing the directory) must not convince an
+    n_buckets=4 run that its own buckets 0-3 are done — the run has to scan
+    its whole input, not silently skip it (r4 review finding #1)."""
+    out = str(tmp_path / "out")
+    docs = gen_documents(spark, 400)
+    lin_schema = ("bucket INT, n_rows BIGINT, n_valid BIGINT, n_violations "
+                  "BIGINT, n_bytes BIGINT, run_id STRING, scan_elapsed_sec DOUBLE")
+    foreign = [(b, 0, 0, 0, 0, "wider-writer", 0.0) for b in range(4, 10)]
+    spark.createDataFrame(foreign, schema=lin_schema) \
+        .write.mode("overwrite").parquet(os.path.join(out, "lineage"))
+
+    m = run_validation(spark, docs, FLAGSHIP_RULE, out, n_buckets=4,
+                       resume=True, run_id="narrow")
+    # the scan ran over the full input (6 >= 4 would have skipped it)
+    assert m["scan_rows"] == 400
+    v = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert v.filter(F.col("run_id") == "narrow").count() == 400
+
+
+def test_drift_gate_missing_baseline_fails_closed(spark, tmp_path):
+    """A typo'd / never-profiled baseline run_id must raise, not report
+    drifted_metrics=0 via an empty inner join (r4 review finding #2)."""
+    import pytest
+
+    out = str(tmp_path / "out")
+    docs = gen_documents(spark, 200).withColumn(
+        "n_spans", F.size("spans").cast("long"))
+    with pytest.raises(ValueError, match="no profile rows"):
+        run_validation(spark, docs, FLAGSHIP_RULE, out, n_buckets=4,
+                       resume=False, run_id="run-x",
+                       profile_cols=["n_spans"],
+                       drift_baseline_run="no-such-run")
+
+
+def test_drift_report_fail_closed_and_row_count(spark):
+    """An empty current corpus yields NULL means/quantiles; those must count
+    as DRIFTED (fail closed), and the row_count metric must flag the
+    collapse outright (r4 review finding #3)."""
+    base_df = spark.range(1000).select(
+        (F.col("id") % 97).cast("double").alias("x"))
+    cur_df = base_df.filter(F.lit(False))
+    base = stats.stats_profile(base_df, ["x"], exact=True)
+    cur = stats.stats_profile(cur_df, ["x"], exact=True)
+    rep = {r["metric"]: r for r in stats.drift_report(cur, base).collect()}
+    assert rep["row_count"]["drifted"]
+    assert rep["row_count"]["current_value"] == 0.0
+    assert rep["mean_shift"]["drifted"]       # NULL score -> drifted
+    assert rep["quantile_shift"]["drifted"]
+    assert all(r["drifted"] is not None for r in rep.values())
+    # and an identical pair stays clean, including the new metric
+    clean = {r["metric"]: r["drifted"]
+             for r in stats.drift_report(base, base).collect()}
+    assert clean == {m: False for m in
+                     ("row_count", "mean_shift", "null_frac",
+                      "distinct_ratio", "quantile_shift")}
+
+
+def test_stats_sidecar_idempotent_rewrite(spark, tmp_path):
+    """Same-run_id retries (resume is documented re-runnable) overwrite
+    their own partition instead of appending duplicates that would fan out
+    a later drift join (r4 review finding #5)."""
+    out = str(tmp_path / "out")
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    prof = stats.stats_profile(df, ["x"])
+    stats.write_stats_sidecar(prof, out, "run-a")
+    stats.write_stats_sidecar(prof, out, "run-a")   # retry: must not double
+    stats.write_stats_sidecar(prof, out, "run-b")   # other runs untouched
+    assert stats.read_stats_sidecar(spark, out, "run-a").count() == 1
+    assert stats.read_stats_sidecar(spark, out, "run-b").count() == 1
+
+
+def test_bench_history_minima_guards():
+    """One malformed or wider-arity history record must degrade to
+    'skipped', never crash BASELINE.md regeneration after the measurement
+    phase (r4 review finding #6). Pure-Python — no Spark session."""
+    import bench
+
+    def rec(levels, **over):
+        r = {"n_docs": 100, "partitions": 8,
+             "levels": [{"cpus": c, "all_scan_sec": [1.0 / c],
+                         "all_runs_sec": [2.0 / c]} for c in levels]}
+        r.update(over)
+        return r
+
+    good = [rec((2, 8)), rec((2, 8))]
+    bad = [rec((2, 8, 32)),                      # 3-level experiment
+           {"n_docs": 100, "partitions": 8},     # no levels key at all
+           {"n_docs": 100, "partitions": 8,
+            "levels": [{"cpus": 2}]},            # levels missing rep lists
+           {"n_docs": 100, "partitions": 8, "levels": "oops"}]
+    m = bench._minima_for(good + bad, 100, 8, (2, 8))
+    assert m is not None and m["n_runs"] == 2
+    assert m["efficiency_scan"] == 1.0
+    # a pair that only exists in malformed records yields None, not a crash
+    assert bench._minima_for(bad, 100, 8, (2, 32)) is None
+    # efficiency is undefined for a non-pair level tuple
+    assert bench._minima_for(good + bad, 100, 8, (2, 8, 32)) is None

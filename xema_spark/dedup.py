@@ -361,6 +361,23 @@ def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
                     F.coalesce(F.col("v"), F.col("node")).alias("component")))
 
 
+def near_dup_losers(dups: DataFrame, id_col: str = "doc_id",
+                    transitive: bool = True,
+                    algorithm: str = "star") -> DataFrame:
+    """Doc ids to DROP given a verified near-dup pair frame (doc_a, doc_b):
+    transitive=True groups pairs into connected components (star variant by
+    default — O(log n) rounds on chains) and keeps each component's minimum
+    id; transitive=False is per-pair pruning (drop the greater id of every
+    verified pair — cheaper, no iterative rounds, but splits A~B~C when
+    A!~C). The ONE place this policy lives — minhash_dedupe and
+    pipeline.curate both derive their survivor sets from it."""
+    if transitive:
+        comp = connected_components(dups, algorithm=algorithm)
+        return comp.filter(F.col("doc") != F.col("component")) \
+            .select(F.col("doc").alias(id_col))
+    return dups.select(F.greatest("doc_a", "doc_b").alias(id_col)).distinct()
+
+
 def minhash_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
                    threshold: float = 0.8, transitive: bool = True,
                    **kw) -> DataFrame:
@@ -370,13 +387,8 @@ def minhash_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
     every verified pair — cheaper, but splits A~B~C when A!~C)."""
     pairs = lsh_candidate_pairs(df, id_col, text_col, **kw)
     dups = ngram_jaccard(df, pairs, id_col, text_col, threshold=threshold)
-    if transitive:
-        comp = connected_components(dups)
-        losers = comp.filter(F.col("doc") != F.col("component")) \
-            .select(F.col("doc").alias(id_col))
-    else:
-        losers = dups.select(F.greatest("doc_a", "doc_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    return df.join(near_dup_losers(dups, id_col, transitive), id_col,
+                   "left_anti")
 
 
 # ---------------------------------------------------------------------------

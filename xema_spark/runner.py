@@ -183,9 +183,14 @@ def run_validation(
     compiled = compile_rule(rule, col, dtype)
 
     enriched = enrich_verdicts(docs, compiled, n_buckets)
-    fully_resumed = len(done) >= n_buckets
+    # COVERAGE of this run's bucket range, not a count: the lineage sidecar
+    # is run- and config-agnostic, so a directory holding buckets {4..9}
+    # from a 16-bucket writer must NOT convince an n_buckets=4 run that its
+    # own buckets 0-3 are done (len(done) >= n_buckets would)
+    done = {int(b) for b in done}
+    fully_resumed = set(range(n_buckets)) <= done
     if done and not fully_resumed:
-        enriched = enriched.filter(~F.col("bucket").isin(*[int(b) for b in done]))
+        enriched = enriched.filter(~F.col("bucket").isin(*sorted(done)))
 
     t0 = time.time()
     # THE single pass over the input: everything else reads this compact
@@ -280,12 +285,25 @@ def run_validation(
         if drift_baseline_run is not None:
             base = _stats.read_stats_sidecar(spark, output_dir,
                                              drift_baseline_run)
+            # fail CLOSED on a missing/partial baseline: a typo'd run_id or
+            # a baseline that never profiled these columns would otherwise
+            # produce an empty inner join in drift_report and report
+            # drifted_metrics=0 — indistinguishable from a clean check
+            base_cols = {r["column"] for r in base.select("column").collect()}
+            missing = [c for c in profile_cols if c not in base_cols]
+            if missing:
+                raise ValueError(
+                    f"drift baseline run {drift_baseline_run!r} has no "
+                    f"profile rows for columns {missing} under "
+                    f"{output_dir}/stats — refusing to gate against a "
+                    "missing baseline")
             report = (_stats.drift_report(prof, base)
-                      .withColumn("run_id", F.lit(run_id))
                       .withColumn("baseline_run", F.lit(drift_baseline_run))
                       .localCheckpoint())
-            report.write.mode("append").parquet(
-                os.path.join(output_dir, "drift"))
+            # run_id comes from the partition directory (idempotent
+            # overwrite under resume/retry), mirroring the stats sidecar
+            report.write.mode("overwrite").parquet(
+                os.path.join(output_dir, "drift", f"run_id={run_id}"))
             metrics["drifted_metrics"] = report.filter("drifted").count()
             metrics["drift_baseline_run"] = drift_baseline_run
 

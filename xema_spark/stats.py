@@ -173,7 +173,9 @@ def stats_profile(df: DataFrame, cols: list[str],
         d = F.col(c).try_cast("double")
         aggs += [
             F.count(d).alias(f"{c}__n"),
-            F.sum(d.isNull().cast("long")).alias(f"{c}__nulls"),
+            # coalesce like stddev below: over an EMPTY frame sum() is NULL,
+            # and a NULL count must read as 0, not poison drift scores
+            F.coalesce(F.sum(d.isNull().cast("long")), F.lit(0)).alias(f"{c}__nulls"),
             (F.count_distinct(d) if exact
              else F.approx_count_distinct(d)).alias(f"{c}__distinct"),
             F.avg(d).alias(f"{c}__mean"),
@@ -200,14 +202,16 @@ def stats_profile(df: DataFrame, cols: list[str],
 def write_stats_sidecar(profile: DataFrame, output_dir: str,
                         run_id: str) -> None:
     """Persist a run's column profile next to the runner's verdict/lineage
-    sidecars (`<output_dir>/stats/`), stamped with the run_id — the baseline
-    a later run gates itself against. Appending keeps full history; readers
-    select a run explicitly (no last-writer races)."""
+    sidecars (`<output_dir>/stats/run_id=<id>/`) — the baseline a later run
+    gates itself against. One Hive-style partition directory per run keeps
+    full history AND makes the write idempotent: a resumed/retried attempt
+    with the same run_id overwrites its own partition instead of appending
+    duplicate rows that would fan out a later drift join. Readers select a
+    run explicitly (no last-writer races) with partition pruning on run_id."""
     import os
 
-    (profile.withColumn("run_id", F.lit(run_id))
-        .coalesce(1)
-        .write.mode("append").parquet(os.path.join(output_dir, "stats")))
+    (profile.coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(output_dir, "stats", f"run_id={run_id}")))
 
 
 def read_stats_sidecar(spark, output_dir: str, run_id: str) -> DataFrame:
@@ -222,16 +226,25 @@ def drift_report(current: DataFrame, baseline: DataFrame,
                  null_frac_tol: float = 0.05,
                  distinct_ratio_tol: float = 2.0,
                  quantile_shift_tol: float = 0.25,
+                 row_count_ratio_tol: float = 2.0,
                  eps: float = 1e-9) -> DataFrame:
     """Cross-run distribution-drift gate: join two `stats_profile` frames on
     column name and emit one row per (column, metric) with the baseline /
     current values, a scale-free score, and the drift verdict:
 
+    - row_count:      max(cur/base, base/cur) of the profiled row totals
+                      (n + n_nulls) — catches a current run whose corpus
+                      collapsed (or exploded) even when the surviving rows'
+                      distribution is unchanged
     - mean_shift:     |Δmean| / pooled stddev (two-sample z-flavoured)
     - null_frac:      |Δ null fraction| (absolute)
     - distinct_ratio: max(cur/base, base/cur) of the distinct counts
     - quantile_shift: max_i |Δq_i| / baseline quantile range (KS-flavoured,
                       computed with zip_with over the two sketch vectors)
+
+    The verdict fails CLOSED: a NULL score (e.g. a mean/quantile computed
+    over an empty or all-null current corpus) counts as drifted rather than
+    vanishing from `filter("drifted")`.
 
     Everything is Column arithmetic over len(cols)-row frames — the corpus
     passes already happened inside stats_profile, so gating a 10^12-doc run
@@ -259,6 +272,9 @@ def drift_report(current: DataFrame, baseline: DataFrame,
     q_score = (F.array_max(F.zip_with(
         "cur_quantiles", "base_quantiles", lambda a, b: F.abs(a - b)))
         / q_range)
+    rc_cur = F.greatest(F.col("cur_n") + F.col("cur_n_nulls"), F.lit(1)).cast("double")
+    rc_base = F.greatest(F.col("base_n") + F.col("base_n_nulls"), F.lit(1)).cast("double")
+    rc_score = F.greatest(rc_cur / rc_base, rc_base / rc_cur)
 
     def metric_row(name, base_v, cur_v, score, tol):
         return j.select(
@@ -266,10 +282,15 @@ def drift_report(current: DataFrame, baseline: DataFrame,
             F.round(base_v.cast("double"), 6).alias("baseline_value"),
             F.round(cur_v.cast("double"), 6).alias("current_value"),
             F.round(score, 6).alias("score"),
-            (score > F.lit(tol)).alias("drifted"))
+            # NULL score (empty/all-null side) => drifted, never a silent pass
+            F.coalesce(score > F.lit(tol), F.lit(True)).alias("drifted"))
 
     return (metric_row("mean_shift", F.col("base_mean"), F.col("cur_mean"),
                        mean_score, mean_shift_tol)
+            .unionByName(metric_row(
+                "row_count", F.col("base_n") + F.col("base_n_nulls"),
+                F.col("cur_n") + F.col("cur_n_nulls"),
+                rc_score, row_count_ratio_tol))
             .unionByName(metric_row("null_frac", base_nf, cur_nf,
                                     null_score, null_frac_tol))
             .unionByName(metric_row("distinct_ratio", F.col("base_n_distinct"),
