@@ -381,3 +381,30 @@ def test_bench_history_minima_guards():
     assert bench._minima_for(bad, 100, 8, (2, 32)) is None
     # efficiency is undefined for a non-pair level tuple
     assert bench._minima_for(good + bad, 100, 8, (2, 8, 32)) is None
+
+
+def test_runner_fail_on_drift(spark, tmp_path):
+    """Batch fail_on_drift: the gate raises AFTER persisting verdicts,
+    profile, and drift report — the orchestrator halts but the forensic
+    record is complete."""
+    import pytest
+
+    from xema_spark.runner import DriftGateError
+
+    out = str(tmp_path / "out")
+    docs = gen_documents(spark, 300).withColumn(
+        "n_spans", F.size("spans").cast("long"))
+    run_validation(spark, docs, FLAGSHIP_RULE, out, n_buckets=4,
+                   resume=False, run_id="run-1", profile_cols=["n_spans"])
+
+    shifted = docs.withColumn("n_spans", F.col("n_spans") + 50)
+    with pytest.raises(DriftGateError, match="drifted vs baseline 'run-1'"):
+        run_validation(spark, shifted, FLAGSHIP_RULE, out, n_buckets=4,
+                       resume=False, run_id="run-2",
+                       profile_cols=["n_spans"],
+                       drift_baseline_run="run-1", fail_on_drift=True)
+    # everything persisted before the raise
+    assert os.path.exists(os.path.join(out, "metrics_run-2.json"))
+    rep = spark.read.parquet(os.path.join(out, "drift"))
+    assert rep.filter("run_id = 'run-2' AND drifted").count() >= 2
+    assert stats.read_stats_sidecar(spark, out, "run-2").count() == 1

@@ -217,3 +217,88 @@ def test_streaming_and_batch_writers_share_one_consumer(spark, tmp_path):
     run_validation(spark, batch_docs, FLAGSHIP_RULE, out, n_buckets=4,
                    resume=True, run_id="batch-backfill-1")
     assert read_verdicts(spark, out).count() == 500
+
+
+def test_streaming_drift_gate(spark, tmp_path):
+    """Continuous drift gate: each micro-batch is profiled into the shared
+    stats sidecar and scored against a batch backfill's profile BEFORE its
+    verdicts commit. Clean batches commit; a drifted batch with
+    fail_on_drift raises StreamDriftError and commits nothing; profile
+    writes are replay-idempotent (deterministic batch-prefix partition)."""
+    import os
+
+    import pytest
+
+    from xema_spark import stats
+    from xema_spark.runner import read_verdicts, run_validation
+    from xema_spark.streaming import StreamDriftError, commit_micro_batch
+
+    out = str(tmp_path / "out")
+    docs = gen_documents(spark, 300).select(
+        "doc_id", "spans", F.size("spans").cast("long").alias("n_spans"))
+
+    # batch backfill writes the baseline profile
+    run_validation(spark, docs, FLAGSHIP_RULE, out, n_buckets=4,
+                   resume=False, run_id="backfill", profile_cols=["n_spans"])
+
+    # clean micro-batch through the real streaming sink: commits + profiles
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream_to_verdict_tables(stream, FLAGSHIP_RULE, out,
+                                  str(tmp_path / "ckpt"), n_buckets=4,
+                                  profile_cols=["n_spans"],
+                                  drift_baseline_run="backfill",
+                                  fail_on_drift=True)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert read_verdicts(spark, out).count() == 600  # backfill + stream
+    prof = stats.read_stats_sidecar(spark, out, "stream-b000000000")
+    assert prof.count() == 1
+    rep = spark.read.parquet(os.path.join(out, "drift"))
+    assert rep.filter("run_id = 'stream-b000000000' AND drifted").count() == 0
+
+    # a drifted batch must raise and commit NOTHING
+    shifted = docs.withColumn("n_spans", F.col("n_spans") + 50)
+    with pytest.raises(StreamDriftError, match="NOT committed"):
+        commit_micro_batch(shifted, 7, FLAGSHIP_RULE, out, n_buckets=4,
+                           profile_cols=["n_spans"],
+                           drift_baseline_run="backfill",
+                           fail_on_drift=True)
+    assert read_verdicts(spark, out).count() == 600
+    # ... but its profile and drift verdicts ARE recorded for the operator
+    assert spark.read.parquet(os.path.join(out, "drift")) \
+        .filter("run_id = 'stream-b000000007' AND drifted").count() >= 2
+
+    # replay of a committed batch: skipped, profile partition NOT duplicated
+    assert commit_micro_batch(docs, 0, FLAGSHIP_RULE, out, n_buckets=4,
+                              profile_cols=["n_spans"],
+                              drift_baseline_run="backfill") is None
+    assert stats.read_stats_sidecar(spark, out, "stream-b000000000").count() == 1
+
+    # missing baseline fails closed
+    with pytest.raises(ValueError, match="no profile rows"):
+        commit_micro_batch(docs, 8, FLAGSHIP_RULE, out, n_buckets=4,
+                           profile_cols=["n_spans"],
+                           drift_baseline_run="no-such-run")
+
+
+def test_streaming_drift_gate_skips_empty_batch(spark, tmp_path):
+    """An empty micro-batch (recovery / no-new-files trigger) carries no
+    data signal: the drift gate must skip it instead of scoring row_count
+    as a collapse and killing a healthy stream."""
+    from xema_spark import stats
+    from xema_spark.runner import run_validation
+    from xema_spark.streaming import commit_micro_batch
+
+    out = str(tmp_path / "out")
+    docs = gen_documents(spark, 100).select(
+        "doc_id", "spans", F.size("spans").cast("long").alias("n_spans"))
+    run_validation(spark, docs, FLAGSHIP_RULE, out, n_buckets=4,
+                   resume=False, run_id="backfill", profile_cols=["n_spans"])
+    # must neither raise nor write a stream-b0 profile partition
+    commit_micro_batch(docs.limit(0), 0, FLAGSHIP_RULE, out, n_buckets=4,
+                       profile_cols=["n_spans"],
+                       drift_baseline_run="backfill", fail_on_drift=True)
+    assert stats.read_stats_sidecar(spark, out, "stream-b000000000").count() == 0

@@ -53,6 +53,12 @@ from xema_spark.compiler import compile_rule
 from xema_spark.rules import meta_validate, normalize_rule
 
 
+class DriftGateError(RuntimeError):
+    """run_validation(fail_on_drift=True) found drifted (column, metric)
+    rows vs the baseline run. Raised after all outputs are persisted — the
+    orchestrator halts, the forensic record stays."""
+
+
 def _completed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
     try:
         rows = spark.read.parquet(lineage_dir).select("bucket").distinct().collect()
@@ -152,6 +158,7 @@ def run_validation(
     run_id: str | None = None,
     profile_cols: list[str] | None = None,
     drift_baseline_run: str | None = None,
+    fail_on_drift: bool = False,
 ) -> dict:
     """Execute the single-pass job; returns the metrics dict that is also
     persisted to the lineage sidecar. Idempotent under resume.
@@ -162,7 +169,11 @@ def run_validation(
     gated against that earlier run's sidecar via stats.drift_report; the
     per-(column, metric) verdict rows land in <output_dir>/drift/ and the
     drifted count in the metrics dict — the production loop is "each run
-    profiles itself and gates against run N-1"."""
+    profiles itself and gates against run N-1". fail_on_drift raises
+    DriftGateError AFTER the verdicts, profile, and drift verdict rows are
+    all persisted (an orchestrator halts the pipeline but keeps the full
+    forensic record; the streaming sink's gate, by contrast, blocks the
+    batch's commit itself — see streaming.commit_micro_batch)."""
     rule = normalize_rule(rule)
     meta_validate(rule)
     import uuid
@@ -310,6 +321,13 @@ def run_validation(
     verdicts.unpersist()
     with open(os.path.join(output_dir, f"metrics_{run_id}.json"), "w") as f:
         json.dump(metrics, f, indent=2)
+    if fail_on_drift and metrics.get("drifted_metrics", 0) > 0:
+        drifted = [(r["column"], r["metric"])
+                   for r in report.filter("drifted").collect()]
+        raise DriftGateError(
+            f"run {run_id} drifted vs baseline {drift_baseline_run!r} on "
+            f"{drifted}; verdicts, profile, and drift report are persisted "
+            f"under {output_dir}")
     return metrics
 
 
@@ -332,6 +350,9 @@ def main() -> None:
                         "into the run's sidecar")
     p.add_argument("--drift-baseline", default=None,
                    help="run_id whose sidecar profile this run gates against")
+    p.add_argument("--fail-on-drift", action="store_true",
+                   help="exit nonzero (DriftGateError) when the drift gate "
+                        "fires; all outputs are persisted first")
     args = p.parse_args()
 
     spark = get_spark(app_name="xema_spark_runner")
@@ -346,7 +367,8 @@ def main() -> None:
         n_buckets=args.buckets, resume=not args.no_resume,
         profile_cols=(args.profile_cols.split(",") if args.profile_cols
                       else None),
-        drift_baseline_run=args.drift_baseline)
+        drift_baseline_run=args.drift_baseline,
+        fail_on_drift=args.fail_on_drift)
     print(json.dumps(metrics))
 
 

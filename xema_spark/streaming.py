@@ -92,8 +92,17 @@ def stateful_key_verdicts(stream_df: DataFrame, rule: dict,
     )
 
 
+class StreamDriftError(RuntimeError):
+    """A micro-batch drifted past tolerance against the baseline profile
+    while fail_on_drift=True — raised INSIDE the foreachBatch sink, which
+    fails the streaming query before the batch's verdicts commit."""
+
+
 def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
-                             checkpoint_dir: str, n_buckets: int = 64):
+                             checkpoint_dir: str, n_buckets: int = 64,
+                             profile_cols: list[str] | None = None,
+                             drift_baseline_run: str | None = None,
+                             fail_on_drift: bool = False):
     """foreachBatch sink writing the SAME layout and commit protocol as
     runner.run_validation — verdicts under verdicts/run_id=<id>/bucket=<b>/
     with a lineage row per committed micro-batch — so streaming ingest and
@@ -107,6 +116,17 @@ def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
     lineage append but before the checkpoint advanced is detected by the
     batch-id prefix already existing in the lineage and skipped.
 
+    Continuous drift gating (the streaming analogue of
+    run_validation(profile_cols=, drift_baseline_run=)): with profile_cols
+    set, every micro-batch is additionally profiled (stats.stats_profile,
+    one agg pass over the batch) into the shared stats sidecar; with
+    drift_baseline_run also set — typically a batch backfill's run_id in the
+    SAME output_dir — each batch's profile is scored by stats.drift_report
+    and the verdict rows land under drift/. The gate runs BEFORE the batch's
+    verdicts commit, so fail_on_drift=True turns it into a true admission
+    gate: a drifted batch raises StreamDriftError, the query fails, and
+    nothing from that batch becomes visible to read_verdicts.
+
     Returns the configured DataStreamWriter — the caller picks the trigger
     and calls .start() (e.g. `.trigger(availableNow=True).start()`), which
     keeps trigger policy out of the library."""
@@ -114,18 +134,32 @@ def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
     meta_validate(rule_n)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        commit_micro_batch(batch_df, batch_id, rule_n, output_dir, n_buckets)
+        commit_micro_batch(batch_df, batch_id, rule_n, output_dir, n_buckets,
+                           profile_cols=profile_cols,
+                           drift_baseline_run=drift_baseline_run,
+                           fail_on_drift=fail_on_drift)
 
     return (stream_df.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir))
 
 
 def commit_micro_batch(batch_df: DataFrame, batch_id: int, rule: dict,
-                       output_dir: str, n_buckets: int = 64) -> str | None:
+                       output_dir: str, n_buckets: int = 64,
+                       profile_cols: list[str] | None = None,
+                       drift_baseline_run: str | None = None,
+                       fail_on_drift: bool = False) -> str | None:
     """One micro-batch through the batch runner's commit protocol. Returns
     the committed run_id, or None when this batch_id was already committed
     (foreachBatch replay after a crash past the lineage append). Module-level
-    so the replay-idempotence path is directly testable."""
+    so the replay-idempotence path is directly testable.
+
+    Profile/drift sidecars are keyed by the DETERMINISTIC batch prefix
+    (stream-b<id>), not the per-attempt uuid run_id, and written with
+    partition overwrite: a replayed attempt rewrites the same partition
+    bit-for-bit instead of orphaning rows under a dead uuid. The drift gate
+    evaluates BEFORE the verdict write — with fail_on_drift a drifted batch
+    never commits. Missing/partial baseline fails closed (ValueError), same
+    as the batch runner."""
     import os
     import time
     import uuid
@@ -150,6 +184,41 @@ def commit_micro_batch(batch_df: DataFrame, batch_id: int, rule: dict,
         already = False  # no lineage yet — first commit ever
     if already:
         return None  # replayed micro-batch that was fully committed
+
+    # an EMPTY micro-batch (recovery trigger, no new files) carries no data
+    # signal: profiling it would score row_count as collapsed and a
+    # fail_on_drift gate would kill a healthy stream — skip the gate, and
+    # let the (no-op) verdict commit path run as before
+    if profile_cols and not batch_df.isEmpty():
+        from xema_spark import stats as _stats
+
+        prof = _stats.stats_profile(batch_df, profile_cols).localCheckpoint()
+        _stats.write_stats_sidecar(prof, output_dir, prefix)
+        if drift_baseline_run is not None:
+            base = _stats.read_stats_sidecar(spark, output_dir,
+                                             drift_baseline_run)
+            base_cols = {r["column"] for r in base.select("column").collect()}
+            missing = [c for c in profile_cols if c not in base_cols]
+            if missing:
+                raise ValueError(
+                    f"drift baseline run {drift_baseline_run!r} has no "
+                    f"profile rows for columns {missing} under "
+                    f"{output_dir}/stats — refusing to gate against a "
+                    "missing baseline")
+            report = (_stats.drift_report(prof, base)
+                      .withColumn("baseline_run", F.lit(drift_baseline_run))
+                      .localCheckpoint())
+            report.write.mode("overwrite").parquet(
+                os.path.join(output_dir, "drift", f"run_id={prefix}"))
+            if fail_on_drift:
+                drifted = [(r["column"], r["metric"])
+                           for r in report.filter("drifted").collect()]
+                if drifted:
+                    raise StreamDriftError(
+                        f"micro-batch {batch_id} drifted vs baseline "
+                        f"{drift_baseline_run!r} on {drifted}; verdicts NOT "
+                        "committed")
+
     run_id = f"{prefix}-{uuid.uuid4().hex[:6]}"
     dtype = T.StructType([T.StructField(f.name, f.dataType)
                           for f in batch_df.schema.fields])
