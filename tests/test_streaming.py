@@ -302,3 +302,87 @@ def test_streaming_drift_gate_skips_empty_batch(spark, tmp_path):
                        profile_cols=["n_spans"],
                        drift_baseline_run="backfill", fail_on_drift=True)
     assert stats.read_stats_sidecar(spark, out, "stream-b000000000").count() == 0
+
+
+def test_drift_gate_fails_closed_at_call_time(spark, tmp_path):
+    """fail_on_drift=True without a baseline (or profile cols) must raise
+    when the sink/job is CONFIGURED, not silently never evaluate — an
+    operator who sets the flag believes the pipeline is protected."""
+    import pytest
+
+    from xema_spark.runner import run_validation
+
+    docs = gen_documents(spark, 10).select(
+        "doc_id", "spans", F.size("spans").cast("long").alias("n_spans"))
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+
+    with pytest.raises(ValueError, match="silently protect nothing"):
+        stream_to_verdict_tables(stream, FLAGSHIP_RULE,
+                                 str(tmp_path / "out"),
+                                 str(tmp_path / "ckpt"),
+                                 fail_on_drift=True)  # no profile/baseline
+    with pytest.raises(ValueError, match="silently protect nothing"):
+        run_validation(spark, docs, FLAGSHIP_RULE, str(tmp_path / "out2"),
+                       resume=False, profile_cols=["n_spans"],
+                       fail_on_drift=True)  # baseline missing
+
+
+def test_drift_gate_validates_baseline_before_empty_skip(spark, tmp_path):
+    """A typo'd drift_baseline_run must fail on the stream's FIRST trigger
+    even if that trigger's batch is empty — not hours later when the first
+    non-empty batch arrives."""
+    import pytest
+
+    from xema_spark.streaming import commit_micro_batch
+
+    docs = gen_documents(spark, 10).select(
+        "doc_id", "spans", F.size("spans").cast("long").alias("n_spans"))
+    with pytest.raises(ValueError, match="no profile rows"):
+        commit_micro_batch(docs.limit(0), 0, FLAGSHIP_RULE,
+                           str(tmp_path / "out"), n_buckets=4,
+                           profile_cols=["n_spans"],
+                           drift_baseline_run="no-such-run",
+                           fail_on_drift=True)
+
+
+def test_streaming_drift_excludes_scale_dependent_metrics(spark, tmp_path):
+    """A healthy 30-doc micro-batch gated against a 300-doc backfill
+    profile: size-based metrics (row_count, distinct_ratio) are excluded
+    by default — the batch commits and the persisted report carries no
+    size-metric rows. Re-enabling them via drift_exclude_metrics=() makes
+    the same batch fail on row_count, proving the default is load-bearing."""
+    import os
+
+    import pytest
+
+    from xema_spark.runner import read_verdicts, run_validation
+    from xema_spark.streaming import StreamDriftError, commit_micro_batch
+
+    out = str(tmp_path / "out")
+    docs = gen_documents(spark, 300).select(
+        "doc_id", "spans", F.size("spans").cast("long").alias("n_spans"))
+    run_validation(spark, docs, FLAGSHIP_RULE, out, n_buckets=4,
+                   resume=False, run_id="backfill", profile_cols=["n_spans"])
+
+    small = docs.limit(30)
+    assert commit_micro_batch(small, 3, FLAGSHIP_RULE, out, n_buckets=4,
+                              profile_cols=["n_spans"],
+                              drift_baseline_run="backfill",
+                              fail_on_drift=True) is not None
+    assert read_verdicts(spark, out).count() == 330
+    rep = (spark.read.parquet(os.path.join(out, "drift"))
+           .filter("run_id = 'stream-b000000003'"))
+    assert rep.filter(
+        F.col("metric").isin("row_count", "distinct_ratio")).count() == 0
+    assert rep.count() > 0  # distribution metrics are still scored
+
+    # with the exclusion disabled the same-shaped batch fails on row_count
+    with pytest.raises(StreamDriftError, match="row_count"):
+        commit_micro_batch(docs.limit(30), 4, FLAGSHIP_RULE, out,
+                           n_buckets=4, profile_cols=["n_spans"],
+                           drift_baseline_run="backfill",
+                           fail_on_drift=True, drift_exclude_metrics=())
+    assert read_verdicts(spark, out).count() == 330

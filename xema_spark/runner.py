@@ -159,6 +159,7 @@ def run_validation(
     profile_cols: list[str] | None = None,
     drift_baseline_run: str | None = None,
     fail_on_drift: bool = False,
+    drift_exclude_metrics: tuple[str, ...] = (),
 ) -> dict:
     """Execute the single-pass job; returns the metrics dict that is also
     persisted to the lineage sidecar. Idempotent under resume.
@@ -174,6 +175,14 @@ def run_validation(
     all persisted (an orchestrator halts the pipeline but keeps the full
     forensic record; the streaming sink's gate, by contrast, blocks the
     batch's commit itself — see streaming.commit_micro_batch)."""
+    if fail_on_drift and not (profile_cols and drift_baseline_run):
+        # fail CLOSED at call time: without these the gate could never fire
+        # and fail_on_drift would be a silent no-op — the operator believes
+        # the pipeline is protected when nothing is checked
+        raise ValueError(
+            "fail_on_drift=True requires both profile_cols and "
+            "drift_baseline_run — without them the drift gate never "
+            "evaluates and the flag would silently protect nothing")
     rule = normalize_rule(rule)
     meta_validate(rule)
     import uuid
@@ -294,27 +303,12 @@ def run_validation(
         prof = _stats.stats_profile(docs, profile_cols).localCheckpoint()
         _stats.write_stats_sidecar(prof, output_dir, run_id)
         if drift_baseline_run is not None:
-            base = _stats.read_stats_sidecar(spark, output_dir,
-                                             drift_baseline_run)
-            # fail CLOSED on a missing/partial baseline: a typo'd run_id or
-            # a baseline that never profiled these columns would otherwise
-            # produce an empty inner join in drift_report and report
-            # drifted_metrics=0 — indistinguishable from a clean check
-            base_cols = {r["column"] for r in base.select("column").collect()}
-            missing = [c for c in profile_cols if c not in base_cols]
-            if missing:
-                raise ValueError(
-                    f"drift baseline run {drift_baseline_run!r} has no "
-                    f"profile rows for columns {missing} under "
-                    f"{output_dir}/stats — refusing to gate against a "
-                    "missing baseline")
-            report = (_stats.drift_report(prof, base)
-                      .withColumn("baseline_run", F.lit(drift_baseline_run))
-                      .localCheckpoint())
-            # run_id comes from the partition directory (idempotent
-            # overwrite under resume/retry), mirroring the stats sidecar
-            report.write.mode("overwrite").parquet(
-                os.path.join(output_dir, "drift", f"run_id={run_id}"))
+            base = _stats.read_baseline_profile(spark, output_dir,
+                                                drift_baseline_run,
+                                                profile_cols)
+            report = _stats.score_against_baseline(
+                prof, base, drift_baseline_run, output_dir, run_id,
+                exclude_metrics=drift_exclude_metrics)
             metrics["drifted_metrics"] = report.filter("drifted").count()
             metrics["drift_baseline_run"] = drift_baseline_run
 

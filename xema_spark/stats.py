@@ -221,6 +221,75 @@ def read_stats_sidecar(spark, output_dir: str, run_id: str) -> DataFrame:
             .filter(F.col("run_id") == run_id).drop("run_id"))
 
 
+#: drift_report metrics whose score compares ABSOLUTE sizes (total row
+#: count, distinct-value count). They are the right gate when current and
+#: baseline profiled comparable corpora (batch run N vs run N-1), and the
+#: wrong one when a small micro-batch is scored against a full backfill —
+#: a healthy 10k-row batch vs a 1M-doc baseline scores row_count=100 and
+#: is "drifted" forever. The streaming gate excludes these by default.
+SCALE_DEPENDENT_METRICS = ("row_count", "distinct_ratio")
+
+
+def read_baseline_profile(spark, output_dir: str, run_id: str,
+                          require_cols: list[str] | None = None) -> DataFrame:
+    """Read ONE run's stats-sidecar partition by its direct path
+    (`<output_dir>/stats/run_id=<id>`), not by listing the whole stats/
+    directory — under a streaming sink every committed micro-batch adds a
+    partition, so a full-directory read per batch costs O(n_batches) listing
+    per trigger (O(n²) cumulative). The partition is immutable, so the
+    direct read is exact.
+
+    Fails CLOSED, for use as a drift-gate baseline: a missing partition
+    (typo'd run_id, baseline never written) raises ValueError instead of
+    returning an empty frame whose inner join in drift_report would report
+    drifted_metrics=0 — indistinguishable from a clean check. With
+    require_cols, a baseline that never profiled those columns raises too."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    path = os.path.join(output_dir, "stats", f"run_id={run_id}")
+    try:
+        base = spark.read.parquet(path)
+        have = {r["column"] for r in base.select("column").collect()}
+    except AnalysisException as ex:
+        raise ValueError(
+            f"drift baseline run {run_id!r} has no profile rows under "
+            f"{output_dir}/stats — refusing to gate against a missing "
+            "baseline") from ex
+    missing = [c for c in (require_cols or []) if c not in have]
+    if missing:
+        raise ValueError(
+            f"drift baseline run {run_id!r} has no profile rows for "
+            f"columns {missing} under {output_dir}/stats — refusing to "
+            "gate against a missing baseline")
+    return base
+
+
+def score_against_baseline(profile: DataFrame, baseline: DataFrame,
+                           baseline_run: str, output_dir: str,
+                           sidecar_run_id: str,
+                           exclude_metrics: tuple[str, ...] = ()) -> DataFrame:
+    """Shared tail of the batch and streaming drift gates: score a run's
+    profile against a baseline profile, persist the per-(column, metric)
+    verdict rows under `<output_dir>/drift/run_id=<sidecar_run_id>` (direct
+    partition overwrite ⇒ retry/replay-idempotent, mirroring the stats
+    sidecar), and return the locally-checkpointed report so callers collect
+    the verdicts exactly once. exclude_metrics drops whole metric families
+    from BOTH the persisted report and the gate (see
+    SCALE_DEPENDENT_METRICS for why streaming excludes size-based ones)."""
+    import os
+
+    report = drift_report(profile, baseline)
+    if exclude_metrics:
+        report = report.filter(~F.col("metric").isin(*exclude_metrics))
+    report = (report.withColumn("baseline_run", F.lit(baseline_run))
+              .localCheckpoint())
+    report.write.mode("overwrite").parquet(
+        os.path.join(output_dir, "drift", f"run_id={sidecar_run_id}"))
+    return report
+
+
 def drift_report(current: DataFrame, baseline: DataFrame,
                  mean_shift_tol: float = 0.25,
                  null_frac_tol: float = 0.05,

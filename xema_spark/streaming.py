@@ -102,7 +102,8 @@ def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
                              checkpoint_dir: str, n_buckets: int = 64,
                              profile_cols: list[str] | None = None,
                              drift_baseline_run: str | None = None,
-                             fail_on_drift: bool = False):
+                             fail_on_drift: bool = False,
+                             drift_exclude_metrics: tuple[str, ...] | None = None):
     """foreachBatch sink writing the SAME layout and commit protocol as
     runner.run_validation — verdicts under verdicts/run_id=<id>/bucket=<b>/
     with a lineage row per committed micro-batch — so streaming ingest and
@@ -127,9 +128,20 @@ def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
     gate: a drifted batch raises StreamDriftError, the query fails, and
     nothing from that batch becomes visible to read_verdicts.
 
+    drift_exclude_metrics defaults to stats.SCALE_DEPENDENT_METRICS
+    (row_count, distinct_ratio): a micro-batch is legitimately much smaller
+    than the backfill corpus it gates against, so size-based scores would
+    flag every healthy batch. Pass () to re-enable them when the baseline
+    IS a representative batch profile rather than a full-corpus one.
+
     Returns the configured DataStreamWriter — the caller picks the trigger
     and calls .start() (e.g. `.trigger(availableNow=True).start()`), which
     keeps trigger policy out of the library."""
+    if fail_on_drift and not (profile_cols and drift_baseline_run):
+        raise ValueError(
+            "fail_on_drift=True requires both profile_cols and "
+            "drift_baseline_run — without them the drift gate never "
+            "evaluates and the flag would silently protect nothing")
     rule_n = normalize_rule(rule)
     meta_validate(rule_n)
 
@@ -137,7 +149,8 @@ def stream_to_verdict_tables(stream_df: DataFrame, rule: dict, output_dir: str,
         commit_micro_batch(batch_df, batch_id, rule_n, output_dir, n_buckets,
                            profile_cols=profile_cols,
                            drift_baseline_run=drift_baseline_run,
-                           fail_on_drift=fail_on_drift)
+                           fail_on_drift=fail_on_drift,
+                           drift_exclude_metrics=drift_exclude_metrics)
 
     return (stream_df.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir))
@@ -147,7 +160,9 @@ def commit_micro_batch(batch_df: DataFrame, batch_id: int, rule: dict,
                        output_dir: str, n_buckets: int = 64,
                        profile_cols: list[str] | None = None,
                        drift_baseline_run: str | None = None,
-                       fail_on_drift: bool = False) -> str | None:
+                       fail_on_drift: bool = False,
+                       drift_exclude_metrics: tuple[str, ...] | None = None
+                       ) -> str | None:
     """One micro-batch through the batch runner's commit protocol. Returns
     the committed run_id, or None when this batch_id was already committed
     (foreachBatch replay after a crash past the lineage append). Module-level
@@ -185,39 +200,44 @@ def commit_micro_batch(batch_df: DataFrame, batch_id: int, rule: dict,
     if already:
         return None  # replayed micro-batch that was fully committed
 
-    # an EMPTY micro-batch (recovery trigger, no new files) carries no data
-    # signal: profiling it would score row_count as collapsed and a
-    # fail_on_drift gate would kill a healthy stream — skip the gate, and
-    # let the (no-op) verdict commit path run as before
-    if profile_cols and not batch_df.isEmpty():
+    if profile_cols:
         from xema_spark import stats as _stats
 
-        prof = _stats.stats_profile(batch_df, profile_cols).localCheckpoint()
-        _stats.write_stats_sidecar(prof, output_dir, prefix)
+        if fail_on_drift and not drift_baseline_run:
+            raise ValueError(
+                "fail_on_drift=True requires drift_baseline_run — without "
+                "it the drift gate never evaluates and the flag would "
+                "silently protect nothing")
+        # baseline is validated BEFORE the empty-batch skip: a typo'd
+        # drift_baseline_run must fail on the stream's FIRST trigger, not
+        # hours later when the first non-empty batch arrives
+        base = None
         if drift_baseline_run is not None:
-            base = _stats.read_stats_sidecar(spark, output_dir,
-                                             drift_baseline_run)
-            base_cols = {r["column"] for r in base.select("column").collect()}
-            missing = [c for c in profile_cols if c not in base_cols]
-            if missing:
-                raise ValueError(
-                    f"drift baseline run {drift_baseline_run!r} has no "
-                    f"profile rows for columns {missing} under "
-                    f"{output_dir}/stats — refusing to gate against a "
-                    "missing baseline")
-            report = (_stats.drift_report(prof, base)
-                      .withColumn("baseline_run", F.lit(drift_baseline_run))
-                      .localCheckpoint())
-            report.write.mode("overwrite").parquet(
-                os.path.join(output_dir, "drift", f"run_id={prefix}"))
-            if fail_on_drift:
-                drifted = [(r["column"], r["metric"])
-                           for r in report.filter("drifted").collect()]
-                if drifted:
-                    raise StreamDriftError(
-                        f"micro-batch {batch_id} drifted vs baseline "
-                        f"{drift_baseline_run!r} on {drifted}; verdicts NOT "
-                        "committed")
+            base = _stats.read_baseline_profile(spark, output_dir,
+                                                drift_baseline_run,
+                                                profile_cols)
+        prof = _stats.stats_profile(batch_df, profile_cols).localCheckpoint()
+        # an EMPTY micro-batch (recovery trigger, no new files) carries no
+        # data signal: scoring it would read every distribution as collapsed
+        # and a fail_on_drift gate would kill a healthy stream. The profile
+        # itself tells us (n_rows aggregate) — no extra isEmpty() pass.
+        if prof.head()["n_rows"] > 0:
+            _stats.write_stats_sidecar(prof, output_dir, prefix)
+            if base is not None:
+                excl = (_stats.SCALE_DEPENDENT_METRICS
+                        if drift_exclude_metrics is None
+                        else drift_exclude_metrics)
+                report = _stats.score_against_baseline(
+                    prof, base, drift_baseline_run, output_dir, prefix,
+                    exclude_metrics=excl)
+                if fail_on_drift:
+                    drifted = [(r["column"], r["metric"])
+                               for r in report.filter("drifted").collect()]
+                    if drifted:
+                        raise StreamDriftError(
+                            f"micro-batch {batch_id} drifted vs baseline "
+                            f"{drift_baseline_run!r} on {drifted}; verdicts "
+                            "NOT committed")
 
     run_id = f"{prefix}-{uuid.uuid4().hex[:6]}"
     dtype = T.StructType([T.StructField(f.name, f.dataType)
