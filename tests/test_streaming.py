@@ -386,3 +386,39 @@ def test_streaming_drift_excludes_scale_dependent_metrics(spark, tmp_path):
                            drift_baseline_run="backfill",
                            fail_on_drift=True, drift_exclude_metrics=())
     assert read_verdicts(spark, out).count() == 330
+
+
+def test_replay_check_raises_on_corrupt_lineage(spark, tmp_path):
+    """Replay detection must not treat a transient lineage read failure as
+    'not committed' — that would re-commit an already-committed batch under
+    a new run_id and double every row in read_verdicts."""
+    import os
+
+    import pytest
+
+    from xema_spark.streaming import commit_micro_batch
+
+    out = str(tmp_path / "out")
+    lin = os.path.join(out, "lineage")
+    os.makedirs(lin)
+    with open(os.path.join(lin, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    docs = gen_documents(spark, 10).select("doc_id", "spans")
+    with pytest.raises(Exception) as ei:
+        commit_micro_batch(docs, 0, FLAGSHIP_RULE, out, n_buckets=4)
+    assert not isinstance(ei.value, ValueError)
+
+
+def test_commit_micro_batch_gate_guard_without_profile_cols(spark, tmp_path):
+    """The fail-closed guard must also cover a DIRECT commit_micro_batch
+    call with fail_on_drift=True and no profile_cols — previously the whole
+    gate (guard included) sat inside `if profile_cols:` and the batch
+    committed unprotected."""
+    import pytest
+
+    from xema_spark.streaming import commit_micro_batch
+
+    docs = gen_documents(spark, 10).select("doc_id", "spans")
+    with pytest.raises(ValueError, match="silently protect nothing"):
+        commit_micro_batch(docs, 0, FLAGSHIP_RULE, str(tmp_path / "out"),
+                           n_buckets=4, fail_on_drift=True)

@@ -21,7 +21,11 @@ def main() -> None:
     levels = bench.run_scaling_interleaved(
         bench.SCALE_LEVELS, bench.SCALE_N, bench.SCALE_REPS)
     bench.append_history(levels, control)
-    lo, hi = levels
+    # first/last, not a 2-tuple unpack: XEMA_BENCH_SCALE_LEVELS accepts any
+    # comma list and losing the RESULT line after hours of measurement over
+    # an unpack ValueError would be absurd; efficiency is reported for the
+    # widest pair
+    lo, hi = levels[0], levels[-1]
     factor = hi["cpus"] / lo["cpus"]
     out = {
         "n_docs": bench.SCALE_N,

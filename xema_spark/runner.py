@@ -59,12 +59,32 @@ class DriftGateError(RuntimeError):
     orchestrator halts, the forensic record stays."""
 
 
+#: AnalysisException markers for "this parquet path was never written".
+#: Shared by every sidecar read that must distinguish FIRST-RUN-EMPTY (fine)
+#: from a transient read failure (must raise): treating an IO timeout as
+#: "nothing committed yet" would re-commit work and double-count rows in
+#: read_verdicts, the exact failure commit protocols exist to prevent.
+MISSING_PATH_MARKERS = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA",
+                        "Path does not exist")
+
+
+def is_missing_path(e: AnalysisException) -> bool:
+    msg = str(e)
+    return any(m in msg for m in MISSING_PATH_MARKERS)
+
+
 def _completed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
     try:
         rows = spark.read.parquet(lineage_dir).select("bucket").distinct().collect()
         return {r["bucket"] for r in rows}
-    except Exception:
-        return set()
+    except AnalysisException as e:
+        # no lineage yet = first run, nothing resumed. Any OTHER failure
+        # must raise: an empty `done` on a transient error would re-scan and
+        # re-commit every already-committed bucket under a new run_id, and
+        # read_verdicts would then see every doc twice
+        if is_missing_path(e):
+            return set()
+        raise
 
 
 def read_verdicts(spark: SparkSession, output_dir: str) -> DataFrame:
@@ -126,9 +146,7 @@ def commit_lineage(spark: SparkSession, output_dir: str, run_id: str,
         # ONLY the missing-path / unreadable-empty-dir cases are swallowed;
         # any other read failure after a non-empty write must fail loudly,
         # or the written verdicts would be permanently orphaned (ADVICE r3)
-        msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg \
-                or "Path does not exist" in msg:
+        if is_missing_path(e):
             return []
         raise
     new_summary = (this_run.groupBy("bucket").agg(
@@ -265,7 +283,10 @@ def run_validation(
     metrics: dict = {
         "run_id": run_id,
         "n_buckets": n_buckets,
-        "resumed_buckets": len(done),
+        # only buckets THIS run would have scanned count as resumed work —
+        # foreign buckets outside range(n_buckets) (a wider writer sharing
+        # the sidecar) never gated this run's scan and must not inflate it
+        "resumed_buckets": len(done & set(range(n_buckets))),
         "scan_elapsed_sec": scan_elapsed,
         "scan_rows": scan_obs.get("rows", 0),
         "scan_valid": scan_obs.get("valid", 0),
@@ -354,8 +375,11 @@ def main() -> None:
     if args.rule_json:
         with open(args.rule_json) as f:
             rule = json.load(f)
-    docs = spark.read.parquet(args.input)
-    assets = spark.read.parquet(args.assets) if args.assets else None
+    # load_table resolves the uri scheme (iceberg:/parquet:/jsonl:/csv: or a
+    # bare path) — the CLI's help promises iceberg input, so honor it
+    from xema_spark.io import load_table
+    docs = load_table(spark, args.input)
+    assets = load_table(spark, args.assets) if args.assets else None
     metrics = run_validation(
         spark, docs, rule, args.output, assets=assets,
         n_buckets=args.buckets, resume=not args.no_resume,

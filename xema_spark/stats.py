@@ -215,10 +215,22 @@ def write_stats_sidecar(profile: DataFrame, output_dir: str,
 
 
 def read_stats_sidecar(spark, output_dir: str, run_id: str) -> DataFrame:
+    """One run's profile, lenient: an absent run reads as ZERO rows (unlike
+    read_baseline_profile, which fails closed for gate use). The common case
+    reads the run's partition by direct path — O(1) listing even under a
+    streaming sink where every micro-batch adds a partition; only a missing
+    partition falls back to the full-directory scan that preserves the
+    empty-frame contract (and its schema) without hardcoding one here."""
     import os
 
-    return (spark.read.parquet(os.path.join(output_dir, "stats"))
-            .filter(F.col("run_id") == run_id).drop("run_id"))
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(
+            os.path.join(output_dir, "stats", f"run_id={run_id}"))
+    except AnalysisException:
+        return (spark.read.parquet(os.path.join(output_dir, "stats"))
+                .filter(F.col("run_id") == run_id).drop("run_id"))
 
 
 #: drift_report metrics whose score compares ABSOLUTE sizes (total row
@@ -326,7 +338,17 @@ def drift_report(current: DataFrame, baseline: DataFrame,
         F.col("column"),
         *[F.col(c).alias(f"base_{c}") for c in
           ("n", "n_nulls", "n_distinct", "mean", "stddev", "quantiles")])
-    j = cur.join(base, "column")
+    # LEFT join on the current side: a profiled column with NO baseline row
+    # must surface as drifted (fail closed — it was never actually checked),
+    # not vanish from the report the way an inner join would. The current
+    # side is the contract (what this run wants gated); baseline-only
+    # columns are an operator's deliberate choice not to gate and stay out.
+    # base_n is never NULL in a real profile row (F.count), so its absence
+    # identifies the missing-baseline case exactly; the explicit flag keeps
+    # greatest()'s null-skipping from laundering a missing side into a
+    # plausible-looking ratio score.
+    j = cur.join(base, "column", "left")
+    base_missing = F.col("base_n").isNull()
 
     pooled_std = (F.col("base_stddev") + F.col("cur_stddev")) / 2 + F.lit(eps)
     mean_score = F.abs(F.col("cur_mean") - F.col("base_mean")) / pooled_std
@@ -346,6 +368,10 @@ def drift_report(current: DataFrame, baseline: DataFrame,
     rc_score = F.greatest(rc_cur / rc_base, rc_base / rc_cur)
 
     def metric_row(name, base_v, cur_v, score, tol):
+        # a missing baseline row nulls the score (instead of letting
+        # greatest()-based ratios compute something finite) and the
+        # NULL-score coalesce below then reads it as drifted
+        score = F.when(~base_missing, score)
         return j.select(
             "column", F.lit(name).alias("metric"),
             F.round(base_v.cast("double"), 6).alias("baseline_value"),

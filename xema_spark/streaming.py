@@ -179,10 +179,20 @@ def commit_micro_batch(batch_df: DataFrame, batch_id: int, rule: dict,
     import time
     import uuid
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql import types as T
 
-    from xema_spark.runner import commit_lineage, enrich_verdicts
+    from xema_spark.runner import commit_lineage, enrich_verdicts, is_missing_path
 
+    if fail_on_drift and not (profile_cols and drift_baseline_run):
+        # hoisted ABOVE the profile block: a direct call with
+        # fail_on_drift=True and no profile_cols would otherwise skip the
+        # whole gate and commit unprotected — the silent no-op this guard
+        # exists to prevent
+        raise ValueError(
+            "fail_on_drift=True requires both profile_cols and "
+            "drift_baseline_run — without them the drift gate never "
+            "evaluates and the flag would silently protect nothing")
     rule_n = normalize_rule(rule)
     verdict_dir = os.path.join(output_dir, "verdicts")
     lineage_dir = os.path.join(output_dir, "lineage")
@@ -195,19 +205,20 @@ def commit_micro_batch(batch_df: DataFrame, batch_id: int, rule: dict,
         already = (spark.read.parquet(lineage_dir)
                    .filter(F.col("run_id").startswith(prefix + "-"))
                    .limit(1).count() > 0)
-    except Exception:
-        already = False  # no lineage yet — first commit ever
+    except AnalysisException as e:
+        # no lineage yet = first commit ever. Any OTHER read failure must
+        # raise: treating a transient IO error as "not committed" would
+        # re-commit a replayed batch under a new uuid run_id and
+        # read_verdicts would return its rows twice, forever
+        if not is_missing_path(e):
+            raise
+        already = False
     if already:
         return None  # replayed micro-batch that was fully committed
 
     if profile_cols:
         from xema_spark import stats as _stats
 
-        if fail_on_drift and not drift_baseline_run:
-            raise ValueError(
-                "fail_on_drift=True requires drift_baseline_run — without "
-                "it the drift gate never evaluates and the flag would "
-                "silently protect nothing")
         # baseline is validated BEFORE the empty-batch skip: a typo'd
         # drift_baseline_run must fail on the stream's FIRST trigger, not
         # hours later when the first non-empty batch arrives
