@@ -556,6 +556,57 @@ def _larger_n_gate_line() -> str:
         f"XEMA_BENCH_SCALE_LEVELS={lo},{hi} python tools/run_scaling_once.py.")
 
 
+def _core_sweep_line() -> str:
+    """One-paragraph summary of the latest core-count sweep
+    (tools/core_sweep.py -> BENCH/core_sweep.jsonl), regenerated with
+    BASELINE.md so the single-box saturation evidence survives; the merged
+    sweep+history table and full reading live in SCALING.md."""
+    path = os.path.join(os.path.dirname(HISTORY_PATH), "core_sweep.jsonl")
+    try:
+        with open(path) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+    except OSError:
+        return ""
+    if not recs:
+        return ""
+    # best scan per core count across every sweep record, MERGED with the
+    # scaling-history minima of the same job shape — sweep levels are
+    # 3-rep one-shots and individually steal-prone; steal is additive, so
+    # min over every recorded observation is the estimator (same argument
+    # as history_minima)
+    n_docs = recs[-1]["n_docs"]
+    parts = recs[-1]["partitions"]
+    best: dict[int, float] = {}
+    for rec in recs:
+        if (rec["n_docs"], rec["partitions"]) != (n_docs, parts):
+            continue
+        for lvl in rec["levels"]:
+            c = lvl["cpus"]
+            best[c] = min(best.get(c, float("inf")), lvl["min_scan_sec"])
+    for rec in _history_records():
+        if (rec["n_docs"], rec["partitions"]) != (n_docs, parts):
+            continue
+        for lvl in rec["levels"]:
+            c = lvl["cpus"]
+            if c in best:
+                best[c] = min(best[c], min(lvl["all_scan_sec"]))
+    base_c = min(best)
+    curve = ", ".join(
+        f"{c}:{(best[base_c] / best[c]) / (c / base_c):.2f}"
+        for c in sorted(best))
+    return (
+        f"**Core-count sweep** (tools/core_sweep.py, raw data in "
+        f"BENCH/core_sweep.jsonl, merged analysis in SCALING.md): scan "
+        f"efficiency vs local[{base_c}] by core count — {curve}. The scan "
+        f"is near-linear through 8 cores and decays past it while the "
+        f"pure-CPU spin control holds ~0.8 at the same widths: the parquet "
+        f"+ Tungsten scan path saturates this VM's shared memory bandwidth, "
+        f"not its CPUs. That is why the primary N->4N pair sits inside the "
+        f"linear region (it measures the engine, not the box) and why the "
+        f"production shape is scale-OUT: 4-8-core executors each bring "
+        f"their own bandwidth.")
+
+
 def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
                       best_eff: float, control: dict, queries: dict,
                       minima: dict | None = None,
@@ -648,6 +699,8 @@ def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
         "local processes); above ~8-12 busy vCPUs Spark stage barriers amplify "
         "steal into stragglers, measuring the hypervisor rather than the engine. "
         "Set XEMA_BENCH_SCALE_LEVELS=8,32 to reproduce that pair.",
+        "",
+        _core_sweep_line(),
         "",
         "## Headline query times (local[%d], %s)" % (CPUS, SF_DIR),
         "",

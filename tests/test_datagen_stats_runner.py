@@ -386,6 +386,66 @@ def test_bench_history_minima_guards():
     assert bench._minima_for(good + bad, 100, 8, (2, 8, 32)) is None
 
 
+def test_bench_baseline_md_regeneration(tmp_path, monkeypatch):
+    """BASELINE.md regeneration is the last step after an hours-long
+    measurement phase: it must produce the recomputed larger-N gate line
+    and the core-sweep paragraph from the history/sweep files, and degrade
+    to empty strings (not crash) when either file is absent. Pure Python."""
+    import json as _json
+
+    import bench
+
+    hist = tmp_path / "BENCH" / "history.jsonl"
+    hist.parent.mkdir()
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+    monkeypatch.chdir(tmp_path)
+
+    # no history, no sweep file: both lines degrade to ""
+    assert bench._larger_n_gate_line() == ""
+    assert bench._core_sweep_line() == ""
+
+    def rec(n_docs, levels, scans, walls):
+        return {"n_docs": n_docs, "partitions": bench.FIXED_PARTITIONS,
+                "levels": [{"cpus": c, "all_scan_sec": [s],
+                            "all_runs_sec": [w], "rep_health": [1.0]}
+                           for c, s, w in zip(levels, scans, walls)]}
+
+    with open(hist, "w") as f:
+        # default shape (SCALE_N) + one wider-input shape that clears e2e
+        f.write(_json.dumps(rec(bench.SCALE_N, bench.SCALE_LEVELS,
+                                [40.0, 11.0], [60.0, 20.0])) + "\n")
+        f.write(_json.dumps(rec(bench.SCALE_N * 4, (2, 8),
+                                [120.0, 32.0], [156.0, 43.0])) + "\n")
+    gate = bench._larger_n_gate_line()
+    assert "clears END-TO-END" in gate            # 156/43/4 = 0.907 >= 0.8
+    assert f"{bench.SCALE_N * 4:,}" in gate
+
+    with open(tmp_path / "BENCH" / "core_sweep.jsonl", "w") as f:
+        f.write(_json.dumps({
+            "n_docs": bench.SCALE_N, "partitions": bench.FIXED_PARTITIONS,
+            "levels": [{"cpus": 2, "min_scan_sec": 41.0},
+                       {"cpus": 8, "min_scan_sec": 12.0}]}) + "\n")
+    sweep = bench._core_sweep_line()
+    # merged with history: history's 40.0s@2 / 11.0s@8 beat the sweep's
+    # observations, so the curve uses the cross-source minima
+    assert "2:1.00" in sweep and "8:0.91" in sweep
+
+    lvl = {"cpus": 2, "n_docs": bench.SCALE_N, "elapsed_sec": 60.0,
+           "docs_per_sec": 40000.0, "scan_elapsed_sec": 40.0,
+           "best_sec": 60.0, "best_scan_sec": 40.0,
+           "all_runs_sec": [60.0], "rep_health": [1.0], "basis": "test"}
+    hi = dict(lvl, cpus=8, elapsed_sec=20.0, scan_elapsed_sec=11.0,
+              best_sec=20.0, best_scan_sec=11.0, all_runs_sec=[20.0])
+    bench.write_baseline_md(
+        [lvl, hi], efficiency=0.75, scan_eff=0.91, best_eff=0.91,
+        control={"efficiency": 0.95, "ops_per_sec": {"2": 1.0, "8": 3.8}},
+        queries={"q": 1.0})
+    text = (tmp_path / "BENCH" / "BASELINE.md").read_text()
+    assert "clears END-TO-END" in text
+    assert "Core-count sweep" in text
+    assert "Scaling history minima by job shape" in text
+
+
 def test_runner_fail_on_drift(spark, tmp_path):
     """Batch fail_on_drift: the gate raises AFTER persisting verdicts,
     profile, and drift report — the orchestrator halts but the forensic
