@@ -291,41 +291,47 @@ def run_scaling_interleaved(levels_cpus: tuple[int, ...], n_docs: int,
     for cpus, rs in zip(levels_cpus, reps_by_level):
         for r in rs:
             r["health"] = HealthMonitor.window_health(ticks, r.pop("t0"), r.pop("t1"))
-        # clean = reps whose concurrent host-health stayed near the ceiling
-        # AND whose elapsed is close to the level's own minimum. The second
-        # test matters because the monitor spins on ONE core — steal is
-        # per-vCPU, so worker cores can be robbed while the monitor core
-        # isn't. For a deterministic job noise is strictly additive, so a
-        # rep 1.3x above the level minimum is contaminated whatever the
-        # monitor says.
-        lvl_min = min(r["elapsed_sec"] for r in rs)
-        clean = [r for r in rs
-                 if (r["health"] is None or r["health"] >= 0.8)
-                 and r["elapsed_sec"] <= 1.3 * lvl_min]
-        if len(clean) >= 2:
-            basis, basis_desc = clean, f"median of {len(clean)} clean reps"
-        else:
-            # no clean sample — the least-contended rep is the only
-            # observation with engine signal (steal only adds time)
-            basis = [min(rs, key=lambda r: r["elapsed_sec"])]
-            basis_desc = f"best of {len(rs)} reps (fewer than 2 clean)"
-        med = statistics.median(r["elapsed_sec"] for r in basis)
-        med_scan = statistics.median(r["scan_elapsed_sec"] for r in basis)
-        out.append({
-            "cpus": cpus, "n_docs": n_docs,
-            "elapsed_sec": round(med, 3),
-            "scan_elapsed_sec": round(med_scan, 3),
-            "basis": basis_desc,
-            "all_runs_sec": [r["elapsed_sec"] for r in rs],
-            "all_scan_sec": [r["scan_elapsed_sec"] for r in rs],
-            "rep_health": [r["health"] for r in rs],
-            "best_sec": min(r["elapsed_sec"] for r in rs),
-            "best_scan_sec": min(r["scan_elapsed_sec"] for r in rs),
-            "docs_per_sec": round(n_docs / med, 1),
-            "n_violations": rs[0]["n_violations"],
-            "dangling_refs": rs[0]["dangling_refs"],
-        })
+        out.append(_summarize_reps(rs, cpus, n_docs))
     return out
+
+
+def _summarize_reps(rs: list[dict], cpus: int, n_docs: int) -> dict:
+    """Clean-median level summary from raw reps. Shared by the live scaling
+    phase and --regen-md's reconstruction from BENCH/history.jsonl.
+
+    clean = reps whose concurrent host-health stayed near the ceiling AND
+    whose elapsed is close to the level's own minimum. The second test
+    matters because the monitor spins on ONE core — steal is per-vCPU, so
+    worker cores can be robbed while the monitor core isn't. For a
+    deterministic job noise is strictly additive, so a rep 1.3x above the
+    level minimum is contaminated whatever the monitor says."""
+    lvl_min = min(r["elapsed_sec"] for r in rs)
+    clean = [r for r in rs
+             if (r["health"] is None or r["health"] >= 0.8)
+             and r["elapsed_sec"] <= 1.3 * lvl_min]
+    if len(clean) >= 2:
+        basis, basis_desc = clean, f"median of {len(clean)} clean reps"
+    else:
+        # no clean sample — the least-contended rep is the only
+        # observation with engine signal (steal only adds time)
+        basis = [min(rs, key=lambda r: r["elapsed_sec"])]
+        basis_desc = f"best of {len(rs)} reps (fewer than 2 clean)"
+    med = statistics.median(r["elapsed_sec"] for r in basis)
+    med_scan = statistics.median(r["scan_elapsed_sec"] for r in basis)
+    return {
+        "cpus": cpus, "n_docs": n_docs,
+        "elapsed_sec": round(med, 3),
+        "scan_elapsed_sec": round(med_scan, 3),
+        "basis": basis_desc,
+        "all_runs_sec": [r["elapsed_sec"] for r in rs],
+        "all_scan_sec": [r["scan_elapsed_sec"] for r in rs],
+        "rep_health": [r["health"] for r in rs],
+        "best_sec": min(r["elapsed_sec"] for r in rs),
+        "best_scan_sec": min(r["scan_elapsed_sec"] for r in rs),
+        "docs_per_sec": round(n_docs / med, 1),
+        "n_violations": rs[0].get("n_violations"),
+        "dangling_refs": rs[0].get("dangling_refs"),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -377,7 +383,8 @@ HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH", "history.jsonl")
 
 
-def append_history(levels: list[dict], control: dict) -> None:
+def append_history(levels: list[dict], control: dict,
+                   queries: dict | None = None) -> None:
     os.makedirs(os.path.dirname(HISTORY_PATH), exist_ok=True)
     rec = {
         "ts": round(time.time(), 1),
@@ -388,8 +395,31 @@ def append_history(levels: list[dict], control: dict) -> None:
                    for lvl in levels],
         "cpu_control": control,
     }
+    if queries:
+        # one-shot sf0.1 headline timings travel with the record so
+        # BASELINE.md's "best known" column (per-query minima — same
+        # additive-steal argument as the scaling minima) survives
+        # regeneration and stolen headline windows
+        rec["queries"] = queries
     with open(HISTORY_PATH, "a") as f:
         f.write(json.dumps(rec) + "\n")
+
+
+def _best_known_queries(current: dict | None) -> dict[str, float]:
+    """Per-query minimum one-shot time across every history record carrying
+    a headline table, plus the current run. Steal is additive on the
+    deterministic headline queries too, so the cross-run minimum is the
+    engine figure; a single stolen headline window can only add rows it
+    cannot corrupt."""
+    best: dict[str, float] = dict(current or {})
+    for r in _history_records():
+        q = r.get("queries")
+        if not isinstance(q, dict):
+            continue
+        for k, v in q.items():
+            if isinstance(v, (int, float)):
+                best[k] = min(best.get(k, float("inf")), v)
+    return best
 
 
 def _history_records() -> list[dict]:
@@ -584,9 +614,9 @@ def _core_sweep_line() -> str:
             c = lvl["cpus"]
             best[c] = min(best.get(c, float("inf")), lvl["min_scan_sec"])
     for rec in _history_records():
-        if (rec["n_docs"], rec["partitions"]) != (n_docs, parts):
+        if (rec.get("n_docs"), rec.get("partitions")) != (n_docs, parts):
             continue
-        for lvl in rec["levels"]:
+        for lvl in _record_levels(rec) or []:
             c = lvl["cpus"]
             if c in best:
                 best[c] = min(best[c], min(lvl["all_scan_sec"]))
@@ -704,16 +734,75 @@ def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
         "",
         "## Headline query times (local[%d], %s)" % (CPUS, SF_DIR),
         "",
-        "| query | sec |",
-        "| --- | --- |",
+        "One-shot timings (include plan build + codegen). 'this run' is the "
+        "latest measurement; 'best known' is the per-query minimum across "
+        "every recorded headline run (BENCH/history.jsonl) — the additive-"
+        "steal minima argument applies per query, so a stolen headline "
+        "window inflates 'this run' but cannot move 'best known'.",
+        "",
+        "| query | this run (s) | best known (s) |",
+        "| --- | --- | --- |",
     ]
+    best = _best_known_queries(queries)
     for k, v in sorted(queries.items()):
-        lines.append(f"| {k} | {v} |")
+        lines.append(f"| {k} | {v} | {best.get(k, v)} |")
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
+def regen_md() -> int:
+    """Rebuild BENCH/BASELINE.md from BENCH/history.jsonl without running
+    anything — for use after editing the prose generators or when a stolen
+    window corrupted the last live regeneration. Uses the NEWEST history
+    record of the default job shape; level summaries are reconstructed from
+    its raw rep lists with the same clean-median rules as the live phase."""
+    recs = [r for r in _history_records()
+            if r.get("n_docs") == SCALE_N
+            and r.get("partitions") == FIXED_PARTITIONS
+            and _record_levels(r) is not None
+            and sorted(l["cpus"] for l in r["levels"]) == sorted(SCALE_LEVELS)]
+    if not recs:
+        print("no history record of the default shape; run bench first",
+              file=sys.stderr)
+        return 1
+    rec = recs[-1]
+    levels = []
+    for lvl in sorted(rec["levels"], key=lambda l: l["cpus"]):
+        health = lvl.get("rep_health") or [None] * len(lvl["all_runs_sec"])
+        rs = [{"elapsed_sec": w, "scan_elapsed_sec": s, "health": h}
+              for w, s, h in zip(lvl["all_runs_sec"], lvl["all_scan_sec"],
+                                 health)]
+        levels.append(_summarize_reps(rs, lvl["cpus"], rec["n_docs"]))
+    factor = SCALE_LEVELS[1] / SCALE_LEVELS[0]
+    efficiency = (levels[1]["docs_per_sec"] / levels[0]["docs_per_sec"]) / factor
+    scan_eff = ((levels[0]["scan_elapsed_sec"] / levels[1]["scan_elapsed_sec"])
+                / factor)
+    best_eff = ((levels[0]["best_scan_sec"] / levels[1]["best_scan_sec"])
+                / factor)
+    minima = history_minima()
+    if minima is not None:
+        primary_eff = minima["efficiency_scan"]
+        primary_basis = ("per-level minima, %d runs / %s reps (deterministic "
+                         "job, steal additive; raw reps in BENCH/history.jsonl)"
+                         % (minima["n_runs"], minima["n_reps"]))
+    else:
+        primary_eff, primary_basis = scan_eff, "clean-rep medians (last run)"
+    # this-run column = the newest recorded headline (whatever run shape
+    # produced it); write_baseline_md derives the best-known column itself
+    latest_q = next((r["queries"] for r in reversed(_history_records())
+                     if isinstance(r.get("queries"), dict)),
+                    rec.get("queries") or {})
+    write_baseline_md(levels, efficiency, scan_eff, best_eff,
+                      rec.get("cpu_control", {}), latest_q, minima,
+                      primary_eff, primary_basis)
+    print("BENCH/BASELINE.md regenerated from history record ts=%s"
+          % rec.get("ts"))
+    return 0
+
+
 def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--regen-md":
+        sys.exit(regen_md())
     if len(sys.argv) >= 3 and sys.argv[1] == "--scale-worker":
         scale_worker_loop(int(sys.argv[2]), SCALE_N)
         return
@@ -737,7 +826,7 @@ def main() -> None:
             scale_error = f"{type(exc).__name__}: {exc}"[:200]
             skip_scale, levels = True, []
     if not skip_scale:
-        append_history(levels, control)
+        append_history(levels, control, queries)
         minima = history_minima()
         factor = SCALE_LEVELS[1] / SCALE_LEVELS[0]
         efficiency = (levels[1]["docs_per_sec"] / levels[0]["docs_per_sec"]) / factor
@@ -765,6 +854,10 @@ def main() -> None:
                           queries, minima, primary_eff, primary_basis)
         headline = levels[1]
     else:
+        # a headline-only run still contributes its one-shot query timings
+        # to the per-query best-known minima (levels stays empty; every
+        # history consumer skips level-less records via _record_levels)
+        append_history([], {}, queries)
         # even without a fresh scaling phase the cross-run minima still
         # carry the gate figure (the estimator is history-based by design)
         minima = history_minima() if scale_error else None
