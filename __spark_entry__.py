@@ -333,6 +333,19 @@ def _q_dedup_exact(spark, sf_dir):
     return dedup.exact_dup_groups(with_dups)
 
 
+def _q_dedup_decontaminate(spark, sf_dir):
+    # eval-set leakage gate: docs sharing a 5-token gram with the benchmark
+    # slice (doc_id % 23 == 0) are flagged; the slice itself is excluded
+    # from the corpus by a pure filter (no join)
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    bench_set = d.filter(F.col("doc_id") % 23 == 0)
+    corpus = d.filter(F.col("doc_id") % 23 != 0)
+    out = dedup.decontaminate(corpus, bench_set, n=5, min_hits=1)
+    return out.select(
+        "doc_id", F.col("total_grams").cast("long").alias("total_grams"),
+        "matched_grams", "contaminated")
+
+
 def _q_text_token_stats(spark, sf_dir):
     d = _docs(spark, sf_dir, "doc_id", "text")
     return d.select(
@@ -983,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _q_ann_ivf_trained,
         # -- new in r4 --
         "drift_run_report": _q_drift_run_report,
+        "dedup_decontaminate": _q_dedup_decontaminate,
         "sample_stratified": _q_sample_stratified,
         "text_top_tokens": _q_text_top_tokens,
         # -- r3-evicted, back in the window --
@@ -1002,7 +1016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violations_explode": _q_violations_explode,
         "v_json_dynamic": _q_v_json_dynamic,
         "cast_pipeline": _q_cast_pipeline,
-        "dedup_jaccard_consecutive": _q_dedup_jaccard_consecutive,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
         # dataset scope (oracle-checked)
         "stats_documents": _q_stats_documents,
@@ -1033,10 +1046,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ref_inline": _q_v_ref_inline,
         # ---- tail (beyond the driver's 50-query window): driver-green in
         # r2 AND r3, semantics untouched since; still oracle-checked in CI --
-        # (drift_quantile demoted in r4 so v_ref_inline — green in r3 only —
-        # lands at slot 50 exactly; drift coverage stays in-window via
-        # drift_run_report / drift_group_quantiles / drift_hist_nchars)
+        # (drift_quantile + dedup_jaccard_consecutive demoted in r4 so
+        # v_ref_inline — green in r3 only — lands at slot 50 exactly; drift
+        # coverage stays in-window via drift_run_report /
+        # drift_group_quantiles / drift_hist_nchars, and jaccard
+        # verification stays in-window inside the dedup_minhash_pairs chain)
         "drift_quantile": _q_drift_quantile,
+        "dedup_jaccard_consecutive": _q_dedup_jaccard_consecutive,
         "v_exclusive_range": _q_v_exclusive_range,
         "v_format_ipv4": _q_v_format_ipv4,
         "v_format_date": _q_v_format_date,
@@ -1752,6 +1768,31 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT text FROM {_T} WHERE doc_id < 20)
             WHERE text IS NOT NULL
             GROUP BY 1 HAVING count(*) > 1""",
+        "dedup_decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> t <> '') AS t
+              FROM {_T}),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) >= 5 THEN
+                       list_transform(range(1, len(t) - 3),
+                                      i -> array_to_string(t[i:i+4], ' '))
+                       ELSE []::VARCHAR[] END) AS g
+              FROM toks),
+            bench AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams
+              WHERE doc_id % 23 = 0),
+            bl AS (SELECT list(gram) AS bg FROM bench)
+            SELECT c.doc_id,
+                   len(c.g)::BIGINT AS total_grams,
+                   len(list_filter(c.g, x -> list_contains(bl.bg, x)))::BIGINT
+                     AS matched_grams,
+                   len(list_filter(c.g, x -> list_contains(bl.bg, x))) >= 1
+                     AS contaminated
+            FROM grams c, bl
+            WHERE c.doc_id % 23 != 0""",
         "text_token_stats": f"""
             SELECT doc_id,
                    len(list_filter(string_split_regex(lower(text), '\\s+'),

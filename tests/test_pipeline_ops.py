@@ -447,3 +447,38 @@ def test_star_cc_string_ids(spark):
     assert star == lbl
     assert star["doc-a"] == star["doc-b"] == star["doc-c"] == "doc-a"
     assert star["x"] == star["y"] == "x"
+
+
+def test_decontaminate_flags_overlap_and_keeps_zero_gram_docs(spark):
+    """Benchmark decontamination: a corpus doc sharing a 5-token gram with
+    the eval set is flagged; disjoint docs and sub-n-token docs survive
+    unflagged (explode_outer keeps zero-gram docs, matched=0). The plan
+    must broadcast the benchmark gram set."""
+    bench_set = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "prefix alpha beta gamma delta epsilon suffix"),  # leaked gram
+         (2, "totally unrelated words about spark engines here"),
+         (3, "too short")],                                    # < 5 tokens
+        ["doc_id", "text"])
+    out = dedup.decontaminate(corpus, bench_set, n=5, min_hits=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["contaminated"] and rows[1]["matched_grams"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["matched_grams"] == 0
+    assert rows[3]["total_grams"] == 0 and rows[3]["matched_grams"] == 0
+    assert not rows[3]["contaminated"]
+    import io as _io
+    from contextlib import redirect_stdout
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_token_ngrams_short_doc_guard(spark):
+    """size < n must yield [], not the descending-sequence artifact."""
+    df = spark.createDataFrame([("a b c",), ("a b c d e",)], ["text"])
+    got = df.select(dedup.token_ngrams(F.col("text"), n=5).alias("g")).collect()
+    assert got[0]["g"] == []
+    assert got[1]["g"] == ["a b c d e"]

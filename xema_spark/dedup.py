@@ -392,6 +392,59 @@ def minhash_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def token_ngrams(col: Column, n: int = 5) -> Column:
+    """Distinct space-joined token n-grams of a text column.
+
+    Guarded for short docs: Spark's sequence(1, size-n+1) infers step -1
+    when size < n (the winnow short-text hazard, text.py) — the CASE arm
+    returns an empty array instead. One transform over one split: O(tokens)
+    per row, no shuffle.
+    """
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str | None = None, n: int = 5,
+                  min_hits: int = 1) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, count distinct token
+    n-grams that also appear in the benchmark/eval set, and flag docs with
+    >= min_hits overlapping grams (the standard pre-training leakage gate;
+    the reference's dataset-scope checks stop at referential integrity —
+    this extends the family to eval-set leakage).
+
+    Scale shape (100 TB corpus, small benchmark): the benchmark gram set is
+    built once and BROADCAST (eval sets are thousands of docs — millions of
+    grams at most); the corpus side is explode -> broadcast-hash left join
+    -> one partial-aggregated groupBy on the doc id. No corpus-side shuffle
+    except that final count; zero-gram docs survive via explode_outer.
+    """
+    bcol = bench_text_col or text_col
+    bench_grams = (benchmark
+                   .select(F.explode(token_ngrams(F.col(bcol), n)).alias("gram"))
+                   .distinct()
+                   .withColumn("hit", F.lit(1)))
+    exploded = corpus.select(
+        F.col(id_col),
+        F.size(token_ngrams(F.col(text_col), n)).alias("total_grams"),
+        F.explode_outer(token_ngrams(F.col(text_col), n)).alias("gram"))
+    return (exploded
+            .join(F.broadcast(bench_grams), "gram", "left")
+            .groupBy(id_col, "total_grams")
+            .agg(F.count("hit").alias("matched_grams"))
+            .withColumn("contaminated", F.col("matched_grams") >= min_hits))
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 
