@@ -99,6 +99,22 @@ class TestCurate:
         kept = sorted(r["doc_id"] for r in out.collect())
         assert kept == [1]  # 2 exact-dup, 3 near-dup, 4-7 filtered
 
+    def test_curate_decontaminates_against_benchmark(self, spark):
+        from xema_spark import pipeline
+
+        df = spark.createDataFrame(
+            [(1, "one two three four five six seven eight nine ten"),
+             (2, "alpha beta gamma delta epsilon zeta eta theta iota")],
+            ["doc_id", "text"])
+        bench_set = spark.createDataFrame(
+            [(9, "xx alpha beta gamma delta epsilon yy")], ["doc_id", "text"])
+        out = pipeline.curate(df, near_dup_threshold=None,
+                              benchmark=bench_set)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1]
+        # benchmark=None keeps the stage out of the plan entirely
+        out2 = pipeline.curate(df, near_dup_threshold=None)
+        assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2]
+
 
 class TestDedup:
     def test_exact(self, spark):

@@ -444,6 +444,32 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
             .withColumn("contaminated", F.col("matched_grams") >= min_hits))
 
 
+def contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     bench_text_col: str | None = None, n: int = 5,
+                     min_hits: int = 1) -> DataFrame:
+    """Ids of corpus docs sharing >= min_hits token n-grams with the
+    benchmark — the filter form of `decontaminate` for pipelines that drop
+    leaked docs rather than report on every doc. The broadcast join is
+    INNER, so only hit rows reach the aggregate: at real contamination
+    rates (<<1% of a pre-training corpus) the result is tiny, which keeps
+    the caller's anti-join right side small enough for AQE to broadcast.
+    Per-doc grams are already distinct (token_ngrams), so count(*) counts
+    distinct matched grams."""
+    bcol = bench_text_col or text_col
+    bench_grams = (benchmark
+                   .select(F.explode(token_ngrams(F.col(bcol), n)).alias("gram"))
+                   .distinct())
+    hits = (corpus
+            .select(F.col(id_col),
+                    F.explode(token_ngrams(F.col(text_col), n)).alias("gram"))
+            .join(F.broadcast(bench_grams), "gram"))
+    if min_hits <= 1:
+        return hits.select(id_col).distinct()
+    return (hits.groupBy(id_col).agg(F.count("*").alias("matched_grams"))
+            .filter(F.col("matched_grams") >= min_hits).select(id_col))
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -46,9 +46,14 @@ def curate(
     scrub_pii: bool = False,
     cache_survivors: bool = True,
     lang_strategy: str = "table",
+    benchmark: DataFrame | None = None,
+    decontaminate_ngram: int = 5,
+    decontaminate_min_hits: int = 1,
 ) -> DataFrame:
     """Curated corpus: rows that pass the rule + quality gates, with exact
-    and near duplicates removed (keep the lowest id), optionally with PII
+    and near duplicates removed (keep the lowest id), optionally
+    decontaminated against a benchmark/eval set (`benchmark=` drops docs
+    sharing >= decontaminate_min_hits token n-grams with it) and with PII
     redacted in place. Output keeps `lang`, `q_alpha_ratio`,
     `top_ngram_frac`, `dup_ngram_frac` alongside the surviving columns so
     downstream sampling can stratify on them."""
@@ -85,6 +90,18 @@ def curate(
     q = (q.join(rep, id_col)
          .filter((F.col("top_ngram_frac") <= F.lit(float(max_top_ngram_frac)))
                  & (F.col("dup_ngram_frac") <= F.lit(float(max_dup_ngram_frac)))))
+
+    if benchmark is not None:
+        # eval-set leakage gate on survivors (fewer rows than the raw
+        # corpus, and dropping leaked docs shrinks the dedup stages below).
+        # The right side of the anti-join is the contaminated-id set —
+        # tiny at real leakage rates, so AQE turns this into a broadcast
+        # anti-join at runtime rather than a corpus shuffle.
+        q = q.join(
+            dedup.contaminated_ids(q, benchmark, id_col=id_col,
+                                   text_col=text_col, n=decontaminate_ngram,
+                                   min_hits=decontaminate_min_hits),
+            id_col, "left_anti")
 
     if exact_dedupe:
         q = dedup.dedupe_exact(q, id_col, text_col)
