@@ -399,22 +399,37 @@ def append_history(levels: list[dict], control: dict,
         # one-shot sf0.1 headline timings travel with the record so
         # BASELINE.md's "best known" column (per-query minima — same
         # additive-steal argument as the scaling minima) survives
-        # regeneration and stolen headline windows
+        # regeneration and stolen headline windows. q_shape keys the
+        # timings to the corpus+core config that produced them: minima
+        # pool only within one shape, else a sf0.01 run's ~10x-faster
+        # timings would become undisplaceable "best known sf0.1" figures
         rec["queries"] = queries
+        rec["q_shape"] = _current_q_shape()
     with open(HISTORY_PATH, "a") as f:
         f.write(json.dumps(rec) + "\n")
 
 
+def _current_q_shape() -> list:
+    return [os.path.basename(SF_DIR.rstrip("/")), CPUS]
+
+
+# records written before the shape key existed all ran the default config
+# (driver + calm-window reruns at sf0.1 on local[32]); pin them to it rather
+# than to whatever the CURRENT env happens to be
+_LEGACY_Q_SHAPE = ["sf0.1", 32]
+
+
 def _best_known_queries(current: dict | None) -> dict[str, float]:
     """Per-query minimum one-shot time across every history record carrying
-    a headline table, plus the current run. Steal is additive on the
-    deterministic headline queries too, so the cross-run minimum is the
-    engine figure; a single stolen headline window can only add rows it
-    cannot corrupt."""
+    a headline table OF THE CURRENT SHAPE (same SF_DIR corpus + core count),
+    plus the current run. Steal is additive on the deterministic headline
+    queries too, so the cross-run minimum is the engine figure; a single
+    stolen headline window can only add rows it cannot corrupt."""
     best: dict[str, float] = dict(current or {})
+    want = _current_q_shape()
     for r in _history_records():
         q = r.get("queries")
-        if not isinstance(q, dict):
+        if not isinstance(q, dict) or r.get("q_shape", _LEGACY_Q_SHAPE) != want:
             continue
         for k, v in q.items():
             if isinstance(v, (int, float)):
@@ -787,11 +802,15 @@ def regen_md() -> int:
                          % (minima["n_runs"], minima["n_reps"]))
     else:
         primary_eff, primary_basis = scan_eff, "clean-rep medians (last run)"
-    # this-run column = the newest recorded headline (whatever run shape
-    # produced it); write_baseline_md derives the best-known column itself
-    latest_q = next((r["queries"] for r in reversed(_history_records())
-                     if isinstance(r.get("queries"), dict)),
-                    rec.get("queries") or {})
+    # this-run column = the newest recorded headline OF THE CURRENT SHAPE
+    # (the regenerated header claims local[CPUS]/SF_DIR, so a differently-
+    # shaped record's timings must not appear under it);
+    # write_baseline_md derives the best-known column itself
+    latest_q = next(
+        (r["queries"] for r in reversed(_history_records())
+         if isinstance(r.get("queries"), dict)
+         and r.get("q_shape", _LEGACY_Q_SHAPE) == _current_q_shape()),
+        {})  # no matching-shape headline ever recorded -> empty table
     write_baseline_md(levels, efficiency, scan_eff, best_eff,
                       rec.get("cpu_control", {}), latest_q, minima,
                       primary_eff, primary_basis)

@@ -518,3 +518,32 @@ def test_drift_report_missing_baseline_column_fails_closed(spark):
     rep2 = stats.drift_report(base, cur)
     assert rep2.filter("column = 'b'").count() == 0
     assert rep2.filter("drifted").count() == 0
+
+
+def test_bench_best_known_minima_are_shape_keyed(tmp_path, monkeypatch):
+    """'best known' per-query minima pool ONLY records of the current
+    corpus+core shape: one sf0.01 run must not plant ~10x-faster timings
+    as undisplaceable sf0.1 minima (r4 review finding). Legacy records
+    without a q_shape key pin to the historical default (sf0.1, 32), not
+    to whatever the current env happens to be. Pure Python."""
+    import json as _json
+
+    import bench
+
+    hist = tmp_path / "history.jsonl"
+    monkeypatch.setattr(bench, "HISTORY_PATH", str(hist))
+    with open(hist, "w") as f:
+        f.write(_json.dumps({"queries": {"q1": 5.0},
+                             "q_shape": ["sf0.1", 32]}) + "\n")
+        f.write(_json.dumps({"queries": {"q1": 0.4},
+                             "q_shape": ["sf0.01", 32]}) + "\n")
+        f.write(_json.dumps({"queries": {"q1": 4.0}}) + "\n")  # legacy
+
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    monkeypatch.setattr(bench, "CPUS", 32)
+    best = bench._best_known_queries({"q1": 6.0})
+    assert best["q1"] == 4.0        # legacy counts as sf0.1; sf0.01 ignored
+
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.01")
+    best = bench._best_known_queries({"q1": 0.5})
+    assert best["q1"] == 0.4        # within-shape minimum only

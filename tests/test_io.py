@@ -39,3 +39,18 @@ def test_jsonl_and_csv_sources(spark, tmp_path):
     got_c = load_table(spark, f"csv:{cp}").orderBy("id").collect()
     assert [(r["id"], r["s"]) for r in got_j] == [(1, "a"), (2, "b")]
     assert [(int(r["id"]), r["s"]) for r in got_c] == [(1, "a"), (2, "b")]
+
+
+def test_bare_name_prefers_existing_local_path(spark, tmp_path, monkeypatch):
+    """A slash-free --input that exists as a local directory is a relative
+    parquet path, not an Iceberg table name — even when the Iceberg runtime
+    is on the classpath (r4 review finding: the CLI's switch to load_table
+    must not regress relative bare-path invocations)."""
+    from xema_spark import io as xio
+
+    gen_documents(spark, 50).write.parquet(str(tmp_path / "docs"))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(xio, "iceberg_available", lambda _s: True)
+    # resolves against the PYTHON cwd even though the JVM was launched
+    # elsewhere, and never reaches the (stubbed-available) Iceberg reader
+    assert xio.load_table(spark, "docs").count() == 50

@@ -59,26 +59,33 @@ def run_level(cpus: int) -> dict:
     p = subprocess.Popen(cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                          stderr=subprocess.DEVNULL, text=True, env=env,
                          cwd=os.path.dirname(os.path.abspath(bench.__file__)))
-    while True:
-        line = p.stdout.readline()
-        if not line:
-            raise RuntimeError(f"sweep worker local[{cpus}] died during init")
-        if line.startswith("{") and json.loads(line).get("ready"):
-            break
-    reps = []
-    for _ in range(REPS):
-        t0 = time.time()
-        p.stdin.write("REP\n")
+    try:
+        while True:
+            line = p.stdout.readline()
+            if not line:
+                raise RuntimeError(f"sweep worker local[{cpus}] died during init")
+            if line.startswith("{") and json.loads(line).get("ready"):
+                break
+        reps = []
+        for _ in range(REPS):
+            t0 = time.time()
+            p.stdin.write("REP\n")
+            p.stdin.flush()
+            line = p.stdout.readline()
+            if not line:
+                raise RuntimeError(f"sweep worker local[{cpus}] died mid-rep")
+            r = json.loads(line)
+            r["t0"], r["t1"] = t0, time.time()
+            reps.append(r)
+        p.stdin.write("EXIT\n")
         p.stdin.flush()
-        line = p.stdout.readline()
-        if not line:
-            raise RuntimeError(f"sweep worker local[{cpus}] died mid-rep")
-        r = json.loads(line)
-        r["t0"], r["t1"] = t0, time.time()
-        reps.append(r)
-    p.stdin.write("EXIT\n")
-    p.stdin.flush()
-    p.wait(timeout=120)
+        p.wait(timeout=120)
+    finally:
+        # never orphan a JVM on a box whose methodology is "nothing else
+        # running" — a leaked worker poisons every later measurement
+        if p.poll() is None:
+            p.kill()
+            p.wait()
     return {
         "cpus": cpus,
         "min_scan_sec": min(r["scan_elapsed_sec"] for r in reps),
@@ -93,18 +100,30 @@ def run_level(cpus: int) -> dict:
 def main() -> None:
     mon_core = (os.cpu_count() or 32) - 1
     monitor = bench.HealthMonitor(mon_core)
+    mon_live = True
     levels = []
-    for cpus in LEVELS:
-        t0 = time.time()
-        lvl = run_level(cpus)
-        lvl["health"] = bench.HealthMonitor.window_health(
-            monitor.peek(), t0, time.time())
-        lvl["spin_ops_per_sec"] = spin_control(cpus)
-        levels.append(lvl)
-        print(f"# local[{cpus:2d}]  scan min {lvl['min_scan_sec']:7.2f}s  "
-              f"wall min {lvl['min_wall_sec']:7.2f}s  "
-              f"health {lvl['health']}", flush=True)
-    monitor.stop()
+    try:
+        for cpus in LEVELS:
+            if mon_live and cpus > mon_core:
+                # the worker/spin core range 0..cpus-1 now includes the
+                # monitor's core: a reading here would count the sweep's own
+                # worker as steal AND shave a core off the level being
+                # measured — stop the monitor, record health as unknown
+                monitor.stop()
+                mon_live = False
+            t0 = time.time()
+            lvl = run_level(cpus)
+            lvl["health"] = (bench.HealthMonitor.window_health(
+                monitor.peek(), t0, time.time()) if mon_live else None)
+            lvl["spin_ops_per_sec"] = spin_control(cpus)
+            levels.append(lvl)
+            print(f"# local[{cpus:2d}]  scan min {lvl['min_scan_sec']:7.2f}s  "
+                  f"wall min {lvl['min_wall_sec']:7.2f}s  "
+                  f"health {lvl['health']}", flush=True)
+    finally:
+        # a failed level must not strand the spin monitor on its pinned core
+        if mon_live:
+            monitor.stop()
 
     base = levels[0]
     rows = ["| cores | scan s (min) | scan speedup | scan eff | spin speedup "

@@ -433,10 +433,17 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                    .select(F.explode(token_ngrams(F.col(bcol), n)).alias("gram"))
                    .distinct()
                    .withColumn("hit", F.lit(1)))
-    exploded = corpus.select(
-        F.col(id_col),
-        F.size(token_ngrams(F.col(text_col), n)).alias("total_grams"),
-        F.explode_outer(token_ngrams(F.col(text_col), n)).alias("gram"))
+    # materialize the gram array ONCE per row: size() and explode_outer()
+    # reference the same attribute across the Generate boundary, which
+    # Catalyst will not re-inline (CollapseProject stops at Generate) —
+    # referencing token_ngrams twice would run the dominant tokenize+gram
+    # map twice per corpus row
+    exploded = (corpus
+                .select(F.col(id_col),
+                        token_ngrams(F.col(text_col), n).alias("_grams"))
+                .select(F.col(id_col),
+                        F.size("_grams").alias("total_grams"),
+                        F.explode_outer("_grams").alias("gram")))
     return (exploded
             .join(F.broadcast(bench_grams), "gram", "left")
             .groupBy(id_col, "total_grams")

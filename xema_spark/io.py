@@ -18,6 +18,8 @@ analogue and is Spark-native by design.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -53,6 +55,14 @@ def load_table(spark: SparkSession, uri: str,
             .csv(uri[len("csv:"):])
     if snapshot_id is not None or as_of is not None:
         raise ValueError("snapshot reads require an iceberg: uri")
+    # a slash-free name that exists on the local filesystem is a relative
+    # parquet directory (e.g. `--input docs` run next to docs/), not a
+    # catalog table — only genuinely path-less names route to Iceberg.
+    # Absolutize against the PYTHON cwd: the driver JVM may have been
+    # launched from a different directory, and bare relative paths would
+    # otherwise resolve against the JVM's cwd
+    if "/" not in uri and os.path.exists(uri):
+        return spark.read.parquet(os.path.abspath(uri))
     if iceberg_available(spark) and "/" not in uri:
         return spark.read.format("iceberg").load(uri)
     return spark.read.parquet(uri)

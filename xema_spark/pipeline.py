@@ -91,6 +91,22 @@ def curate(
          .filter((F.col("top_ngram_frac") <= F.lit(float(max_top_ngram_frac)))
                  & (F.col("dup_ngram_frac") <= F.lit(float(max_dup_ngram_frac)))))
 
+    if cache_survivors and (benchmark is not None
+                            or near_dup_threshold is not None):
+        # stage boundary BEFORE any stage that references the survivor frame
+        # more than once: the decontamination gate uses it twice (anti-join
+        # left side + contaminated-id derivation) and the near-dup stage
+        # four times (signature pass, candidate join-back, Jaccard verify on
+        # both pair sides, final anti-join). persist() would share the DATA
+        # but Catalyst still re-analyzes/re-optimizes the full upstream
+        # logical tree once per reference — on this composed plan that is
+        # driver-side minutes. localCheckpoint truncates the logical plan to
+        # a leaf (the in-session equivalent of writing the survivor table
+        # out between stages, which is what a 100 TB run would do). The
+        # gate/exact-dedupe nodes added on top of the leaf are shallow, so
+        # the near-dup stage needs no second checkpoint.
+        q = q.localCheckpoint(eager=True)
+
     if benchmark is not None:
         # eval-set leakage gate on survivors (fewer rows than the raw
         # corpus, and dropping leaked docs shrinks the dedup stages below).
@@ -107,17 +123,6 @@ def curate(
         q = dedup.dedupe_exact(q, id_col, text_col)
 
     if near_dup_threshold is not None:
-        if cache_survivors:
-            # stage boundary: the near-dup stage consumes the survivor frame
-            # four times (signature pass, candidate join-back, Jaccard verify
-            # on both pair sides, final anti-join). persist() would share the
-            # DATA but Catalyst still re-analyzes/re-optimizes the full
-            # upstream logical tree once per reference — on this composed
-            # plan that is driver-side minutes. localCheckpoint truncates
-            # the logical plan to a leaf (the in-session equivalent of
-            # writing the survivor table out between stages, which is what
-            # a 100 TB run would do).
-            q = q.localCheckpoint(eager=True)
         pairs = dedup.lsh_candidate_pairs(
             q, id_col, text_col, hash_fn=hash_fn, max_shingles=max_shingles)
         dups = dedup.ngram_jaccard(
