@@ -905,6 +905,36 @@ def _q_text_top_tokens(spark, sf_dir):
         "token", F.col("n").cast("long").alias("n"))
 
 
+def _q_sample_mixture(spark, sf_dir):
+    """Recipe-driven mixture sampling (sampling.mixture_sample): target
+    SHARES + a target size are turned into per-stratum rates from the
+    observed counts (one tiny aggregate), then applied as the same pure
+    hash filter as sample_stratified. DuckDB re-derives the rates from the
+    same counts with the same double arithmetic, so the exact membership
+    set matches."""
+    from xema_spark import sampling
+
+    d = _docs(spark, sf_dir, "doc_id", "lang")
+    return sampling.mixture_sample(
+        d, "doc_id", "lang", {"en": 0.5, "de": 0.3, "fr": 0.2},
+        total_rows=200, salt="v1", hash_fn="portable") \
+        .select("doc_id", "lang")
+
+
+def _q_pack_docs(spark, sf_dir):
+    """Token-budget sequence packing (packing.pack_sequences): docs land on
+    a contiguous per-bucket token stream; window position = running token
+    count (concatenate-then-chunk, the pre-training layout). One shuffle on
+    the hash bucket + one per-bucket window — DuckDB replays the identical
+    cumsum with the portable hash."""
+    from xema_spark import packing
+
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    return packing.pack_sequences(d, budget=512, n_buckets=8,
+                                  hash_fn="portable") \
+        .select("doc_id", "n_tokens", "bucket", "bin", "bin_offset")
+
+
 def _q_ann_ivf_trained(spark, sf_dir):
     """IVF with Lloyd-refined centroids (similarity.train_ivf_centroids):
     2 rounds of assign->elementwise-mean over the corpus, components rounded
@@ -999,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": _q_dedup_decontaminate,
         "sample_stratified": _q_sample_stratified,
         "text_top_tokens": _q_text_top_tokens,
+        "sample_mixture": _q_sample_mixture,
+        "pack_docs": _q_pack_docs,
         # -- r3-evicted, back in the window --
         "referential_spans": _q_referential_spans,
         "sim_near_dups": _q_sim_near_dups,
@@ -2141,6 +2173,43 @@ def oracle_sql() -> dict[str, str]:
             WHEN 'de' THEN {int(0.5 * _P)}
             WHEN 'fr' THEN {int(0.25 * _P)}
             ELSE {int(0.1 * _P)} END"""
+    # mixture: rates derive from observed counts with the SAME double
+    # expression mixture_rates uses (share * total / cnt, capped at 1.0;
+    # ::DOUBLE casts keep DuckDB out of DECIMAL arithmetic), and the same
+    # floor-truncated threshold — so the hash-membership set is identical
+    out["sample_mixture"] = f"""
+        WITH counts AS (
+          SELECT lang, count(*)::BIGINT AS cnt FROM {_T} GROUP BY lang),
+        rates AS (
+          SELECT lang, LEAST(1.0::DOUBLE,
+                 CASE lang WHEN 'en' THEN 0.5::DOUBLE
+                           WHEN 'de' THEN 0.3::DOUBLE
+                           ELSE 0.2::DOUBLE END * 200 / cnt) AS rate
+          FROM counts WHERE lang IN ('en', 'de', 'fr'))
+        SELECT d.doc_id, d.lang
+        FROM {_T} d JOIN rates r USING (lang)
+        WHERE {_h31} < FLOOR(r.rate * 2147483647)::BIGINT"""
+    # packing: same portable bucket hash (no salt), same whitespace token
+    # count (null text -> 0), same per-bucket running-sum layout; // is
+    # DuckDB integer division, matching the modulo-exact floor in packing.py
+    out["pack_docs"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 COALESCE(len(list_filter(
+                     string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '')), 0)::BIGINT AS n_tokens,
+                 ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 2147483647) % 8)::INTEGER AS bucket
+          FROM {_T}),
+        cum AS (
+          SELECT doc_id, n_tokens, bucket,
+                 (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) AS cb
+          FROM toks)
+        SELECT doc_id, n_tokens, bucket,
+               (cb // 512)::BIGINT AS bin,
+               (cb % 512)::BIGINT AS bin_offset
+        FROM cum"""
     out["text_top_tokens"] = f"""
         SELECT token, count(*)::BIGINT AS n FROM (
           SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),

@@ -1,0 +1,121 @@
+"""Token-budget packing + recipe-mixture sampling (packing.py, sampling.py
+mixture_*): layout invariants and the recipe arithmetic, small and exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xema_spark import packing, sampling
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _corpus(spark, n=400):
+    # filter, not limit: limit picks arbitrary partitions' rows, and these
+    # tests compare two differently-partitioned runs of the same corpus
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").filter(F.col("doc_id") < n))
+
+
+def test_pack_sequences_layout_invariants(spark):
+    d = _corpus(spark)
+    out = packing.pack_sequences(d, budget=64, n_buckets=4).toPandas()
+    assert len(out) == d.count()
+    assert (out["n_tokens"] >= 0).all()
+    assert out["bucket"].between(0, 3).all()
+    assert (out["bin_offset"] >= 0).all() and (out["bin_offset"] < 64).all()
+    # contiguous stream: within a bucket (ordered by id), each doc starts
+    # exactly where the previous one ended on the global token stream
+    for _, g in out.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        pos = (g["bin"] * 64 + g["bin_offset"]).to_numpy()
+        assert (pos[1:] == pos[:-1] + g["n_tokens"].to_numpy()[:-1]).all()
+        assert pos[0] == 0
+
+
+def test_pack_sequences_deterministic_and_bounded_bins(spark):
+    d = _corpus(spark)
+    a = packing.pack_sequences(d, budget=64, n_buckets=4).toPandas()
+    b = packing.pack_sequences(d.repartition(7), budget=64,
+                               n_buckets=4).toPandas()
+    key = ["doc_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+
+
+def test_pack_greedy_respects_budget(spark):
+    d = _corpus(spark)
+    out = packing.pack_greedy(d, budget=64, n_buckets=4).toPandas()
+    assert len(out) == d.count()
+    sums = out.groupby(["bucket", "bin"])["n_tokens"].sum()
+    over = out[out["n_tokens"] > 64]
+    # every bin except oversize-singleton bins is within budget
+    ok_bins = sums[sums > 64].index
+    singleton = out.set_index(["bucket", "bin"]).loc[ok_bins]
+    assert (singleton.groupby(level=[0, 1]).size() == 1).all()
+    assert set(map(tuple, over[["bucket", "bin"]].to_numpy())) >= set(ok_bins)
+    # offsets restart per bin and are cumulative within it
+    for _, g in out.groupby(["bucket", "bin"]):
+        g = g.sort_values("doc_id")
+        assert g["bin_offset"].iloc[0] == 0
+        assert (g["bin_offset"].to_numpy()[1:]
+                == (g["bin_offset"] + g["n_tokens"]).to_numpy()[:-1]).all()
+
+
+def test_pack_greedy_oversize_policies(spark):
+    rows = [(1, "a " * 100), (2, "b b"), (3, "c " * 100), (4, "d d d")]
+    d = spark.createDataFrame(rows, "doc_id int, text string")
+    own = packing.pack_greedy(d, budget=8, n_buckets=1).toPandas()
+    big = own[own["n_tokens"] > 8]
+    small = own[own["n_tokens"] <= 8]
+    assert set(big["doc_id"]) == {1, 3}
+    # oversize docs sit alone in their bins
+    assert not set(big["bin"]) & set(small["bin"])
+    dropped = packing.pack_greedy(d, budget=8, n_buckets=1,
+                                  oversize="drop").toPandas()
+    assert set(dropped["doc_id"]) == {2, 4}
+    with pytest.raises(Exception, match="exceeds budget"):
+        packing.pack_greedy(d, budget=8, n_buckets=1,
+                            oversize="error").toPandas()
+
+
+def test_pack_validates_budget(spark):
+    d = _corpus(spark, 10)
+    with pytest.raises(ValueError, match="budget"):
+        packing.pack_sequences(d, budget=0)
+    with pytest.raises(ValueError, match="budget"):
+        packing.pack_greedy(d, budget=-1)
+    with pytest.raises(ValueError, match="oversize"):
+        packing.pack_greedy(d, budget=8, oversize="what")
+
+
+def test_mixture_rates_and_sample(spark):
+    # strata sizes: a=600, b=300, c=100 (hash spread is immaterial —
+    # rates are exact arithmetic on exact counts)
+    d = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 600, "a")
+         .when(F.col("id") < 900, "b").otherwise("c").alias("lang"))
+    rates = sampling.mixture_rates(d, "lang",
+                                   {"a": 0.5, "b": 0.3, "c": 0.2}, 400)
+    assert rates == {"a": 0.5 * 400 / 600, "b": 0.3 * 400 / 300,
+                     "c": min(1.0, 0.2 * 400 / 100)}
+    assert rates["c"] == 0.8
+    # an undersupplied stratum caps at 1.0 (keep everything, under-deliver)
+    rates2 = sampling.mixture_rates(d, "lang", {"c": 1.0}, 400)
+    assert rates2 == {"c": 1.0}
+    # absent stratum is dropped, zero-share stratum yields nothing
+    assert "zz" not in sampling.mixture_rates(d, "lang", {"zz": 0.5}, 400)
+    out = sampling.mixture_sample(d, "doc_id", "lang",
+                                  {"a": 0.5, "b": 0.3, "c": 0.2}, 400,
+                                  hash_fn="portable")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # realized counts concentrate near share*total (hash is uniform-ish)
+    assert abs(got["a"] - 200) < 60 and abs(got["b"] - 120) < 50
+    # validation
+    with pytest.raises(ValueError, match="share"):
+        sampling.mixture_rates(d, "lang", {"a": -0.1}, 400)
+    with pytest.raises(ValueError, match="total_rows"):
+        sampling.mixture_rates(d, "lang", {"a": 0.5}, -1)

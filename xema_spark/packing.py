@@ -1,0 +1,137 @@
+"""Token-budget sequence packing: assign curated documents to fixed-size
+training context windows.
+
+Two strategies, both bucket-parallel (ONE shuffle on a hash bucket, then
+per-bucket work — no global sort, no driver loop):
+
+- `pack_sequences` (default, the 100 TB path): concatenate-then-chunk.
+  Docs are ordered deterministically inside each bucket and laid out on a
+  contiguous token stream; window position = running token count. A doc may
+  straddle a bin boundary (it contributes its tail to the next bin), which
+  is the standard pre-training tokenizer layout — every bin except each
+  bucket's last is EXACTLY `budget` tokens. Pure window cumsum: whole-stage
+  codegen, one shuffle, SQL-oracle-able.
+
+- `pack_greedy`: whole-doc bins (a doc never splits). Sequential first-fit
+  inside each bucket via applyInPandas — exact `sum(tokens) <= budget` per
+  bin, at the price of an Arrow round-trip per bucket. Use when downstream
+  loss masking can't handle split docs. Buckets are hash-balanced, so each
+  pandas batch is ~corpus/n_buckets rows; size n_buckets so that fits in
+  executor memory.
+
+No reference analogue (the reference is a schema validator); this is part
+of the training-data operator family layered on the same engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from xema_spark.dedup import _P31, portable_hash31
+from xema_spark.text import token_count
+
+
+def _tokens_or_zero(token_col: str | None, text_col: str):
+    """Token count as a non-null long — a null text is an empty doc (0
+    tokens occupying no window space), not a null that poisons the cumsum."""
+    tok = (F.col(token_col) if token_col
+           else token_count(F.col(text_col))).cast("long")
+    return F.coalesce(tok, F.lit(0).cast("long"))
+
+
+def _with_bucket(df: DataFrame, id_col: str, n_buckets: int,
+                 hash_fn: str) -> DataFrame:
+    key = F.col(id_col).cast("string")
+    h = (portable_hash31(key) if hash_fn == "portable"
+         else F.pmod(F.xxhash64(key), F.lit(_P31)))
+    return df.withColumn("bucket", F.pmod(h, F.lit(n_buckets)).cast("int"))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", token_col: str | None = None,
+                   budget: int = 2048, n_buckets: int = 256,
+                   hash_fn: str = "xxhash64") -> DataFrame:
+    """Concatenate-then-chunk packing. Output one row per doc:
+    (id, n_tokens, bucket, bin, bin_offset) where `bin` is the window the
+    doc STARTS in and `bin_offset` its token offset there; a doc with
+    bin_offset + n_tokens > budget straddles into bin+1. Deterministic:
+    layout is a pure function of (id, tokens, budget, n_buckets, salt-free
+    hash) — reruns and resumes reproduce byte-identical packing.
+
+    Plan: one projection (token counts) -> one shuffle on bucket -> one
+    per-partition window sort on the id. Partitions hold ~N/n_buckets docs;
+    raise n_buckets with corpus size to keep the per-bucket sort in memory.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    tok = _tokens_or_zero(token_col, text_col)
+    base = _with_bucket(df.select(F.col(id_col), tok.alias("n_tokens")),
+                        id_col, n_buckets, hash_fn)
+    w = (Window.partitionBy("bucket").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    # integer floor-div via modulo: (cum - cum%b)/b is an exact multiple,
+    # so the double division is exact while per-bucket token streams stay
+    # under 2^53 (they do by orders of magnitude at any sane n_buckets) —
+    # and % on the non-negative cumsum is already ANSI-safe
+    off = (cum_before % budget).cast("long")
+    return (base
+            .withColumn("bin", ((cum_before - off) / budget).cast("long"))
+            .withColumn("bin_offset", off))
+
+
+def pack_greedy(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", token_col: str | None = None,
+                budget: int = 2048, n_buckets: int = 256,
+                hash_fn: str = "xxhash64",
+                oversize: str = "own_bin") -> DataFrame:
+    """Whole-doc first-fit packing: docs fill a bin in id order until the
+    next doc would overflow `budget`, then a new bin starts — per-bin token
+    sums never exceed the budget. `oversize` controls docs longer than the
+    budget by themselves: 'own_bin' (default) gives each its own overflowing
+    bin; 'drop' removes them; 'error' raises at action time.
+
+    Sequential by nature, so it runs as an Arrow-batched pandas pass per
+    hash bucket (applyInPandas) — the documented slow path; the default
+    `pack_sequences` stays in whole-stage codegen.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if oversize not in ("own_bin", "drop", "error"):
+        raise ValueError(f"unknown oversize policy {oversize!r}")
+    tok = _tokens_or_zero(token_col, text_col)
+    base = _with_bucket(df.select(F.col(id_col), tok.alias("n_tokens")),
+                        id_col, n_buckets, hash_fn)
+    # never .add() onto df.schema — PySpark caches the StructType and add()
+    # mutates it in place, corrupting the frame's own column list
+    out_schema = T.StructType(
+        list(base.schema.fields)
+        + [T.StructField("bin", T.LongType()),
+           T.StructField("bin_offset", T.LongType())])
+
+    def fill(pdf):
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bins, offs, keep = [], [], []
+        b, used = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                if oversize == "error":
+                    raise ValueError(f"doc of {n} tokens exceeds budget {budget}")
+                if oversize == "drop":
+                    keep.append(False)
+                    bins.append(-1)
+                    offs.append(-1)
+                    continue
+            keep.append(True)
+            if used and used + n > budget:
+                b, used = b + 1, 0
+            bins.append(b)
+            offs.append(used)
+            used += n
+            if used >= budget:
+                b, used = b + 1, 0
+        pdf["bin"], pdf["bin_offset"] = bins, offs
+        return pdf[keep] if oversize == "drop" else pdf
+
+    return base.groupBy("bucket").applyInPandas(fill, out_schema)
