@@ -1041,8 +1041,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
         # keyword validation (oracle-checked)
-        "v_enum_lang": _q_v_enum_lang,
-        "v_range_nchars": _q_v_range_nchars,
         "v_strlen_pattern": _q_v_strlen_pattern,
         "v_required_dependencies": _q_v_required_dependencies,
         "violations_explode": _q_violations_explode,
@@ -1082,7 +1080,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # v_ref_inline — green in r3 only — lands at slot 50 exactly; drift
         # coverage stays in-window via drift_run_report /
         # drift_group_quantiles / drift_hist_nchars, and jaccard
-        # verification stays in-window inside the dedup_minhash_pairs chain)
+        # verification stays in-window inside the dedup_minhash_pairs chain.
+        # v_enum_lang + v_range_nchars demoted when sample_mixture/pack_docs
+        # joined the window: both r2+r3 green, and enum/range keyword
+        # coverage stays in-window via v_fail_mode_early + v_multi_rule)
+        "v_enum_lang": _q_v_enum_lang,
+        "v_range_nchars": _q_v_range_nchars,
         "drift_quantile": _q_drift_quantile,
         "dedup_jaccard_consecutive": _q_dedup_jaccard_consecutive,
         "v_exclusive_range": _q_v_exclusive_range,

@@ -229,3 +229,36 @@ def test_ivf_centroids_broadcast_above_inline_threshold(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert (sorted(map(tuple, inline.collect()))
             == sorted(map(tuple, bcast.collect())))
+
+
+def test_pack_sequences_is_one_exchange_no_python(spark):
+    from xema_spark import packing
+
+    d = spark.createDataFrame([(i, "w " * (i % 9)) for i in range(200)],
+                              "doc_id int, text string")
+    out = packing.pack_sequences(d, budget=64, n_buckets=4)
+    plan = plan_of(out)
+    # exactly one shuffle — the hash-bucket exchange feeding the window;
+    # token counting and bin math stay in whole-stage codegen (simple mode:
+    # formatted prints every node twice, tree line + detail header)
+    assert plan_of(out, "simple").count("Exchange") == 1
+    assert "hashpartitioning(bucket" in plan
+    assert "Window" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_mixture_sample_is_pure_filter(spark):
+    from xema_spark import sampling
+
+    d = spark.createDataFrame([(i, "en" if i % 3 else "de")
+                               for i in range(300)],
+                              "doc_id int, lang string")
+    out = sampling.mixture_sample(d, "doc_id", "lang",
+                                  {"en": 0.7, "de": 0.3}, 100)
+    plan = plan_of(out)
+    # the corpus-side sample is a pure filter: no shuffle, no join — the
+    # planning aggregate already ran driver-side on tiny per-stratum counts
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Filter" in plan
