@@ -42,6 +42,13 @@ def test_pack_sequences_deterministic_and_bounded_bins(spark):
     key = ["doc_id"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+    # bins are bounded by the BUCKET's token total (a per-bucket cumsum, not
+    # a global one): the highest start bin cannot exceed total_tokens/budget,
+    # and bins climb monotonically in id order within a bucket
+    for _, g in a.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        assert g["bin"].max() <= g["n_tokens"].sum() // 64
+        assert g["bin"].is_monotonic_increasing
 
 
 def test_pack_greedy_respects_budget(spark):
@@ -88,6 +95,12 @@ def test_pack_validates_budget(spark):
         packing.pack_greedy(d, budget=-1)
     with pytest.raises(ValueError, match="oversize"):
         packing.pack_greedy(d, budget=8, oversize="what")
+    with pytest.raises(ValueError, match="n_buckets"):
+        packing.pack_sequences(d, n_buckets=0)
+    with pytest.raises(ValueError, match="hash_fn"):
+        packing.pack_sequences(d, hash_fn="Portable")
+    with pytest.raises(ValueError, match="hash_fn"):
+        sampling.deterministic_sample(d, "doc_id", 0.5, hash_fn="md5")
 
 
 def test_mixture_rates_and_sample(spark):

@@ -57,6 +57,23 @@ def portable_hash31(col: Column) -> Column:
     return F.pmod(portable_hash60(col), F.lit(_P31))
 
 
+def bucket_hash31(col: Column, hash_fn: str, salt: str | None = None) -> Column:
+    """The one hash-flavor dispatch shared by sampling and packing: a 31-bit
+    bucket hash of `col` (cast to string, optionally "|salt"-suffixed).
+    'portable' is the md5-derived cross-engine flavor (DuckDB-matchable);
+    'xxhash64' the cheaper production default. Anything else raises — a
+    typo'd flavor silently changing membership/layout is undebuggable."""
+    if hash_fn not in ("portable", "xxhash64"):
+        raise ValueError(
+            f"unknown hash_fn {hash_fn!r}: expected 'portable' or 'xxhash64'")
+    keyed = col.cast("string")
+    if salt is not None:
+        keyed = F.concat(keyed, F.lit("|" + salt))
+    if hash_fn == "portable":
+        return portable_hash31(keyed)
+    return F.pmod(F.xxhash64(keyed), F.lit(_P31))
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
-from xema_spark.dedup import _P31, portable_hash31
+from xema_spark.dedup import bucket_hash31
 from xema_spark.text import token_count
 
 
@@ -41,9 +41,9 @@ def _tokens_or_zero(token_col: str | None, text_col: str):
 
 def _with_bucket(df: DataFrame, id_col: str, n_buckets: int,
                  hash_fn: str) -> DataFrame:
-    key = F.col(id_col).cast("string")
-    h = (portable_hash31(key) if hash_fn == "portable"
-         else F.pmod(F.xxhash64(key), F.lit(_P31)))
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    h = bucket_hash31(F.col(id_col), hash_fn)
     return df.withColumn("bucket", F.pmod(h, F.lit(n_buckets)).cast("int"))
 
 

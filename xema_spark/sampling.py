@@ -17,14 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from xema_spark.dedup import _P31, portable_hash31
+from xema_spark.dedup import _P31, bucket_hash31
 
 
 def _bucket31(col: Column, salt: str, hash_fn: str) -> Column:
-    keyed = F.concat(col.cast("string"), F.lit("|" + salt))
-    if hash_fn == "portable":
-        return portable_hash31(keyed)
-    return F.pmod(F.xxhash64(keyed), F.lit(_P31))
+    return bucket_hash31(col, hash_fn, salt=salt)
 
 
 def deterministic_sample(df: DataFrame, id_col: str, rate: float,
