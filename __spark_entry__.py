@@ -905,6 +905,77 @@ def _q_text_top_tokens(spark, sf_dir):
         "token", F.col("n").cast("long").alias("n"))
 
 
+def _q_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle -> shard layout (packing.shard_assign):
+    portable hash so DuckDB reproduces shard membership AND the in-shard
+    rank (same window, same (hash, id) tie-break)."""
+    from xema_spark import packing
+
+    d = _docs(spark, sf_dir, "doc_id")
+    return packing.shard_assign(d, n_shards=8, salt="v1",
+                                hash_fn="portable").select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "shard_pos")
+
+
+def _q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-level duplicated-passage removal (dedup.paragraph_dedupe,
+    RefinedWeb/CCNet line dedup re-expressed over token windows): passages
+    occurring >=2 times across the corpus are deleted from every document
+    and survivors reassembled in original order. DuckDB replays the exact
+    chunking (list slices over the same token stream), the md5 frequency
+    table, and the ORDER BY pos string_agg reassembly."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    return dedup.paragraph_dedupe(d, "doc_id", chunk_tokens=4, min_dup=2) \
+        .select("doc_id",
+                F.col("n_chunks").cast("long").alias("n_chunks"),
+                F.col("n_removed").cast("long").alias("n_removed"),
+                "text_dedup")
+
+
+def _q_text_tfidf(spark, sf_dir):
+    """Per-document top-3 characteristic terms by smoothed TF-IDF
+    (text.tfidf_top_terms). The rank window orders by the RAW double and
+    tie-breaks on the token string; both engines round the reported score
+    to 6 decimals AFTER ranking so a 1-ulp ln() difference can't flip
+    the hash."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    return text.tfidf_top_terms(d, "doc_id", k=3).select(
+        "doc_id", "token",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df_docs").cast("long").alias("df_docs"),
+        "tfidf", "rank")
+
+
+def _q_embed_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (similarity.
+    quantize_embeddings): per-vector scale = max|x|/127, half-up floor
+    rounding — exact-integer q sums plus a round-6 reconstruction MAE pin
+    the full quantized vector numerically without hashing raw arrays."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    q = similarity.quantize_embeddings(emb)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    recon = F.zip_with(v, F.col("qvec"),
+                       lambda x, qq: F.abs(x - qq * F.col("scale")))
+    # recon_mae staged BEFORE the rounding projection: a select list item
+    # `round(scale,6).alias("scale")` would lateral-alias-capture the
+    # F.col("scale") inside the recon lambda (Spark 4 resolves later select
+    # items against earlier aliases), silently quantizing against the
+    # ROUNDED scale while the oracle uses the raw one
+    q = q.withColumn(
+        "recon_mae",
+        F.round(F.aggregate(recon, F.lit(0.0), lambda acc, x: acc + x) /
+                F.size("qvec"), 6))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.abs(x)).alias("q_l1"),
+        "recon_mae")
+
+
 def _q_sample_mixture(spark, sf_dir):
     """Recipe-driven mixture sampling (sampling.mixture_sample): target
     SHARES + a target size are turned into per-stratum rates from the
@@ -1031,6 +1102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_tokens": _q_text_top_tokens,
         "sample_mixture": _q_sample_mixture,
         "pack_docs": _q_pack_docs,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "text_tfidf": _q_text_tfidf,
+        "embed_quantize": _q_embed_quantize,
+        "shard_assign": _q_shard_assign,
         # -- r3-evicted, back in the window --
         "referential_spans": _q_referential_spans,
         "sim_near_dups": _q_sim_near_dups,
@@ -1044,12 +1119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_strlen_pattern": _q_v_strlen_pattern,
         "v_required_dependencies": _q_v_required_dependencies,
         "violations_explode": _q_violations_explode,
-        "v_json_dynamic": _q_v_json_dynamic,
         "cast_pipeline": _q_cast_pipeline,
-        "sim_cosine_pairs": _q_sim_cosine_pairs,
         # dataset scope (oracle-checked)
         "stats_documents": _q_stats_documents,
-        "moments_quantity": _q_moments_quantity,
         "quantiles_nchars": _q_quantiles_nchars,
         "uniqueness_users": _q_uniqueness_users,
         "referential_users": _q_referential_users,
@@ -1058,7 +1130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
-        "text_fingerprint": _q_text_fingerprint,
         "text_langid": _q_text_langid,
         "text_winnow": _q_text_winnow,
         "text_repetition": _q_text_repetition,
@@ -1083,7 +1154,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # verification stays in-window inside the dedup_minhash_pairs chain.
         # v_enum_lang + v_range_nchars demoted when sample_mixture/pack_docs
         # joined the window: both r2+r3 green, and enum/range keyword
-        # coverage stays in-window via v_fail_mode_early + v_multi_rule)
+        # coverage stays in-window via v_fail_mode_early + v_multi_rule.
+        # sim_cosine_pairs / moments_quantity / text_fingerprint demoted
+        # when dedup_paragraphs/text_tfidf/embed_quantize joined: all three
+        # r2+r3 green; cosine coverage stays in-window via sim_near_dups +
+        # sim_knn_threshold + ann_*, numeric moments via stats_documents,
+        # fingerprints via dedup_exact + text_winnow. v_json_dynamic demoted
+        # for shard_assign: the pandas-UDF validator hook stays in-window
+        # via v_custom_validator)
+        "v_json_dynamic": _q_v_json_dynamic,
+        "sim_cosine_pairs": _q_sim_cosine_pairs,
+        "moments_quantity": _q_moments_quantity,
+        "text_fingerprint": _q_text_fingerprint,
         "v_enum_lang": _q_v_enum_lang,
         "v_range_nchars": _q_v_range_nchars,
         "drift_quantile": _q_drift_quantile,
@@ -2219,6 +2301,97 @@ def oracle_sql() -> dict[str, str]:
                                     t -> t <> '')) AS token
           FROM {_T})
         GROUP BY token ORDER BY n DESC, token LIMIT 30"""
+    # shard layout: same salted portable hash, same (hash, id) window order
+    out["shard_assign"] = f"""
+        WITH h AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(doc_id::VARCHAR || '|v1'), 1, 15))
+                  ::BIGINT % 2147483647) AS h31
+          FROM {_T})
+        SELECT doc_id, (h31 % 8)::BIGINT AS shard,
+               (row_number() OVER (PARTITION BY h31 % 8
+                                   ORDER BY h31, doc_id) - 1)::BIGINT
+                 AS shard_pos
+        FROM h"""
+    # paragraph dedup: identical 4-token windows (DuckDB list slice is
+    # 1-based inclusive, matching F.slice(toks, i, 4)), identical md5
+    # frequency table, ORDER BY pos reassembly; zero-chunk docs keep ''
+    out["dedup_paragraphs"] = f"""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                     t -> t <> '') AS toks
+          FROM {_T}),
+        ex AS (
+          SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk
+          FROM (SELECT doc_id,
+                  unnest([{{'pos': i,
+                            'chunk': array_to_string(toks[i:i+3], ' ')}}
+                          for i in range(1, len(toks)+1, 4)]) AS u
+                FROM base)),
+        freq AS (SELECT md5(chunk) AS h, count(*) AS n_dup
+                 FROM ex GROUP BY 1),
+        kept AS (SELECT doc_id, pos, chunk, (n_dup >= 2) AS drop
+                 FROM ex JOIN freq ON md5(ex.chunk) = freq.h)
+        SELECT b.doc_id,
+               COALESCE(k.n_chunks, 0)::BIGINT AS n_chunks,
+               COALESCE(k.n_removed, 0)::BIGINT AS n_removed,
+               COALESCE(k.text_dedup, '') AS text_dedup
+        FROM base b LEFT JOIN (
+          SELECT doc_id,
+                 count(chunk) AS n_chunks,
+                 sum(CASE WHEN drop THEN 1 ELSE 0 END) AS n_removed,
+                 COALESCE(string_agg(CASE WHEN NOT drop THEN chunk END,
+                                     ' ' ORDER BY pos), '') AS text_dedup
+          FROM kept GROUP BY doc_id) k USING (doc_id)"""
+    # tfidf: rank on the RAW double (ties broken on token), report round-6
+    out["text_tfidf"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> '')) AS token
+          FROM {_T}),
+        tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+               FROM tok GROUP BY 1, 2),
+        dfreq AS (SELECT token, count(*)::BIGINT AS df_docs
+                  FROM tf GROUP BY 1),
+        n AS (SELECT count(*)::BIGINT AS n_docs FROM {_T}),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dfreq.df_docs,
+                 tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dfreq.df_docs + 1))
+                          + 1) AS raw
+          FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, token, tf, df_docs, raw,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY raw DESC, token ASC) AS rank
+          FROM scored)
+        SELECT doc_id, token, tf, df_docs, round(raw, 6) AS tfidf,
+               rank::BIGINT AS rank
+        FROM ranked WHERE rank <= 3"""
+    # int8 quantization: double-cast before arithmetic, half-up floor;
+    # q sums are exact integers, recon MAE rounds like the cosine oracles
+    out["embed_quantize"] = """
+        WITH v AS (
+          SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+          FROM embeddings),
+        m AS (
+          SELECT vec_id, v, list_max([abs(x) for x in v]) AS absmax
+          FROM v),
+        q AS (
+          SELECT vec_id, v,
+                 CASE WHEN absmax > 0
+                      THEN [floor(x * 127.0 / absmax + 0.5)::INT for x in v]
+                      ELSE [0::INT for x in v] END AS qvec,
+                 absmax / 127.0 AS scale
+          FROM m)
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               list_sum(qvec)::BIGINT AS q_sum,
+               list_sum([abs(x) for x in qvec])::BIGINT AS q_l1,
+               round(list_sum(list_transform(range(1, len(v)+1),
+                     i -> abs(v[i] - qvec[i] * scale))) / len(v), 6)
+                 AS recon_mae
+        FROM q"""
     out["v_ref_inline"] = f"""
         SELECT doc_id,
                (text IS NOT NULL AND length(text) <= 300

@@ -132,3 +132,28 @@ def test_mixture_rates_and_sample(spark):
         sampling.mixture_rates(d, "lang", {"a": -0.1}, 400)
     with pytest.raises(ValueError, match="total_rows"):
         sampling.mixture_rates(d, "lang", {"a": 0.5}, -1)
+
+
+def test_shard_assign_permutation_and_determinism(spark):
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = packing.shard_assign(df, n_shards=4, salt="a").collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    # positions within each shard are exactly 0..k-1 (a true layout)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # deterministic: a rerun reproduces the layout byte-for-byte
+    again = packing.shard_assign(df, n_shards=4, salt="a").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # re-salting yields a different permutation (another epoch)
+    other = packing.shard_assign(df, n_shards=4, salt="b").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_shard_assign_validates_n_shards(spark):
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="n_shards"):
+        packing.shard_assign(df, n_shards=0)

@@ -115,6 +115,20 @@ class TestCurate:
         out2 = pipeline.curate(df, near_dup_threshold=None)
         assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2]
 
+    def test_curate_paragraph_dedup_repairs_text(self, spark):
+        from xema_spark import pipeline
+
+        # the shared 4-token boilerplate chunk is removed from BOTH docs;
+        # the repaired texts then differ enough to both survive dedup
+        df = spark.createDataFrame(
+            [(1, "click here to subscribe alpha beta gamma delta"),
+             (2, "click here to subscribe omega psi chi phi")],
+            ["doc_id", "text"])
+        out = pipeline.curate(df, near_dup_threshold=None,
+                              paragraph_dedup=True)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got == {1: "alpha beta gamma delta", 2: "omega psi chi phi"}
+
 
 class TestDedup:
     def test_exact(self, spark):
@@ -498,3 +512,77 @@ def test_token_ngrams_short_doc_guard(spark):
     got = df.select(dedup.token_ngrams(F.col("text"), n=5).alias("g")).collect()
     assert got[0]["g"] == []
     assert got[1]["g"] == ["a b c d e"]
+
+
+def test_paragraph_dedupe_removes_corpus_duplicates(spark):
+    # 'a b c d' appears in docs 1 and 2 (corpus freq 2) -> removed from
+    # BOTH; every other chunk is unique and survives in original order
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "a b c d x y z w"),
+         (3, "p q r s"),
+         (4, ""),
+         (5, "solo")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.paragraph_dedupe(df, "doc_id", chunk_tokens=4).collect()}
+    assert got[1]["text_dedup"] == "e f g h"
+    assert got[2]["text_dedup"] == "x y z w"
+    assert (got[1]["n_chunks"], got[1]["n_removed"]) == (2, 1)
+    assert got[3]["text_dedup"] == "p q r s"
+    assert got[3]["n_removed"] == 0
+    # empty doc survives with no chunks; short doc keeps its partial chunk
+    assert (got[4]["n_chunks"], got[4]["text_dedup"]) == (0, "")
+    assert got[5]["text_dedup"] == "solo"
+    assert len(got) == 5
+
+
+def test_paragraph_dedupe_sep_mode_and_total_loss(spark):
+    # sep mode splits on literal newlines; a doc made entirely of
+    # duplicated paragraphs is kept with empty text
+    df = spark.createDataFrame(
+        [(1, "dup para\nunique one"),
+         (2, "dup para"),
+         (3, "dup para")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.paragraph_dedupe(df, "doc_id", sep="\n").collect()}
+    assert got[1]["text_dedup"] == "unique one"
+    assert got[2]["text_dedup"] == ""
+    assert got[2]["n_removed"] == 1
+
+
+def test_tfidf_top_terms_ranking_and_ties(spark):
+    # 'rare' appears only in doc 1 -> highest idf beats the frequent 'the';
+    # ties (same tf, same df) break on the token string ascending
+    df = spark.createDataFrame(
+        [(1, "rare the the the"),
+         (2, "the the common words"),
+         (3, "the common stuff here")],
+        ["doc_id", "text"])
+    out = text.tfidf_top_terms(df, "doc_id", k=2)
+    rows = {(r["doc_id"], r["rank"]): r for r in out.collect()}
+    assert rows[(1, 1)]["token"] == "the"  # tf=3 outweighs idf here
+    assert rows[(1, 2)]["token"] == "rare"
+    assert rows[(1, 2)]["df_docs"] == 1
+    # doc 3: common/here/stuff all tf=1; 'here'+'stuff' df=1 < 'common' df=2
+    assert [rows[(3, r)]["token"] for r in (1, 2)] == ["here", "stuff"]
+    # every doc emits exactly k rows when it has >= k distinct tokens
+    assert out.groupBy("doc_id").count().filter("count != 2").count() == 0
+
+
+def test_quantize_embeddings_roundtrip_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [-0.25])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           similarity.quantize_embeddings(df).collect()}
+    # scale = 2/127; q = round-half-up(x/scale): 1.0 -> 64 (63.5 rounds up)
+    assert out[1]["qvec"] == [64, -127, 32]
+    assert abs(out[1]["scale"] - 2.0 / 127) < 1e-12
+    assert out[2]["qvec"] == [0, 0, 0] and out[2]["scale"] == 0.0
+    assert out[3]["qvec"] == [-127]
+    # dequantized error bounded by scale/2 per element
+    for r in (out[1], out[3]):
+        for x, q in zip(r["embedding"], r["qvec"]):
+            assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-12

@@ -580,3 +580,72 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
     # each doc lands in exactly one block (block is a prefix of its own sim),
     # so pairs are already unique — no dedup shuffle needed
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# passage-level dedup (RefinedWeb / CCNet line dedup, token-window flavor)
+# ---------------------------------------------------------------------------
+
+def text_chunks(col: Column, chunk_tokens: int = 4,
+                sep: str | None = None) -> Column:
+    """Split text into passages: on `sep` when the corpus has natural
+    paragraph breaks (e.g. r"\\n\\n"), else fixed non-overlapping
+    chunk_tokens-token windows — the fallback for flat text. The final
+    window may be shorter. Empty/whitespace-only text yields an empty
+    array (guarded: sequence(1, 0) would infer step -1, the winnow
+    short-text hazard, text.py:265)."""
+    if sep is not None:
+        return F.filter(F.split(col, sep), lambda p: p != "")
+    toks = tokens(col)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(toks), F.lit(chunk_tokens)),
+        lambda i: F.array_join(F.slice(toks, i, chunk_tokens), " "))
+    return F.when(F.size(toks) > 0, chunks).otherwise(
+        F.array().cast("array<string>"))
+
+
+def paragraph_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
+                     chunk_tokens: int = 4, sep: str | None = None,
+                     min_dup: int = 2,
+                     out_col: str = "text_dedup") -> DataFrame:
+    """Corpus-level duplicated-passage removal — the passage flavor of
+    RefinedWeb/CCNet line dedup (public: Penedo et al. 2023 §G, Wenzek et
+    al. 2019 §4.1): a passage occurring >= min_dup times ACROSS the corpus
+    (boilerplate, headers, license blurbs) is deleted from every document;
+    survivors are reassembled in original order. Complements the whole-doc
+    operators above: those drop documents, this repairs them. The reference
+    scopes validation per-document (xema test suites are per-instance);
+    this extends the family corpus-wide like decontaminate().
+
+    Returns (id_col, n_chunks, n_removed, out_col). Docs losing every
+    passage survive with out_col = ''.
+
+    Scale shape (100 TB): chunking is one projection; passage frequency is
+    ONE partial-aggregated groupBy on md5(passage) — fixed-width shuffle
+    keys even for KB passages; the count rejoin is a shuffle join on the
+    same key, and the hot boilerplate passages that motivate the operator
+    are exactly AQE skew-join splits (the frequency side of a hot key is
+    ONE row). Reassembly groups by doc id — each group is one document's
+    own passages, bounded by the document itself.
+    """
+    ex = (df.select(F.col(id_col),
+                    text_chunks(F.col(text_col), chunk_tokens, sep)
+                    .alias("_chunks"))
+          .select(id_col,
+                  F.posexplode_outer("_chunks").alias("pos", "chunk"))
+          .withColumn("h", F.md5("chunk")))
+    freq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("n_dup"))
+    # null-chunk rows (empty docs) never match the join (null keys don't
+    # equal) -> n_dup null -> drop null -> counted by neither branch below
+    kept = (ex.join(freq, "h", "left")
+            .withColumn("drop", F.col("n_dup") >= F.lit(min_dup)))
+    return (kept.groupBy(id_col)
+            .agg(F.count("chunk").alias("n_chunks"),
+                 F.sum(F.when(F.col("drop"), 1).otherwise(0))
+                 .alias("n_removed"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(~F.col("drop"),
+                                    F.struct("pos", "chunk")))),
+                         lambda s: s["chunk"]), " ").alias(out_col)))

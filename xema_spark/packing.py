@@ -135,3 +135,31 @@ def pack_greedy(df: DataFrame, id_col: str = "doc_id",
         return pdf[keep] if oversize == "drop" else pdf
 
     return base.groupBy("bucket").applyInPandas(fill, out_schema)
+
+
+def shard_assign(df: DataFrame, id_col: str = "doc_id",
+                 n_shards: int = 1024, salt: str | None = None,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """Deterministic global shuffle -> training-shard layout: the step that
+    turns a curated corpus into write-ready shards with source ordering
+    destroyed. Adds (shard, shard_pos): shard = bucket_hash31(id) %
+    n_shards, shard_pos = the doc's rank within its shard ordered by the
+    same hash (tie-broken on the id, so the layout is a pure function of
+    ids and salt — rerunning on the same corpus reproduces it exactly, and
+    re-salting yields an independent permutation for another epoch).
+
+    Scale shape: ONE shuffle (the shard_pos window repartitions on shard);
+    each window partition is one shard = corpus/n_shards rows — size
+    n_shards so a shard fits an executor (at 10^12 docs and n_shards=2^20,
+    ~10^6 rows each). Downstream: df.write.partitionBy('shard') with
+    sortWithinPartitions('shard_pos') gives byte-stable shard files.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = bucket_hash31(F.col(id_col), hash_fn, salt)
+    staged = df.withColumn("_h", h).withColumn(
+        "shard", F.pmod("_h", F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return (staged
+            .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
+            .drop("_h"))

@@ -49,6 +49,10 @@ def curate(
     benchmark: DataFrame | None = None,
     decontaminate_ngram: int = 5,
     decontaminate_min_hits: int = 1,
+    paragraph_dedup: bool = False,
+    paragraph_sep: str | None = None,
+    paragraph_chunk_tokens: int = 4,
+    paragraph_min_dup: int = 2,
 ) -> DataFrame:
     """Curated corpus: rows that pass the rule + quality gates, with exact
     and near duplicates removed (keep the lowest id), optionally
@@ -92,7 +96,8 @@ def curate(
                  & (F.col("dup_ngram_frac") <= F.lit(float(max_dup_ngram_frac)))))
 
     if cache_survivors and (benchmark is not None
-                            or near_dup_threshold is not None):
+                            or near_dup_threshold is not None
+                            or paragraph_dedup):
         # stage boundary BEFORE any stage that references the survivor frame
         # more than once: the decontamination gate uses it twice (anti-join
         # left side + contaminated-id derivation) and the near-dup stage
@@ -106,6 +111,19 @@ def curate(
         # gate/exact-dedupe nodes added on top of the leaf are shallow, so
         # the near-dup stage needs no second checkpoint.
         q = q.localCheckpoint(eager=True)
+
+    if paragraph_dedup:
+        # corpus-level duplicated-passage removal BEFORE the gates below:
+        # decontamination and both dedup stages should see the repaired
+        # text, not shared boilerplate (which would inflate n-gram overlap
+        # and near-dup candidates). References the survivor frame twice
+        # (passage pass + join back) — covered by the checkpoint above.
+        repaired = dedup.paragraph_dedupe(
+            q, id_col, text_col, chunk_tokens=paragraph_chunk_tokens,
+            sep=paragraph_sep, min_dup=paragraph_min_dup)
+        q = q.drop(text_col).join(
+            repaired.select(id_col, F.col("text_dedup").alias(text_col)),
+            id_col)
 
     if benchmark is not None:
         # eval-set leakage gate on survivors (fewer rows than the raw

@@ -277,3 +277,34 @@ def cosine_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
              .filter(F.col("cos") >= threshold)
              .dropDuplicates(["doc_a", "doc_b"]))
     return pairs
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        out_col: str = "qvec",
+                        scale_col: str = "scale") -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    4x storage/bandwidth cut an ANN index wants before it shuffles vectors
+    (public technique: Jegou et al. PQ / faiss SQ8). Per vector:
+    scale = max|x| / 127, q_i = floor(x_i/scale + 0.5) in [-127, 127]
+    (floor(x+0.5) is half-up in both Spark and DuckDB — round() is not).
+    All-zero vectors get scale 0 and an all-zero qvec.
+
+    Adds (out_col: array<int>, scale_col: double); dequantize with
+    q_i * scale. Arithmetic is cast to double BEFORE the divide so the
+    float32 column quantizes identically cross-engine.
+
+    Scale shape: one projection, no shuffle. The row max is staged in its
+    own column; whether Catalyst re-inlines it into the per-element lambda
+    is measured in SCALING.md ("Quantization max staging").
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.withColumn("_absmax", F.array_max(F.transform(v, F.abs)))
+    q = F.when(
+        F.col("_absmax") > 0,
+        F.transform(v, lambda x: F.floor(
+            x * F.lit(127.0) / F.col("_absmax") + F.lit(0.5)).cast("int"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (staged
+            .withColumn(out_col, q)
+            .withColumn(scale_col, F.col("_absmax") / F.lit(127.0))
+            .drop("_absmax"))

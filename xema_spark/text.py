@@ -280,3 +280,39 @@ def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str = "text",
                      F.count(F.lit(1)).over(n_win).alias("__n"))
             .filter(F.col("pos") <= F.col("__n") - w)  # complete windows only
             .select("doc", "fp").distinct())
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str = "text",
+                    k: int = 3, min_len: int = 1) -> DataFrame:
+    """Per-document top-k characteristic terms by smoothed TF-IDF
+    (tf * (ln((N+1)/(df+1)) + 1) — the sklearn smooth_idf formula, public).
+    The keyword-extraction view a data-mixture needs alongside top_tokens'
+    corpus-level vocabulary. Returns (id_col, token, tf, df_docs, tfidf,
+    rank), rank 1..k per document, ties broken on the token string so the
+    k-th place is deterministic for oracle comparison.
+
+    Scale shape: one explode, ONE partial-aggregated groupBy(doc, token);
+    document frequency reuses that frame (groupBy(token) over already
+    doc-distinct rows — no second corpus scan); N rides in as a broadcast
+    single-row cross join, never a driver collect. The top-k window
+    partitions by doc id — each partition is one document's vocabulary,
+    bounded by the document itself. Zero-token docs simply emit no rows.
+    """
+    tok = (df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+           .filter(F.length("token") >= min_len))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    raw = (F.col("tf") *
+           (F.log((F.col("n_docs") + F.lit(1)).cast("double") /
+                  (F.col("df_docs") + F.lit(1))) + F.lit(1.0)))
+    scored = (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n))
+              .withColumn("_raw", raw))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_raw"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "token", "tf", "df_docs",
+                    F.round("_raw", 6).alias("tfidf"),
+                    F.col("rank").cast("long").alias("rank")))
