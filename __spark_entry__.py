@@ -917,6 +917,45 @@ def _q_shard_assign(spark, sf_dir):
         "doc_id", F.col("shard").cast("long").alias("shard"), "shard_pos")
 
 
+def _q_dedup_incremental(spark, sf_dir):
+    """Continuous-ingestion dedup report (dedup.incremental_flags): the
+    documents table is split into an existing corpus (doc_id % 5 != 0) and
+    a new batch (doc_id % 5 == 0), and the batch is augmented with
+    synthetic exact duplicates (corpus docs 1-9 re-ingested under +2000000
+    ids) and near duplicates (corpus docs 10-19 with ' qq zz' appended,
+    +3000000 ids). Portable hash flavor so DuckDB replays the entire
+    signature -> band -> capped bucket join -> Jaccard chain bit-for-bit —
+    same machinery as the dedup_minhash_pairs oracle, restricted to
+    batch-vs-corpus pairs."""
+    d = _docs(spark, sf_dir, "doc_id", "text").filter(
+        F.col("text").isNotNull())
+    off = F.col("doc_id") % 5 != 0
+    corpus = d.filter(off)
+    exact_inj = (d.filter(off & (F.col("doc_id") < 10))
+                 .select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+    near_inj = (d.filter(off & F.col("doc_id").between(10, 19))
+                .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" qq zz")).alias("text")))
+    batch = (d.filter(F.col("doc_id") % 5 == 0)
+             .unionByName(exact_inj).unionByName(near_inj))
+    return dedup.incremental_flags(
+        batch, corpus, hash_fn="portable", threshold=0.8).select(
+        "doc_id", "exact_dup", "near_dup", "max_jaccard")
+
+
+def _q_text_lm_score(spark, sf_dir):
+    """Corpus-trained bigram LM quality score (text.lm_score, the CCNet
+    filter-LM signal with the LM trained on the corpus itself). DuckDB
+    replays tokenization, both count tables, the vocabulary size, and the
+    smoothed per-bigram negative log-likelihood; avg_nll/ppl round to 6
+    decimals AFTER the average (both engines sum doubles unordered — the
+    ~1e-13 associativity slack is far inside the round-6 boundary)."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    return text.lm_score(d, "doc_id").select(
+        "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "scoreable", "avg_nll", "ppl")
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """Corpus-level duplicated-passage removal (dedup.paragraph_dedupe,
     RefinedWeb/CCNet line dedup re-expressed over token windows): passages
@@ -1106,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "embed_quantize": _q_embed_quantize,
         "shard_assign": _q_shard_assign,
+        "dedup_incremental": _q_dedup_incremental,
+        "text_lm_score": _q_text_lm_score,
         # -- r3-evicted, back in the window --
         "referential_spans": _q_referential_spans,
         "sim_near_dups": _q_sim_near_dups,
@@ -1141,8 +1182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_bcast": _q_ann_ivf_bcast,
         # custom hooks + multi-rule + map/ref keywords
         "v_custom_validator": _q_v_custom_validator,
-        "v_tuple_items": _q_v_tuple_items,
-        "v_multi_rule": _q_v_multi_rule,
         "v_map_keywords": _q_v_map_keywords,
         "v_ref_inline": _q_v_ref_inline,
         # ---- tail (beyond the driver's 50-query window): driver-green in
@@ -1161,7 +1200,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sim_knn_threshold + ann_*, numeric moments via stats_documents,
         # fingerprints via dedup_exact + text_winnow. v_json_dynamic demoted
         # for shard_assign: the pandas-UDF validator hook stays in-window
-        # via v_custom_validator)
+        # via v_custom_validator. v_tuple_items / v_multi_rule demoted when
+        # dedup_incremental/text_lm_score joined: both r2+r3 green; array
+        # keyword coverage stays in-window via v_map_keywords +
+        # v_fail_mode_early, rule composition via flagship + pipeline_curate)
+        "v_tuple_items": _q_v_tuple_items,
+        "v_multi_rule": _q_v_multi_rule,
         "v_json_dynamic": _q_v_json_dynamic,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
         "moments_quantity": _q_moments_quantity,
@@ -1289,6 +1333,105 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 8, max_bucket: int = 64,
           JOIN sh sa ON sa.doc_id = cand.doc_a
           JOIN sh sb ON sb.doc_id = cand.doc_b
         ) WHERE jaccard >= {threshold}"""
+
+
+def _incremental_oracle_sql(k: int = 32, bands: int = 8,
+                            max_bucket: int = 64, n: int = 5,
+                            threshold: float = 0.8) -> str:
+    """DuckDB replica of _q_dedup_incremental: the same portable minhash
+    machinery as _minhash_oracle_sql (shared constants), but the corpus and
+    batch are banded separately, the bucket-size cap counts CORPUS members
+    only (matching incremental_flags' collect_list filter), and candidates
+    are batch-vs-corpus pairs only. Exact dup = normalized-text membership
+    in the corpus' normalized-text set (md5 equality == string equality)."""
+    from xema_spark.dedup import _BUCKET_BASE, _P31, _perm_constants
+
+    r = k // bands
+    mh = ",\n                   ".join(
+        f"min(({a} * h + {b}) % {_P31}) AS mh_{i}"
+        for i, (a, b) in enumerate(_perm_constants(k)))
+
+    def bucket(b: int) -> str:
+        expr = "0"
+        for j in range(r):
+            expr = f"(({expr}) * {_BUCKET_BASE} + mh_{b * r + j}) % {_P31}"
+        return expr
+
+    bands_sql = "\n              UNION ALL\n".join(
+        f"              SELECT doc_id, {b} AS band, {bucket(b)} AS bucket FROM sig"
+        for b in range(bands))
+    norm = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM {_T}
+          WHERE text IS NOT NULL AND doc_id % 5 <> 0
+        ),
+        batch AS (
+          SELECT doc_id, text FROM {_T}
+          WHERE text IS NOT NULL AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 2000000, text FROM {_T}
+          WHERE text IS NOT NULL AND doc_id % 5 <> 0 AND doc_id < 10
+          UNION ALL
+          SELECT doc_id + 3000000, text || ' qq zz' FROM {_T}
+          WHERE text IS NOT NULL AND doc_id % 5 <> 0
+            AND doc_id BETWEEN 10 AND 19
+        ),
+        c_norm AS (SELECT DISTINCT {norm} AS nt FROM corpus),
+        b_exact AS (
+          SELECT b.doc_id, (c.nt IS NOT NULL) AS exact_dup
+          FROM (SELECT doc_id, {norm} AS nt FROM batch) b
+          LEFT JOIN c_norm c USING (nt)
+        ),
+        docs AS (SELECT doc_id, text FROM corpus
+                 UNION ALL SELECT doc_id, text FROM batch),
+        sh AS MATERIALIZED (
+          SELECT doc_id,
+                 list_distinct([substr(nt, i, {n})
+                                for i in range(1, greatest(len(nt) - {n - 2}, 1))]) AS g
+          FROM (SELECT doc_id, {norm} AS nt FROM docs)
+        ),
+        hs AS MATERIALIZED (
+          SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT % {_P31}) AS h
+          FROM (SELECT doc_id, unnest(g) AS s FROM sh)
+        ),
+        sig AS MATERIALIZED (SELECT doc_id,
+                   {mh}
+                FROM hs GROUP BY doc_id),
+        banded AS MATERIALIZED (
+{bands_sql}
+        ),
+        c_band AS MATERIALIZED (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS c
+          FROM banded WHERE doc_id IN (SELECT doc_id FROM corpus)
+        ),
+        b_band AS (
+          SELECT doc_id, band, bucket FROM banded
+          WHERE doc_id IN (SELECT doc_id FROM batch)
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM b_band b JOIN c_band c USING (band, bucket)
+          WHERE c.c <= {max_bucket}
+        ),
+        ver AS (
+          SELECT doc_a,
+                 round(len(list_intersect(sa.g, sb.g))::DOUBLE /
+                       greatest(len(list_distinct(sa.g || sb.g)), 1), 6) AS jaccard
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.doc_a
+          JOIN sh sb ON sb.doc_id = cand.doc_b
+        ),
+        near AS (
+          SELECT doc_a, max(jaccard) AS max_jaccard FROM ver
+          WHERE jaccard >= {threshold} GROUP BY doc_a
+        )
+        SELECT b.doc_id, e.exact_dup,
+               (nr.doc_a IS NOT NULL) AS near_dup, nr.max_jaccard
+        FROM batch b
+        JOIN b_exact e USING (doc_id)
+        LEFT JOIN near nr ON nr.doc_a = b.doc_id"""
 
 
 def _simhash_oracle_sql(bits: int = 60, prefix_bits: int = 16,
@@ -2302,6 +2445,41 @@ def oracle_sql() -> dict[str, str]:
           FROM {_T})
         GROUP BY token ORDER BY n DESC, token LIMIT 30"""
     # shard layout: same salted portable hash, same (hash, id) window order
+    # incremental ingestion dedup: full portable minhash replay, split
+    # corpus/batch, corpus-only bucket cap (builder shares _perm_constants)
+    out["dedup_incremental"] = _incremental_oracle_sql()
+    # bigram LM: identical tokenization, both count tables, vocab size and
+    # the add-0.5 smoothed nll; round-6 AFTER the average (unordered double
+    # sums differ ~1e-13 between engines — far inside the boundary)
+    out["text_lm_score"] = f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM {_T}),
+        big AS (
+          SELECT doc_id,
+                 unnest([{{'w1': tk[i], 'w2': tk[i+1]}}
+                         for i in range(1, len(tk))]) AS bg
+          FROM toks WHERE len(tk) >= 2),
+        ex AS MATERIALIZED (
+          SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM big),
+        bgc AS (SELECT w1, w2, count(*)::BIGINT AS c12
+                FROM ex GROUP BY 1, 2),
+        ctx AS (SELECT w1, count(*)::BIGINT AS c1 FROM ex GROUP BY 1),
+        voc AS (SELECT count(DISTINCT t)::BIGINT AS v
+                FROM (SELECT unnest(tk) AS t FROM toks)),
+        scored AS (
+          SELECT ex.doc_id, count(*)::BIGINT AS n_bigrams,
+                 avg(-ln((c12 + 0.5) / (c1 + 0.5 * voc.v))) AS nll
+          FROM ex JOIN bgc USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN voc
+          GROUP BY ex.doc_id)
+        SELECT d.doc_id,
+               COALESCE(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+               (s.nll IS NOT NULL) AS scoreable,
+               round(s.nll, 6) AS avg_nll,
+               round(exp(s.nll), 6) AS ppl
+        FROM {_T} d LEFT JOIN scored s USING (doc_id)"""
     out["shard_assign"] = f"""
         WITH h AS (
           SELECT doc_id,

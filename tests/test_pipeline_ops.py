@@ -586,3 +586,87 @@ def test_quantize_embeddings_roundtrip_and_zero_vector(spark):
     for r in (out[1], out[3]):
         for x, q in zip(r["embedding"], r["qvec"]):
             assert abs(x - q * r["scale"]) <= r["scale"] / 2 + 1e-12
+
+
+def test_incremental_flags_exact_near_novel(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus text about stars "
+                        "planets moons comets and the wide cold cosmos")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(101, base),                      # exact dup of corpus 1
+         (102, base + " extra"),           # near dup of corpus 1
+         (103, "a wholly novel document about cooking pasta with basil "
+               "tomatoes garlic and good olive oil for dinner")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.incremental_flags(batch, corpus, threshold=0.6).collect()}
+    assert got[101]["exact_dup"] and got[101]["near_dup"]
+    assert got[101]["max_jaccard"] == 1.0
+    assert (not got[102]["exact_dup"]) and got[102]["near_dup"]
+    assert 0.6 <= got[102]["max_jaccard"] < 1.0
+    assert not got[103]["exact_dup"] and not got[103]["near_dup"]
+    assert got[103]["max_jaccard"] is None
+    assert len(got) == 3
+
+
+def test_incremental_flags_reuses_corpus_signatures(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(corpus, "doc_id")
+    with_store = dedup.incremental_flags(
+        batch, corpus, threshold=0.6, corpus_signatures=sigs).collect()
+    without = dedup.incremental_flags(batch, corpus, threshold=0.6).collect()
+    assert sorted(map(tuple, with_store)) == sorted(map(tuple, without))
+
+
+def test_incremental_dedupe_matches_global_rerun(spark):
+    # corpus ids sort below batch ids -> incremental survivors must equal
+    # the batch rows a global minhash_dedupe over corpus+batch would keep
+    a = ("one two three four five six seven eight nine ten eleven twelve "
+         "thirteen fourteen fifteen sixteen seventeen eighteen nineteen")
+    b = ("red orange yellow green blue indigo violet crimson amber teal "
+         "magenta cyan maroon olive navy coral salmon ivory pearl onyx")
+    c = ("north south east west up down left right forward backward "
+         "inward outward clockwise widdershins sunwise moonwise starwise")
+    corpus = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, a),                 # exact dup of corpus 1 -> dropped
+         (11, b + " extra"),      # near dup of corpus 2 -> dropped
+         (12, c),                 # novel -> kept
+         (13, c + " extra"),      # near dup of 12 within batch -> dropped
+         (14, "tiny")],           # novel short -> kept
+        ["doc_id", "text"])
+    inc = sorted(r["doc_id"] for r in
+                 dedup.incremental_dedupe(batch, corpus,
+                                          threshold=0.6).collect())
+    full = dedup.minhash_dedupe(corpus.unionByName(batch), "doc_id",
+                                threshold=0.6)
+    glob = sorted(r["doc_id"] for r in full.collect() if r["doc_id"] >= 10)
+    assert inc == glob == [12, 14]
+
+
+def test_lm_score_hand_computed(spark):
+    import math
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           text.lm_score(df, "doc_id", add_k=0.5).collect()}
+    # counts: c(a,b)=3, c(b,a)=1; ctx a=3, b=1; V=3
+    p_ab = (3 + 0.5) / (3 + 0.5 * 3)
+    p_ba = (1 + 0.5) / (1 + 0.5 * 3)
+    d1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    d2 = -math.log(p_ab)
+    assert got[1]["n_bigrams"] == 3 and got[1]["scoreable"]
+    assert abs(got[1]["avg_nll"] - round(d1, 6)) < 1e-9
+    assert abs(got[1]["ppl"] - round(math.exp(d1), 6)) < 1e-9
+    assert abs(got[2]["avg_nll"] - round(d2, 6)) < 1e-9
+    # single-token doc: no transitions to judge
+    assert got[3]["n_bigrams"] == 0 and not got[3]["scoreable"]
+    assert got[3]["avg_nll"] is None and got[3]["ppl"] is None

@@ -262,3 +262,32 @@ def test_mixture_sample_is_pure_filter(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Filter" in plan
+
+
+def test_incremental_batch_side_is_broadcast(spark):
+    from xema_spark import dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} with some shared words")
+         for i in range(1, 40)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(100, "a new batch document arriving now")], ["doc_id", "text"])
+    plan = plan_of(dedup.incremental_flags(batch, corpus))
+    # the batch's band buckets broadcast into the corpus bucket frame —
+    # the corpus is never shuffled against the batch
+    assert "BroadcastHashJoin" in plan
+    # corpus-side bucket grouping is a real (partial-agg) hash aggregate
+    assert "HashAggregate" in plan
+
+
+def test_lm_score_counts_are_partial_aggregated(spark):
+    from xema_spark import text as t
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b x y z")], ["doc_id", "text"])
+    plan = plan_of(t.lm_score(df, "doc_id"))
+    # both count tables partial-aggregate before their shuffles, the vocab
+    # single row rides a broadcast, and no Python touches the path
+    assert plan.count("partial_count") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

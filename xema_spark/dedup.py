@@ -165,20 +165,14 @@ def _portable_bucket(cols: list[Column]) -> Column:
     return acc
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                        n: int = 5, k: int = 32, bands: int = 8,
-                        max_bucket: int = 64, max_shingles: int = 512,
-                        hash_fn: str = "xxhash64") -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, bucket-join on
-    (band_id, band_hash), emit ordered pairs within buckets.
-
-    max_bucket drops degenerate buckets (e.g. thousands of empty docs) —
-    a skew guard: a bucket of B docs yields B^2 pairs, so a single hot
-    bucket of 100k identical boilerplate docs would otherwise emit 10^10
-    pairs. Dropped buckets are exact-dup territory anyway (handled by
-    exact_dup_groups)."""
+def band_buckets(sig: DataFrame, k: int = 32, bands: int = 8,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """Fold a minhash signature frame (doc, mh_0..mh_{k-1}) into LSH band
+    buckets: one row per (doc, band, bucket). Shared by the whole-corpus
+    pair generator below and the incremental batch-vs-corpus join — both
+    sides of an incremental run MUST band with the same k/bands/hash_fn or
+    buckets never collide."""
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k, max_shingles, hash_fn)
     if hash_fn == "portable":
         band_structs = [
             F.struct(F.lit(b).cast("int").alias("band"),
@@ -193,8 +187,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                      .alias("bucket"))
             for b in range(bands)
         ]
-    banded = sig.select("doc", F.explode(F.array(*band_structs)).alias("bk")) \
-        .select("doc", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    return (sig.select("doc", F.explode(F.array(*band_structs)).alias("bk"))
+            .select("doc", F.col("bk.band").alias("band"),
+                    F.col("bk.bucket").alias("bucket")))
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                        n: int = 5, k: int = 32, bands: int = 8,
+                        max_bucket: int = 64, max_shingles: int = 512,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, bucket-join on
+    (band_id, band_hash), emit ordered pairs within buckets.
+
+    max_bucket drops degenerate buckets (e.g. thousands of empty docs) —
+    a skew guard: a bucket of B docs yields B^2 pairs, so a single hot
+    bucket of 100k identical boilerplate docs would otherwise emit 10^10
+    pairs. Dropped buckets are exact-dup territory anyway (handled by
+    exact_dup_groups)."""
+    sig = minhash_signatures(df, id_col, text_col, n, k, max_shingles, hash_fn)
+    banded = band_buckets(sig, k, bands, hash_fn)
     grouped = (banded.groupBy("band", "bucket")
                .agg(F.collect_list("doc").alias("docs"))
                .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket)))
@@ -649,3 +660,104 @@ def paragraph_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
                              F.when(~F.col("drop"),
                                     F.struct("pos", "chunk")))),
                          lambda s: s["chunk"]), " ").alias(out_col)))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (new batch vs an existing corpus)
+# ---------------------------------------------------------------------------
+
+def incremental_flags(batch: DataFrame, corpus: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 5, k: int = 32, bands: int = 8,
+                      threshold: float = 0.8, max_bucket: int = 64,
+                      max_shingles: int = 512, hash_fn: str = "xxhash64",
+                      corpus_signatures: DataFrame | None = None) -> DataFrame:
+    """Continuous-ingestion dedup report: for every document of a NEW batch,
+    flag whether it exactly duplicates or near-duplicates (MinHash-LSH +
+    exact Jaccard) anything in the EXISTING corpus — without ever forming
+    corpus-vs-corpus pairs. Extends the per-run dedup family above to the
+    ingestion loop a production corpus actually runs (the reference
+    validates one table at a time; incremental arrival is the 100 TB
+    reality).
+
+    Returns one row per batch doc: (id_col, exact_dup, near_dup,
+    max_jaccard — null when no candidate verified). Doc ids must be unique
+    across batch+corpus (an ingestion system's invariant).
+
+    Scale shape (100 TB corpus, small batch): the corpus side is ONE
+    signature pass — or ZERO with `corpus_signatures`, the persisted
+    signature store an ingestion loop should maintain (signatures are
+    per-doc, so the store appends each batch's signatures after the run).
+    Corpus band buckets are grouped once with the same max_bucket skew cap
+    as lsh_candidate_pairs (a hot boilerplate bucket of 100k docs would
+    emit 100k candidates per batch doc landing in it); the batch side of
+    the bucket join is tiny and broadcast. Exact dedup is an anti-join on
+    fixed-width md5 keys. Jaccard verification re-shingles only candidate
+    docs (semi-join restriction inside ngram_jaccard)."""
+    bid = F.col(id_col)
+    # -- exact: batch text-hash against the corpus text-hash set --
+    c_hash = (corpus.filter(F.col(text_col).isNotNull())
+              .select(F.md5(normalize_text(F.col(text_col))).alias("_h"))
+              .distinct())
+    b_hash = batch.select(bid.alias("_b"),
+                          F.md5(normalize_text(F.col(text_col))).alias("_h"))
+    exact = (b_hash.join(c_hash.withColumn("_e", F.lit(True)), "_h", "left")
+             .select(F.col("_b"), F.coalesce("_e", F.lit(False)).alias("exact_dup")))
+
+    # -- near: band both sides with identical parameters, join buckets --
+    if corpus_signatures is None:
+        corpus_signatures = minhash_signatures(
+            corpus, id_col, text_col, n, k, max_shingles, hash_fn)
+    c_banded = band_buckets(corpus_signatures, k, bands, hash_fn)
+    c_grouped = (c_banded.groupBy("band", "bucket")
+                 .agg(F.collect_list("doc").alias("cdocs"))
+                 .filter(F.size("cdocs") <= max_bucket))
+    b_sig = minhash_signatures(batch, id_col, text_col, n, k,
+                               max_shingles, hash_fn)
+    b_banded = band_buckets(b_sig, k, bands, hash_fn) \
+        .withColumnRenamed("doc", "doc_a")
+    cand = (c_grouped.join(F.broadcast(b_banded), ["band", "bucket"])
+            .select("doc_a", F.explode("cdocs").alias("doc_b"))
+            .distinct())
+    union = (batch.select(F.col(id_col).alias("__u"), F.col(text_col))
+             .unionByName(corpus.select(F.col(id_col).alias("__u"),
+                                        F.col(text_col))))
+    verified = ngram_jaccard(union.withColumnRenamed("__u", id_col), cand,
+                             id_col, text_col, n, threshold, max_shingles)
+    near = (verified.groupBy(F.col("doc_a").alias("_b"))
+            .agg(F.max("jaccard").alias("max_jaccard"))
+            .withColumn("near_dup", F.lit(True)))
+    return (batch.select(bid)
+            .join(exact, bid == F.col("_b"), "left").drop("_b")
+            .join(near, bid == F.col("_b"), "left").drop("_b")
+            .select(bid,
+                    F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+                    F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+                    "max_jaccard"))
+
+
+def incremental_dedupe(batch: DataFrame, corpus: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       threshold: float = 0.8, within_batch: bool = True,
+                       transitive: bool = True,
+                       corpus_signatures: DataFrame | None = None,
+                       **kw) -> DataFrame:
+    """Surviving batch rows after incremental dedup: drop batch docs that
+    exactly- or near-duplicate the corpus (incremental_flags), then dedupe
+    the remainder against itself (within_batch=True: dedupe_exact +
+    minhash_dedupe, transitive near-dup components by default) so the
+    batch appended to the corpus leaves corpus+batch globally deduped —
+    equivalent to re-running minhash_dedupe over corpus+batch when corpus
+    ids sort below batch ids (pinned by the equivalence test), at the cost
+    of one batch-sized pass instead of a corpus-sized one."""
+    flags = incremental_flags(batch, corpus, id_col, text_col,
+                              threshold=threshold,
+                              corpus_signatures=corpus_signatures, **kw)
+    keep = (flags.filter(~F.col("exact_dup") & ~F.col("near_dup"))
+            .select(id_col))
+    survivors = batch.join(keep, id_col, "semi")
+    if not within_batch:
+        return survivors
+    survivors = dedupe_exact(survivors, id_col, text_col)
+    return minhash_dedupe(survivors, id_col, text_col,
+                          threshold=threshold, transitive=transitive, **kw)

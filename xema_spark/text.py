@@ -316,3 +316,61 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str = "text",
             .select(id_col, "token", "tf", "df_docs",
                     F.round("_raw", 6).alias("tfidf"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def lm_score(df: DataFrame, id_col: str, text_col: str = "text",
+             add_k: float = 0.5) -> DataFrame:
+    """Corpus-trained bigram language-model quality score — the CCNet-style
+    perplexity signal (public: Wenzek et al. 2019 §4.2 filter LM; here the
+    LM is trained on the corpus itself instead of an external KenLM, so the
+    score measures how TYPICAL a document's word transitions are for this
+    corpus: gibberish and boilerplate-free word salad score high perplexity,
+    fluent in-distribution text low).
+
+    Add-k smoothed conditional: p(w2|w1) = (c(w1,w2)+k) / (c_ctx(w1)+k*V)
+    where c_ctx(w1) = occurrences of w1 as a bigram context (so the
+    distribution sums to <=1 exactly) and V = distinct corpus tokens.
+    Per doc: avg_nll = mean over its bigram positions of -ln p, and
+    ppl = exp(avg_nll). Docs with < 2 tokens return null scores (no
+    transitions to judge), flagged scoreable=false.
+
+    Scale shape (100 TB): bigram extraction is one projection (O(1)
+    element_at over the token array — arrays are indexed, unlike UTF8
+    substr); counts are TWO partial-aggregated groupBys over the exploded
+    bigram stream (c(w1,w2) and c_ctx(w1) — the context count reuses the
+    same frame, no second corpus scan); V is one distinct count. Scoring
+    joins the bigram stream back to the count tables — shuffle hash joins
+    whose hot keys (stopword bigrams) are exactly AQE skew-join splits —
+    then ONE groupBy(doc) average. Self-trained means the join always hits:
+    no smoothing-path branch in the hot loop.
+    """
+    toks = tokens(F.col(text_col))
+    big = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("w1"),
+                        F.element_at(toks, i + 1).alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = (df.select(F.col(id_col).alias("doc"), big.alias("_b"))
+          .select("doc", F.explode("_b").alias("bg"))
+          .select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
+    bg_counts = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+             .agg(F.countDistinct("t").alias("v")))
+    nll = -F.log((F.col("c12") + F.lit(add_k)) /
+                 (F.col("c1") + F.lit(add_k) * F.col("v")))
+    scored = (ex.join(bg_counts, ["w1", "w2"])
+              .join(ctx_counts, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .groupBy("doc")
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.avg(nll).alias("_nll")))
+    return (df.select(F.col(id_col))
+            .join(scored, F.col(id_col) == F.col("doc"), "left").drop("doc")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.col("_nll").isNotNull().alias("scoreable"),
+                    F.round("_nll", 6).alias("avg_nll"),
+                    F.round(F.exp("_nll"), 6).alias("ppl")))
