@@ -921,9 +921,12 @@ def _q_dedup_incremental(spark, sf_dir):
     """Continuous-ingestion dedup report (dedup.incremental_flags): the
     documents table is split into an existing corpus (doc_id % 5 != 0) and
     a new batch (doc_id % 5 == 0), and the batch is augmented with
-    synthetic exact duplicates (corpus docs 1-9 re-ingested under +2000000
+    synthetic exact duplicates (corpus docs 1-9 re-ingested under +10^12
     ids) and near duplicates (corpus docs 10-19 with ' qq zz' appended,
-    +3000000 ids). Portable hash flavor so DuckDB replays the entire
+    +2*10^12 ids — offsets far above any real doc_id so the injected ids
+    can never collide with corpus ids at ANY scale factor, preserving
+    incremental_flags' unique-id invariant). Portable hash flavor so
+    DuckDB replays the entire
     signature -> band -> capped bucket join -> Jaccard chain bit-for-bit —
     same machinery as the dedup_minhash_pairs oracle, restricted to
     batch-vs-corpus pairs."""
@@ -932,9 +935,10 @@ def _q_dedup_incremental(spark, sf_dir):
     off = F.col("doc_id") % 5 != 0
     corpus = d.filter(off)
     exact_inj = (d.filter(off & (F.col("doc_id") < 10))
-                 .select((F.col("doc_id") + 2000000).alias("doc_id"), "text"))
+                 .select((F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
+                         "text"))
     near_inj = (d.filter(off & F.col("doc_id").between(10, 19))
-                .select((F.col("doc_id") + 3000000).alias("doc_id"),
+                .select((F.col("doc_id") + 2_000_000_000_000).alias("doc_id"),
                         F.concat(F.col("text"), F.lit(" qq zz")).alias("text")))
     batch = (d.filter(F.col("doc_id") % 5 == 0)
              .unionByName(exact_inj).unionByName(near_inj))
@@ -1267,13 +1271,15 @@ def _langid_sql() -> str:
             f"(SELECT doc_id, {inner} FROM documents)")
 
 
-def _minhash_oracle_sql(k: int = 32, bands: int = 8, max_bucket: int = 64,
-                        n: int = 5, threshold: float = 0.8) -> str:
-    """DuckDB replica of _q_dedup_minhash_pairs' full chain: shingles ->
-    portable 31-bit hashes -> k affine-permutation min-aggregates -> band
-    buckets (polynomial fold) -> windowed bucket-size cap -> candidate pairs
-    -> exact Jaccard. Constants come from the SAME _perm_constants the engine
-    uses, so signatures are bit-identical."""
+def _mh_sig_ctes(k: int = 32, bands: int = 8, n: int = 5) -> str:
+    """Shared DuckDB CTE text for the portable-minhash signature chain:
+    shingles (sh) -> 31-bit hashes (hs) -> k affine-permutation
+    min-aggregates (sig) -> polynomial band-bucket fold (banded). Expects a
+    `docs(doc_id, text)` CTE in scope. The SINGLE source of the oracle-side
+    signature arithmetic (constants from the same _perm_constants /
+    _BUCKET_BASE the engine uses) — _minhash_oracle_sql and
+    _incremental_oracle_sql both build on it, mirroring the Spark-side
+    band_buckets extraction, so the two oracles cannot drift apart."""
     from xema_spark.dedup import _BUCKET_BASE, _P31, _perm_constants
 
     r = k // bands
@@ -1290,14 +1296,7 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 8, max_bucket: int = 64,
     bands_sql = "\n              UNION ALL\n".join(
         f"              SELECT doc_id, {b} AS band, {bucket(b)} AS bucket FROM sig"
         for b in range(bands))
-    return f"""
-        WITH docs AS (
-          SELECT doc_id, text FROM {_T} WHERE text IS NOT NULL
-          UNION ALL
-          SELECT doc_id + 1000000, text FROM {_T}
-          WHERE doc_id < 10 AND text IS NOT NULL
-        ),
-        sh AS MATERIALIZED (
+    return f"""sh AS MATERIALIZED (
           SELECT doc_id,
                  list_distinct([substr(nt, i, {n})
                                 for i in range(1, greatest(len(nt) - {n - 2}, 1))]) AS g
@@ -1314,7 +1313,22 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 8, max_bucket: int = 64,
                 FROM hs GROUP BY doc_id),
         banded AS MATERIALIZED (
 {bands_sql}
+        )"""
+
+
+def _minhash_oracle_sql(k: int = 32, bands: int = 8, max_bucket: int = 64,
+                        n: int = 5, threshold: float = 0.8) -> str:
+    """DuckDB replica of _q_dedup_minhash_pairs' full chain: the shared
+    signature CTEs (_mh_sig_ctes) -> windowed bucket-size cap -> candidate
+    pairs -> exact Jaccard."""
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, text FROM {_T} WHERE text IS NOT NULL
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM {_T}
+          WHERE doc_id < 10 AND text IS NOT NULL
         ),
+        {_mh_sig_ctes(k, bands, n)},
         sized AS MATERIALIZED (
           SELECT doc_id, band, bucket,
                  count(*) OVER (PARTITION BY band, bucket) AS c
@@ -1338,28 +1352,13 @@ def _minhash_oracle_sql(k: int = 32, bands: int = 8, max_bucket: int = 64,
 def _incremental_oracle_sql(k: int = 32, bands: int = 8,
                             max_bucket: int = 64, n: int = 5,
                             threshold: float = 0.8) -> str:
-    """DuckDB replica of _q_dedup_incremental: the same portable minhash
-    machinery as _minhash_oracle_sql (shared constants), but the corpus and
-    batch are banded separately, the bucket-size cap counts CORPUS members
-    only (matching incremental_flags' collect_list filter), and candidates
-    are batch-vs-corpus pairs only. Exact dup = normalized-text membership
-    in the corpus' normalized-text set (md5 equality == string equality)."""
-    from xema_spark.dedup import _BUCKET_BASE, _P31, _perm_constants
-
-    r = k // bands
-    mh = ",\n                   ".join(
-        f"min(({a} * h + {b}) % {_P31}) AS mh_{i}"
-        for i, (a, b) in enumerate(_perm_constants(k)))
-
-    def bucket(b: int) -> str:
-        expr = "0"
-        for j in range(r):
-            expr = f"(({expr}) * {_BUCKET_BASE} + mh_{b * r + j}) % {_P31}"
-        return expr
-
-    bands_sql = "\n              UNION ALL\n".join(
-        f"              SELECT doc_id, {b} AS band, {bucket(b)} AS bucket FROM sig"
-        for b in range(bands))
+    """DuckDB replica of _q_dedup_incremental: the same shared signature
+    CTEs as _minhash_oracle_sql (_mh_sig_ctes — single source of the
+    portable-minhash arithmetic), but the corpus and batch are banded
+    separately, the bucket-size cap counts CORPUS members only (matching
+    incremental_flags' collect_list filter), and candidates are
+    batch-vs-corpus pairs only. Exact dup = normalized-text membership in
+    the corpus' normalized-text set (md5 equality == string equality)."""
     norm = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
     return f"""
         WITH corpus AS (
@@ -1370,10 +1369,10 @@ def _incremental_oracle_sql(k: int = 32, bands: int = 8,
           SELECT doc_id, text FROM {_T}
           WHERE text IS NOT NULL AND doc_id % 5 = 0
           UNION ALL
-          SELECT doc_id + 2000000, text FROM {_T}
+          SELECT doc_id + 1000000000000, text FROM {_T}
           WHERE text IS NOT NULL AND doc_id % 5 <> 0 AND doc_id < 10
           UNION ALL
-          SELECT doc_id + 3000000, text || ' qq zz' FROM {_T}
+          SELECT doc_id + 2000000000000, text || ' qq zz' FROM {_T}
           WHERE text IS NOT NULL AND doc_id % 5 <> 0
             AND doc_id BETWEEN 10 AND 19
         ),
@@ -1385,22 +1384,7 @@ def _incremental_oracle_sql(k: int = 32, bands: int = 8,
         ),
         docs AS (SELECT doc_id, text FROM corpus
                  UNION ALL SELECT doc_id, text FROM batch),
-        sh AS MATERIALIZED (
-          SELECT doc_id,
-                 list_distinct([substr(nt, i, {n})
-                                for i in range(1, greatest(len(nt) - {n - 2}, 1))]) AS g
-          FROM (SELECT doc_id, {norm} AS nt FROM docs)
-        ),
-        hs AS MATERIALIZED (
-          SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT % {_P31}) AS h
-          FROM (SELECT doc_id, unnest(g) AS s FROM sh)
-        ),
-        sig AS MATERIALIZED (SELECT doc_id,
-                   {mh}
-                FROM hs GROUP BY doc_id),
-        banded AS MATERIALIZED (
-{bands_sql}
-        ),
+        {_mh_sig_ctes(k, bands, n)},
         c_band AS MATERIALIZED (
           SELECT doc_id, band, bucket,
                  count(*) OVER (PARTITION BY band, bucket) AS c
@@ -2493,11 +2477,13 @@ def oracle_sql() -> dict[str, str]:
         FROM h"""
     # paragraph dedup: identical 4-token windows (DuckDB list slice is
     # 1-based inclusive, matching F.slice(toks, i, 4)), identical md5
-    # frequency table, ORDER BY pos reassembly; zero-chunk docs keep ''
+    # frequency table, ORDER BY pos reassembly; untouched docs (n_removed
+    # = 0, including zero-chunk docs) keep their ORIGINAL text verbatim
     out["dedup_paragraphs"] = f"""
         WITH base AS (
-          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
-                                     t -> t <> '') AS toks
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS toks
           FROM {_T}),
         ex AS (
           SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk
@@ -2513,7 +2499,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.doc_id,
                COALESCE(k.n_chunks, 0)::BIGINT AS n_chunks,
                COALESCE(k.n_removed, 0)::BIGINT AS n_removed,
-               COALESCE(k.text_dedup, '') AS text_dedup
+               CASE WHEN COALESCE(k.n_removed, 0) > 0 THEN k.text_dedup
+                    ELSE b.text END AS text_dedup
         FROM base b LEFT JOIN (
           SELECT doc_id,
                  count(chunk) AS n_chunks,

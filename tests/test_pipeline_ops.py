@@ -652,6 +652,73 @@ def test_incremental_dedupe_matches_global_rerun(spark):
     assert inc == glob == [12, 14]
 
 
+def test_incremental_dedupe_chain_across_corpus_boundary(spark):
+    # X near-dups corpus doc C; Y near-dups X but NOT C. The global
+    # transitive rerun forms component {C, X, Y} and drops BOTH batch
+    # docs; the incremental path must too (X's batch-side edges are
+    # formed even though X itself is vs-corpus flagged). bands=16 (r=2)
+    # keeps LSH candidate recall ~1 at these jaccard levels so the test
+    # is deterministic about the chain actually materializing.
+    c_text = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliett kilo lima mike november oscar papa quebec romeo")
+    x_text = c_text + " sierra tango uniform victor whiskey xray"
+    y_text = x_text + (" yankee zulu amber bronze copper dusty ember "
+                       "fable grove harbor ivory jasper keystone lantern")
+    corpus = spark.createDataFrame([(1, c_text)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(10, x_text), (11, y_text),
+         (12, "wholly unrelated novel content about deep sea trenches "
+              "bioluminescent squid hydrothermal vents and pale crabs")],
+        ["doc_id", "text"])
+    kw = dict(threshold=0.6, bands=16)
+    inc = sorted(r["doc_id"] for r in
+                 dedup.incremental_dedupe(batch, corpus, **kw).collect())
+    glob = sorted(r["doc_id"] for r in
+                  dedup.minhash_dedupe(corpus.unionByName(batch), "doc_id",
+                                       threshold=0.6, bands=16).collect()
+                  if r["doc_id"] >= 10)
+    assert inc == glob == [12]
+    # precondition check: Y was NOT droppable vs the corpus directly —
+    # only through the chain (otherwise this test isn't testing the chain)
+    flags = {r["doc_id"]: r for r in
+             dedup.incremental_flags(batch, corpus, threshold=0.6,
+                                     bands=16).collect()}
+    assert flags[10]["near_dup"] and not flags[11]["near_dup"]
+
+
+def test_paragraph_dedupe_untouched_docs_keep_original_text(spark):
+    # reassembly lowercases and collapses whitespace — docs that lost no
+    # passage must bypass it and keep their text verbatim
+    df = spark.createDataFrame(
+        [(1, "Hello World.\n\nSee You Soon"),
+         (2, "dup chunk one two\nmore text here now"),
+         (3, "dup chunk one two\nother tail words go")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.paragraph_dedupe(df, "doc_id", chunk_tokens=4).collect()}
+    assert got[1]["text_dedup"] == "Hello World.\n\nSee You Soon"
+    assert got[1]["n_removed"] == 0
+    # repaired docs still get the (lossy) reassembled form
+    assert got[2]["n_removed"] == 1
+    assert got[2]["text_dedup"] == "more text here now"
+
+
+def test_curate_paragraph_repair_emptied_docs_are_dropped(spark):
+    from xema_spark import pipeline
+
+    # three docs of pure shared boilerplate repair to '' and must not
+    # ship; the mixed doc survives with the boilerplate removed
+    df = spark.createDataFrame(
+        [(1, "click here to subscribe"),
+         (2, "click here to subscribe"),
+         (3, "click here to subscribe"),
+         (4, "click here to subscribe real unique content words")],
+        ["doc_id", "text"])
+    out = pipeline.curate(df, near_dup_threshold=None, paragraph_dedup=True)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == {4: "real unique content words"}
+
+
 def test_lm_score_hand_computed(spark):
     import math
     df = spark.createDataFrame(

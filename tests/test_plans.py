@@ -286,8 +286,13 @@ def test_lm_score_counts_are_partial_aggregated(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e"), (2, "a b x y z")], ["doc_id", "text"])
     plan = plan_of(t.lm_score(df, "doc_id"))
-    # both count tables partial-aggregate before their shuffles, the vocab
-    # single row rides a broadcast, and no Python touches the path
-    assert plan.count("partial_count") >= 2
+    # the bigram count table partial-aggregates before its shuffle; the
+    # context count is the w1-marginal of that table (partial_sum over the
+    # reduced counts, NOT a second corpus scan — at most 3 source scans:
+    # bigram counting, scoring probe, vocab); the vocab single row rides a
+    # broadcast, and no Python touches the path
+    assert plan.count("partial_count") >= 1
+    assert plan.count("partial_sum") >= 1
+    assert plan.count("LocalTableScan") <= 3
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

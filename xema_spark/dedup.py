@@ -205,14 +205,24 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     pairs. Dropped buckets are exact-dup territory anyway (handled by
     exact_dup_groups)."""
     sig = minhash_signatures(df, id_col, text_col, n, k, max_shingles, hash_fn)
+    return pairs_from_signatures(sig, k, bands, max_bucket, hash_fn)
+
+
+def pairs_from_signatures(sig: DataFrame, k: int = 32, bands: int = 8,
+                          max_bucket: int = 64,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """LSH candidate pairs from an existing signature frame (doc,
+    mh_0..mh_{k-1}): band, bucket-group with the max_bucket skew cap, emit
+    ordered (a < b) pairs. The shared tail of lsh_candidate_pairs and the
+    signature-store flows (streaming ingestion keeps signatures, not
+    text, so its within-batch pairs start here)."""
     banded = band_buckets(sig, k, bands, hash_fn)
     grouped = (banded.groupBy("band", "bucket")
                .agg(F.collect_list("doc").alias("docs"))
                .filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket)))
-    pairs = grouped.select(F.explode(_ordered_pairs(F.col("docs"))).alias("p")) \
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")) \
-        .distinct()
-    return pairs
+    return (grouped.select(F.explode(_ordered_pairs(F.col("docs"))).alias("p"))
+            .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+            .distinct())
 
 
 def _ordered_pairs(docs: Column) -> Column:
@@ -412,9 +422,16 @@ def minhash_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
     """End-to-end near-dup removal: LSH candidates -> exact Jaccard ->
     transitive connected components -> keep each component's minimum id.
     transitive=False falls back to per-pair pruning (drop the greater id of
-    every verified pair — cheaper, but splits A~B~C when A!~C)."""
+    every verified pair — cheaper, but splits A~B~C when A!~C).
+
+    The shingle parameters (n, max_shingles) reach BOTH stages: candidate
+    generation and the exact-Jaccard verifier must shingle identically or
+    the verification measures a different similarity than the one LSH
+    bucketed on."""
     pairs = lsh_candidate_pairs(df, id_col, text_col, **kw)
-    dups = ngram_jaccard(df, pairs, id_col, text_col, threshold=threshold)
+    dups = ngram_jaccard(df, pairs, id_col, text_col,
+                         n=kw.get("n", 5), threshold=threshold,
+                         max_shingles=kw.get("max_shingles", 512))
     return df.join(near_dup_losers(dups, id_col, transitive), id_col,
                    "left_anti")
 
@@ -628,8 +645,12 @@ def paragraph_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
     scopes validation per-document (xema test suites are per-instance);
     this extends the family corpus-wide like decontaminate().
 
-    Returns (id_col, n_chunks, n_removed, out_col). Docs losing every
-    passage survive with out_col = ''.
+    Returns (id_col, n_chunks, n_removed, out_col). Documents that lost NO
+    passage keep their ORIGINAL text verbatim — reassembly is lossy (token
+    mode lowercases and collapses whitespace; sep mode normalizes the
+    separator to a single space), so it is applied only to docs that were
+    actually repaired (n_removed > 0). Docs losing every passage survive
+    with out_col = ''.
 
     Scale shape (100 TB): chunking is one projection; passage frequency is
     ONE partial-aggregated groupBy on md5(passage) — fixed-width shuffle
@@ -637,7 +658,9 @@ def paragraph_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
     same key, and the hot boilerplate passages that motivate the operator
     are exactly AQE skew-join splits (the frequency side of a hot key is
     ONE row). Reassembly groups by doc id — each group is one document's
-    own passages, bounded by the document itself.
+    own passages, bounded by the document itself; the final original-text
+    join shuffles each doc's text ONCE on the id (cheaper than carrying
+    the text on every exploded passage row through the reassembly).
     """
     ex = (df.select(F.col(id_col),
                     text_chunks(F.col(text_col), chunk_tokens, sep)
@@ -650,16 +673,21 @@ def paragraph_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
     # equal) -> n_dup null -> drop null -> counted by neither branch below
     kept = (ex.join(freq, "h", "left")
             .withColumn("drop", F.col("n_dup") >= F.lit(min_dup)))
-    return (kept.groupBy(id_col)
-            .agg(F.count("chunk").alias("n_chunks"),
-                 F.sum(F.when(F.col("drop"), 1).otherwise(0))
-                 .alias("n_removed"),
-                 F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(
-                             F.when(~F.col("drop"),
-                                    F.struct("pos", "chunk")))),
-                         lambda s: s["chunk"]), " ").alias(out_col)))
+    agg = (kept.groupBy(id_col)
+           .agg(F.count("chunk").alias("n_chunks"),
+                F.sum(F.when(F.col("drop"), 1).otherwise(0))
+                .alias("n_removed"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(~F.col("drop"),
+                                   F.struct("pos", "chunk")))),
+                        lambda s: s["chunk"]), " ").alias("_reassembled")))
+    return (agg.join(df.select(F.col(id_col),
+                               F.col(text_col).alias("_orig")), id_col)
+            .select(id_col, "n_chunks", "n_removed",
+                    F.when(F.col("n_removed") > 0, F.col("_reassembled"))
+                    .otherwise(F.col("_orig")).alias(out_col)))
 
 
 # ---------------------------------------------------------------------------
@@ -742,22 +770,63 @@ def incremental_dedupe(batch: DataFrame, corpus: DataFrame,
                        transitive: bool = True,
                        corpus_signatures: DataFrame | None = None,
                        **kw) -> DataFrame:
-    """Surviving batch rows after incremental dedup: drop batch docs that
-    exactly- or near-duplicate the corpus (incremental_flags), then dedupe
-    the remainder against itself (within_batch=True: dedupe_exact +
-    minhash_dedupe, transitive near-dup components by default) so the
-    batch appended to the corpus leaves corpus+batch globally deduped —
-    equivalent to re-running minhash_dedupe over corpus+batch when corpus
-    ids sort below batch ids (pinned by the equivalence test), at the cost
-    of one batch-sized pass instead of a corpus-sized one."""
+    """Surviving batch rows after incremental dedup, equivalent to
+    re-running dedupe_exact + minhash_dedupe over corpus+batch when corpus
+    ids sort below batch ids (pinned by the equivalence tests, including a
+    near-dup chain that CROSSES the corpus boundary), at the cost of one
+    batch-sized pass instead of a corpus-sized one.
+
+    Stages mirror the global rerun exactly:
+    1. exact — batch docs whose normalized hash exists in the corpus drop
+       (the corpus copy is the keeper), then within-batch exact dedupe
+       keeps each hash group's minimum id.
+    2. near — LSH pairs + Jaccard verification over the FULL exact-
+       surviving batch (NOT pre-filtered by the vs-corpus flags: a chain
+       X~corpus, Y~X, Y!~corpus needs X's batch-side edges to drag Y
+       down, which is exactly what the global transitive rerun does).
+       With transitive=True, a connected component containing ANY
+       vs-corpus near-dup member drops ENTIRELY (its global component
+       would contain a corpus doc, whose smaller id wins); clean
+       components keep their minimum id. transitive=False matches the
+       global per-pair mode: drop every flagged doc plus greatest(a,b)
+       of each verified within-batch pair.
+
+    Exact-dup-flagged docs are safely absent from stage 2: normalized-
+    exact duplicates have identical shingle sets, so any batch doc that
+    near-dups a dropped exact-dup near-dups its corpus copy too and is
+    flagged directly. Equivalence caveat: the LSH bucket-size cap counts
+    corpus members only on the corpus side here, but corpus+batch members
+    in a true global rerun — a bucket within `max_bucket` of the cap may
+    bind differently (candidate generation is probabilistic either way).
+    """
     flags = incremental_flags(batch, corpus, id_col, text_col,
                               threshold=threshold,
                               corpus_signatures=corpus_signatures, **kw)
-    keep = (flags.filter(~F.col("exact_dup") & ~F.col("near_dup"))
-            .select(id_col))
-    survivors = batch.join(keep, id_col, "semi")
     if not within_batch:
-        return survivors
-    survivors = dedupe_exact(survivors, id_col, text_col)
-    return minhash_dedupe(survivors, id_col, text_col,
-                          threshold=threshold, transitive=transitive, **kw)
+        keep = (flags.filter(~F.col("exact_dup") & ~F.col("near_dup"))
+                .select(id_col))
+        return batch.join(keep, id_col, "semi")
+    b1 = batch.join(flags.filter(F.col("exact_dup")).select(id_col),
+                    id_col, "left_anti")
+    b1 = dedupe_exact(b1, id_col, text_col)
+    pairs = lsh_candidate_pairs(b1, id_col, text_col, **kw)
+    dups = ngram_jaccard(b1, pairs, id_col, text_col,
+                         n=kw.get("n", 5), threshold=threshold,
+                         max_shingles=kw.get("max_shingles", 512))
+    flagged = flags.filter(F.col("near_dup")).select(F.col(id_col).alias("_f"))
+    if transitive:
+        comp = connected_components(dups)
+        # components with >= 1 vs-corpus near-dup member drop entirely;
+        # both the infected set and the component frame are pair-sized
+        # (only docs that collided in LSH), never batch-sized
+        infected = (comp.join(flagged, comp["doc"] == F.col("_f"), "semi")
+                    .select("component").distinct()
+                    .withColumn("_i", F.lit(True)))
+        losers = (comp.join(infected, "component", "left")
+                  .filter(F.col("_i") | (F.col("doc") != F.col("component")))
+                  .select(F.col("doc").alias(id_col)))
+    else:
+        losers = dups.select(F.greatest("doc_a", "doc_b").alias(id_col))
+    losers = losers.unionByName(
+        flagged.select(F.col("_f").alias(id_col))).distinct()
+    return b1.join(losers, id_col, "left_anti")

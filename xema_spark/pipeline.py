@@ -116,13 +116,20 @@ def curate(
         # corpus-level duplicated-passage removal BEFORE the gates below:
         # decontamination and both dedup stages should see the repaired
         # text, not shared boilerplate (which would inflate n-gram overlap
-        # and near-dup candidates). References the survivor frame twice
-        # (passage pass + join back) — covered by the checkpoint above.
+        # and near-dup candidates). Docs the repair did NOT touch keep
+        # their original text verbatim (paragraph_dedupe's n_removed=0
+        # passthrough); docs the repair EMPTIED are dropped — the quality
+        # gates above ran on the pre-repair text, and an all-boilerplate
+        # doc has no text left to ship. References the survivor frame
+        # twice (passage pass + join back) — covered by the checkpoint
+        # above.
         repaired = dedup.paragraph_dedupe(
             q, id_col, text_col, chunk_tokens=paragraph_chunk_tokens,
             sep=paragraph_sep, min_dup=paragraph_min_dup)
         q = q.drop(text_col).join(
-            repaired.select(id_col, F.col("text_dedup").alias(text_col)),
+            repaired.filter((F.col("n_removed") == 0)
+                            | (F.length("text_dedup") > 0))
+            .select(id_col, F.col("text_dedup").alias(text_col)),
             id_col)
 
     if benchmark is not None:

@@ -336,13 +336,17 @@ def lm_score(df: DataFrame, id_col: str, text_col: str = "text",
 
     Scale shape (100 TB): bigram extraction is one projection (O(1)
     element_at over the token array — arrays are indexed, unlike UTF8
-    substr); counts are TWO partial-aggregated groupBys over the exploded
-    bigram stream (c(w1,w2) and c_ctx(w1) — the context count reuses the
-    same frame, no second corpus scan); V is one distinct count. Scoring
-    joins the bigram stream back to the count tables — shuffle hash joins
-    whose hot keys (stopword bigrams) are exactly AQE skew-join splits —
-    then ONE groupBy(doc) average. Self-trained means the join always hits:
-    no smoothing-path branch in the hot loop.
+    substr). The corpus is scanned three times — bigram counting, the
+    scoring probe, and the vocabulary distinct-count (exact countDistinct
+    for oracle parity; a real deployment can swap approx_count_distinct) —
+    NOT four: the context count c_ctx(w1) is the w1-marginal of the
+    already-reduced c(w1,w2) table (every bigram occurrence contributes
+    its w1 exactly once), so it aggregates vocabulary-sized input, never
+    re-scans the corpus. Scoring joins the bigram stream back to the count
+    tables — shuffle hash joins whose hot keys (stopword bigrams) are
+    exactly AQE skew-join splits — then ONE groupBy(doc) average.
+    Self-trained means the join always hits: no smoothing-path branch in
+    the hot loop.
     """
     toks = tokens(F.col(text_col))
     big = F.when(
@@ -356,7 +360,7 @@ def lm_score(df: DataFrame, id_col: str, text_col: str = "text",
           .select("doc", F.explode("_b").alias("bg"))
           .select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")))
     bg_counts = ex.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx_counts = ex.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (df.select(F.explode(tokens(F.col(text_col))).alias("t"))
              .agg(F.countDistinct("t").alias("v")))
     nll = -F.log((F.col("c12") + F.lit(add_k)) /
