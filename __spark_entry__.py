@@ -947,6 +947,54 @@ def _q_dedup_incremental(spark, sf_dir):
         "doc_id", "exact_dup", "near_dup", "max_jaccard")
 
 
+
+def _q_dedup_incremental_sig(spark, sf_dir):
+    """Signature-store flavor of dedup_incremental (dedup.signature_store ->
+    dedup.incremental_flags_sig): same corpus/batch split and synthetic
+    injections, but the corpus side is ONLY its persisted signature store —
+    corpus text is never read, the 100 TB ingestion-loop shape — and
+    near-dup verification is the MinHash ESTIMATE (matching components / k)
+    instead of exact shingle Jaccard. Portable hash flavor: DuckDB replays
+    signatures AND the estimator bit-for-bit (k=32 is a power of two, so
+    hits/32 is exact in binary on both engines)."""
+    d = _docs(spark, sf_dir, "doc_id", "text").filter(
+        F.col("text").isNotNull())
+    off = F.col("doc_id") % 5 != 0
+    corpus = d.filter(off)
+    exact_inj = (d.filter(off & (F.col("doc_id") < 10))
+                 .select((F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
+                         "text"))
+    near_inj = (d.filter(off & F.col("doc_id").between(10, 19))
+                .select((F.col("doc_id") + 2_000_000_000_000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" qq zz")).alias("text")))
+    batch = (d.filter(F.col("doc_id") % 5 == 0)
+             .unionByName(exact_inj).unionByName(near_inj))
+    store = dedup.signature_store(corpus, "doc_id", hash_fn="portable")
+    bsig = dedup.signature_store(batch, "doc_id", hash_fn="portable")
+    return dedup.incremental_flags_sig(
+        bsig, store, threshold=0.8, hash_fn="portable").select(
+        "doc_id", "exact_dup", "near_dup",
+        F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+
+def _q_sample_source_caps(spark, sf_dir):
+    """Per-source admission quota (sampling.source_caps, the C4/RefinedWeb
+    per-domain cap): keep the 10 lowest-(portable-hash, id) docs of every
+    source. keep_rank exposes the within-source rank so the oracle pins
+    ORDER, not just membership. The hash pre-bound that de-skews the
+    window provably does not change the result, so DuckDB ranks the
+    unbounded set."""
+    from xema_spark import sampling
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source")
+    return sampling.source_caps(
+        d, "doc_id", "source", cap=10, hash_fn="portable",
+        keep_rank=True).select(
+        "doc_id", "source", F.col("src_rank").cast("long").alias("src_rank"))
+
+
 def _q_text_lm_score(spark, sf_dir):
     """Corpus-trained bigram LM quality score (text.lm_score, the CCNet
     filter-LM signal with the LM trained on the corpus itself). DuckDB
@@ -1150,6 +1198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": _q_embed_quantize,
         "shard_assign": _q_shard_assign,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_sig": _q_dedup_incremental_sig,
+        "sample_source_caps": _q_sample_source_caps,
         "text_lm_score": _q_text_lm_score,
         # -- r3-evicted, back in the window --
         "referential_spans": _q_referential_spans,
@@ -1161,13 +1211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
         # keyword validation (oracle-checked)
-        "v_strlen_pattern": _q_v_strlen_pattern,
         "v_required_dependencies": _q_v_required_dependencies,
         "violations_explode": _q_violations_explode,
         "cast_pipeline": _q_cast_pipeline,
         # dataset scope (oracle-checked)
         "stats_documents": _q_stats_documents,
-        "quantiles_nchars": _q_quantiles_nchars,
         "uniqueness_users": _q_uniqueness_users,
         "referential_users": _q_referential_users,
         "drift_hist_nchars": _q_drift_hist_nchars,
@@ -1207,7 +1255,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via v_custom_validator. v_tuple_items / v_multi_rule demoted when
         # dedup_incremental/text_lm_score joined: both r2+r3 green; array
         # keyword coverage stays in-window via v_map_keywords +
-        # v_fail_mode_early, rule composition via flagship + pipeline_curate)
+        # v_fail_mode_early, rule composition via flagship + pipeline_curate.
+        # v_strlen_pattern demoted when dedup_incremental_sig joined the
+        # window: r1+r2+r3 green, and string-keyword coverage stays
+        # in-window via v_fail_mode_early (min_length) + v_map_keywords
+        # (pattern machinery) + the flagship rule. quantiles_nchars demoted
+        # when sample_source_caps joined: r1+r2+r3 green, and quantile
+        # coverage stays in-window via drift_group_quantiles (exact
+        # per-group quantiles) + stats_documents (percentile sketches))
+        "quantiles_nchars": _q_quantiles_nchars,
+        "v_strlen_pattern": _q_v_strlen_pattern,
         "v_tuple_items": _q_v_tuple_items,
         "v_multi_rule": _q_v_multi_rule,
         "v_json_dynamic": _q_v_json_dynamic,
@@ -1413,6 +1470,75 @@ def _incremental_oracle_sql(k: int = 32, bands: int = 8,
         )
         SELECT b.doc_id, e.exact_dup,
                (nr.doc_a IS NOT NULL) AS near_dup, nr.max_jaccard
+        FROM batch b
+        JOIN b_exact e USING (doc_id)
+        LEFT JOIN near nr ON nr.doc_a = b.doc_id"""
+
+
+
+def _incremental_sig_oracle_sql(k: int = 32, bands: int = 8,
+                                max_bucket: int = 64, n: int = 5,
+                                threshold: float = 0.8) -> str:
+    """DuckDB replica of _q_dedup_incremental_sig: identical corpus/batch
+    split, banding and bucket cap as _incremental_oracle_sql (shared
+    _mh_sig_ctes), but verification is the MinHash ESTIMATOR — the
+    fraction of the k signature components that agree — replayed directly
+    from the sig CTE, never from shingle sets. hits/k is exact in binary
+    for k a power of two, so both engines produce the identical double."""
+    norm = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
+    hits = " + ".join(f"(sa.mh_{i} = sb.mh_{i})::INT" for i in range(k))
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM {_T}
+          WHERE text IS NOT NULL AND doc_id % 5 <> 0
+        ),
+        batch AS (
+          SELECT doc_id, text FROM {_T}
+          WHERE text IS NOT NULL AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 1000000000000, text FROM {_T}
+          WHERE text IS NOT NULL AND doc_id % 5 <> 0 AND doc_id < 10
+          UNION ALL
+          SELECT doc_id + 2000000000000, text || ' qq zz' FROM {_T}
+          WHERE text IS NOT NULL AND doc_id % 5 <> 0
+            AND doc_id BETWEEN 10 AND 19
+        ),
+        c_norm AS (SELECT DISTINCT {norm} AS nt FROM corpus),
+        b_exact AS (
+          SELECT b.doc_id, (c.nt IS NOT NULL) AS exact_dup
+          FROM (SELECT doc_id, {norm} AS nt FROM batch) b
+          LEFT JOIN c_norm c USING (nt)
+        ),
+        docs AS (SELECT doc_id, text FROM corpus
+                 UNION ALL SELECT doc_id, text FROM batch),
+        {_mh_sig_ctes(k, bands, n)},
+        c_band AS MATERIALIZED (
+          SELECT doc_id, band, bucket,
+                 count(*) OVER (PARTITION BY band, bucket) AS c
+          FROM banded WHERE doc_id IN (SELECT doc_id FROM corpus)
+        ),
+        b_band AS (
+          SELECT doc_id, band, bucket FROM banded
+          WHERE doc_id IN (SELECT doc_id FROM batch)
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT b.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM b_band b JOIN c_band c USING (band, bucket)
+          WHERE c.c <= {max_bucket}
+        ),
+        ver AS (
+          SELECT doc_a,
+                 round(({hits})::DOUBLE / {k}, 6) AS est
+          FROM cand
+          JOIN sig sa ON sa.doc_id = cand.doc_a
+          JOIN sig sb ON sb.doc_id = cand.doc_b
+        ),
+        near AS (
+          SELECT doc_a, max(est) AS est_jaccard FROM ver
+          WHERE est >= {threshold} GROUP BY doc_a
+        )
+        SELECT b.doc_id, e.exact_dup,
+               (nr.doc_a IS NOT NULL) AS near_dup, nr.est_jaccard
         FROM batch b
         JOIN b_exact e USING (doc_id)
         LEFT JOIN near nr ON nr.doc_a = b.doc_id"""
@@ -2432,6 +2558,21 @@ def oracle_sql() -> dict[str, str]:
     # incremental ingestion dedup: full portable minhash replay, split
     # corpus/batch, corpus-only bucket cap (builder shares _perm_constants)
     out["dedup_incremental"] = _incremental_oracle_sql()
+    out["dedup_incremental_sig"] = _incremental_sig_oracle_sql()
+    out["sample_source_caps"] = f'''
+        WITH h AS (
+          SELECT doc_id, source,
+                 (('0x' || substr(md5(doc_id::VARCHAR || '|v1'), 1, 15))
+                  ::BIGINT % 2147483647) AS h31
+          FROM {_T}),
+        rk AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY h31, doc_id) AS src_rank
+          FROM h)
+        SELECT doc_id, source, src_rank::BIGINT AS src_rank
+        FROM rk WHERE src_rank <= 10'''
+
     # bigram LM: identical tokenization, both count tables, vocab size and
     # the add-0.5 smoothed nll; round-6 AFTER the average (unordered double
     # sums differ ~1e-13 between engines — far inside the boundary)

@@ -737,3 +737,122 @@ def test_lm_score_hand_computed(spark):
     # single-token doc: no transitions to judge
     assert got[3]["n_bigrams"] == 0 and not got[3]["scoreable"]
     assert got[3]["avg_nll"] is None and got[3]["ppl"] is None
+
+
+def test_signature_store_columns_and_null_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "hi"),                  # too short to shingle (n=5 after norm)
+         (3, "cat"),                 # also shingle-less, different text
+         (4, None)],
+        ["doc_id", "text"])
+    st = dedup.signature_store(df, "doc_id", k=8)
+    rows = {r["doc"]: r for r in st.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # mh columns agree with minhash_signatures for shingled docs
+    sig = dedup.minhash_signatures(df.filter("doc_id = 1"), "doc_id", k=8) \
+        .collect()[0]
+    assert all(rows[1][f"mh_{i}"] == sig[f"mh_{i}"] for i in range(8))
+    # shingle-less docs: store row present, ALL mh null (the xxhash64
+    # null-skip guard — without it 2 and 3 would share a non-null signature)
+    for d in (2, 3):
+        assert all(rows[d][f"mh_{i}"] is None for i in range(8))
+    assert rows[2]["exact_h"] != rows[3]["exact_h"]
+    assert rows[4]["exact_h"] is None
+    # and they must NOT near-dup each other through the flags path
+    flags = dedup.incremental_flags_sig(
+        dedup.signature_store(df.filter("doc_id = 2"), "doc_id", k=8),
+        st.filter("doc != 2"), k=8)
+    got = flags.collect()[0]
+    assert not got["near_dup"] and not got["exact_dup"]
+
+
+def test_incremental_flags_sig_agrees_on_clear_cases(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated corpus text about stars "
+                        "planets moons comets and the wide cold cosmos")],
+        ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(101, base),                      # exact dup of corpus 1
+         (102, base + " extra"),           # strong near dup of corpus 1
+         (103, "a wholly novel document about cooking pasta with basil "
+               "tomatoes garlic and good olive oil for dinner")],
+        ["doc_id", "text"])
+    store = dedup.signature_store(corpus, "doc_id")
+    got = {r["doc_id"]: r for r in dedup.incremental_flags_sig(
+        dedup.signature_store(batch, "doc_id"), store,
+        threshold=0.6).collect()}
+    txt = {r["doc_id"]: r for r in dedup.incremental_flags(
+        batch, corpus, threshold=0.6).collect()}
+    for d in (101, 102, 103):
+        assert got[d]["exact_dup"] == txt[d]["exact_dup"], d
+        assert got[d]["near_dup"] == txt[d]["near_dup"], d
+    assert got[101]["est_jaccard"] == 1.0   # identical text -> identical sig
+    assert 0.6 <= got[102]["est_jaccard"] <= 1.0
+    assert got[103]["est_jaccard"] is None
+
+
+def test_ingest_batch_sig_chain_and_store_growth(spark):
+    base = ("pack my box with five dozen liquor jugs while the sphinx "
+            "of black quartz judges my vow quickly and quietly")
+    b1 = spark.createDataFrame(
+        [(1, base),
+         (2, base),        # within-batch exact dup of 1 -> dropped (min id)
+         (3, "a separate first-batch document listing rivers mountains "
+             "valleys deserts and other grand landscape features")],
+        ["doc_id", "text"])
+    surv1, sig1 = dedup.ingest_batch_sig(b1, None, threshold=0.6)
+    assert sorted(r["doc_id"] for r in surv1.collect()) == [1, 3]
+    assert sorted(r["doc"] for r in sig1.collect()) == [1, 3]
+    b2 = spark.createDataFrame(
+        [(11, base),                  # exact dup of stored 1 -> dropped
+         (12, base + " extra"),       # near dup of stored 1 -> dropped
+         (13, "an entirely new second-batch document about sailing "
+              "boats across calm lakes at sunrise with light wind")],
+        ["doc_id", "text"])
+    surv2, sig2 = dedup.ingest_batch_sig(b2, sig1, threshold=0.6)
+    assert sorted(r["doc_id"] for r in surv2.collect()) == [13]
+    assert sorted(r["doc"] for r in sig2.collect()) == [13]
+    # survivors' signatures carry the store schema (appendable)
+    assert sig2.columns == sig1.columns
+
+
+def test_ingest_batch_sig_infected_component_drops_entirely(spark):
+    base = ("she sells sea shells by the sea shore and the shells she "
+            "sells are surely sea shells from the shore so i am sure")
+    sfx1 = " one two three four five six seven"
+    sfx2 = " red blue green gold pink grey teal cyan plum"
+    # true shingle Jaccards of this construction: J(store,X)=0.72,
+    # J(X,Y)=0.73, J(store,Y)=0.53 — at k=128 the estimator's stderr is
+    # ~0.04, so threshold 0.65 separates the chain deterministically
+    store = dedup.signature_store(
+        spark.createDataFrame([(1, base)], ["doc_id", "text"]),
+        "doc_id", k=128)
+    # X near-dups the store; Y near-dups X; Y is NOT itself within
+    # threshold of the store — with transitive=True the whole {X, Y}
+    # component must drop (its global component contains stored doc 1)
+    b = spark.createDataFrame(
+        [(21, base + sfx1),          # X: vs-store near dup
+         (22, base + sfx1 + sfx2)],  # Y: near-dups X, not the store
+        ["doc_id", "text"])
+    bsig = dedup.signature_store(b, "doc_id", k=128)
+    flags = {r["doc_id"]: r for r in dedup.incremental_flags_sig(
+        bsig, store, k=128, bands=32, threshold=0.65).collect()}
+    # preconditions for the chain shape (deterministic hashes -> stable):
+    # only X is flagged against the store; Y reaches the drop set solely
+    # through X's component
+    assert flags[21]["near_dup"] and not flags[22]["near_dup"]
+    surv, _ = dedup.ingest_batch_sig(b, store, k=128, bands=32,
+                                     threshold=0.65,
+                                     batch_signatures=bsig)
+    assert surv.count() == 0
+    # per-pair mode also drops both here (21 flagged, 22 = greatest of the
+    # verified within-batch pair) — the transitive difference shows when
+    # the chain is longer; this pins that BOTH modes honor vs-store flags
+    surv_pp, _ = dedup.ingest_batch_sig(b, store, k=128, bands=32,
+                                        threshold=0.65,
+                                        transitive=False,
+                                        batch_signatures=bsig)
+    assert surv_pp.count() == 0

@@ -296,3 +296,44 @@ def test_lm_score_counts_are_partial_aggregated(spark):
     assert plan.count("LocalTableScan") <= 3
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ingest_sig_flags_store_side_is_broadcast_joined(spark):
+    from xema_spark import dedup
+
+    store = dedup.signature_store(
+        spark.createDataFrame(
+            [(i, f"stored corpus document number {i} with filler words")
+             for i in range(1, 30)], ["doc_id", "text"]), "doc_id")
+    bsig = dedup.signature_store(
+        spark.createDataFrame([(100, "a new batch document arriving")],
+                              ["doc_id", "text"]), "doc_id")
+    plan = plan_of(dedup.incremental_flags_sig(bsig, store))
+    # the store participates only through broadcast joins: batch bucket
+    # keys semi-prune its banded stream, and candidate pairs broadcast
+    # into it for signature re-attachment — the store itself is never
+    # shuffled by a join key
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_source_caps_prebounds_before_window(spark):
+    """The per-source cap must NOT rank the raw stream (one hot source =
+    one straggler task): the hash pre-bound Filter must sit BELOW the
+    Window in the plan, so window partitions are O(cap) regardless of
+    source skew."""
+    from xema_spark import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(300)], ["doc_id", "source"])
+    plan = plan_of(sampling.source_caps(df, "doc_id", "source", cap=5),
+                   "extended")
+    # optimized plan order: ... Window <- ... Filter(_h < thr) <- Join
+    opt = plan[plan.index("== Optimized Logical Plan =="):]
+    wpos = opt.index("Window")
+    assert "_h" in opt[wpos:].split("\n")[0] or "Filter" in opt[wpos:]
+    # the filter on the admit threshold appears below the window node
+    below = opt[wpos:]
+    assert "Filter" in below and "_h" in below
+    # and the count aggregate exists (per-source counts feeding the bound)
+    assert "Aggregate" in opt or "HashAggregate" in plan

@@ -62,3 +62,45 @@ def test_sample_is_pushdown_friendly(spark, tmp_path):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan and "Window" not in plan
+
+
+def test_source_caps_exact_counts_and_rank_semantics(spark):
+    # 3 sources: hot (200 rows), exactly-at-cap (10), under-cap (4)
+    rows = ([(i, "hot") for i in range(200)]
+            + [(1000 + i, "atcap") for i in range(10)]
+            + [(2000 + i, "small") for i in range(4)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = sampling.source_caps(df, "doc_id", "source", cap=10,
+                               keep_rank=True)
+    per = {r["source"]: r["n"] for r in
+           got.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"hot": 10, "atcap": 10, "small": 4}
+    # kept set == the 10 lowest (hash, id) of the hot source, i.e. the
+    # pre-bound provably didn't change the result (naive full-window ref)
+    from pyspark.sql import Window
+    from xema_spark.sampling import _bucket31
+    w = Window.partitionBy("source").orderBy(
+        _bucket31(F.col("doc_id"), "v1", "xxhash64"), F.col("doc_id"))
+    ref = (df.withColumn("rk", F.row_number().over(w))
+           .filter((F.col("rk") <= 10) & (F.col("source") == "hot")))
+    assert ({r["doc_id"] for r in got.filter("source = 'hot'").collect()}
+            == {r["doc_id"] for r in ref.collect()})
+    # ranks are 1..kept and agree with the reference order
+    assert sorted(r["src_rank"] for r in
+                  got.filter("source = 'hot'").collect()) == list(range(1, 11))
+    # determinism under repartitioning
+    again = sampling.source_caps(df.repartition(7), "doc_id", "source",
+                                 cap=10)
+    assert ({r["doc_id"] for r in again.collect()}
+            == {r["doc_id"] for r in got.collect()})
+
+
+def test_source_caps_null_source_is_its_own_group(spark):
+    rows = [(i, None) for i in range(30)] + [(100 + i, "a") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    got = sampling.source_caps(df, "doc_id", "source", cap=5)
+    n_null = got.filter(F.col("source").isNull()).count()
+    assert n_null == 5                       # capped, NOT silently dropped
+    assert got.filter("source = 'a'").count() == 3
+    # output keeps the original columns only (no helper columns leak)
+    assert got.columns == ["doc_id", "source"]

@@ -422,3 +422,69 @@ def test_commit_micro_batch_gate_guard_without_profile_cols(spark, tmp_path):
     with pytest.raises(ValueError, match="silently protect nothing"):
         commit_micro_batch(docs, 0, FLAGSHIP_RULE, str(tmp_path / "out"),
                            n_buckets=4, fail_on_drift=True)
+
+
+def test_ingest_dedup_stream_across_batches(spark, tmp_path):
+    from xema_spark.streaming import ingest_dedup_stream
+
+    base = ("a long enough base document about tides harbors lighthouses "
+            "and the slow patient work of the sea on stone")
+    src = str(tmp_path / "ingest_src")
+    # two source files -> two micro-batches (maxFilesPerTrigger=1); doc 11
+    # exactly duplicates doc 1 ACROSS the batch boundary
+    spark.createDataFrame(
+        [(1, base),
+         (2, "an unrelated first document describing orchards apples "
+             "pears plums and the bees that visit them in spring")],
+        ["doc_id", "text"]).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(
+        [(11, base),
+         (12, "another unrelated document about trains stations rails "
+              "signals and the timetable pinned by the door")],
+        ["doc_id", "text"]).coalesce(1).write.parquet(f"{src}/f2")
+    schema = spark.read.parquet(f"{src}/f1").schema
+    store_dir = str(tmp_path / "store")
+    surv_dir = str(tmp_path / "survivors")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/*"))
+    q = (ingest_dedup_stream(stream, store_dir, surv_dir,
+                             str(tmp_path / "ckpt"), threshold=0.6)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    surv = spark.read.parquet(surv_dir)  # batch=N dirs -> partition column
+    ids = sorted(r["doc_id"] for r in surv.collect())
+    # exactly one of the cross-batch exact dups {1, 11} survives
+    assert len(ids) == 3 and (1 in ids) != (11 in ids)
+    assert 2 in ids and 12 in ids
+    store = spark.read.parquet(store_dir)
+    assert store.count() == 3  # one signature row per survivor
+    assert store.select("ingest_batch").distinct().count() == 2
+    # the store is exactly the survivors' signature set
+    assert sorted(r["doc"] for r in store.collect()) == ids
+
+
+def test_commit_ingest_batch_replay_idempotent(spark, tmp_path):
+    from xema_spark.streaming import commit_ingest_batch
+
+    store_dir = str(tmp_path / "rp_store")
+    surv_dir = str(tmp_path / "rp_surv")
+    b0 = spark.createDataFrame(
+        [(1, "first document about canals bridges and bicycles rolling "
+             "through a flat country under a wide grey sky")],
+        ["doc_id", "text"])
+    assert commit_ingest_batch(b0, 0, store_dir, surv_dir) is True
+    # replay of a fully-committed batch is a detected no-op
+    assert commit_ingest_batch(b0, 0, store_dir, surv_dir) is False
+    store = spark.read.parquet(store_dir)
+    assert store.count() == 1  # no duplicate append
+    surv = spark.read.parquet(surv_dir)
+    assert surv.count() == 1
+    # next batch-id sees batch 0's signatures: its exact dup drops
+    b1 = spark.createDataFrame(
+        [(2, "first document about canals bridges and bicycles rolling "
+             "through a flat country under a wide grey sky")],
+        ["doc_id", "text"])
+    assert commit_ingest_batch(b1, 1, store_dir, surv_dir) is True
+    assert spark.read.parquet(store_dir).count() == 1  # nothing admitted
+    assert spark.read.parquet(surv_dir).count() == 1

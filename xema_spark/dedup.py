@@ -830,3 +830,239 @@ def incremental_dedupe(batch: DataFrame, corpus: DataFrame,
     losers = losers.unionByName(
         flagged.select(F.col("_f").alias(id_col))).distinct()
     return b1.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# signature store (text-free ingestion dedup state)
+# ---------------------------------------------------------------------------
+
+def signature_store(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 5, k: int = 32,
+                    max_shingles: int = 512,
+                    hash_fn: str = "xxhash64") -> DataFrame:
+    """Per-doc dedup state an ingestion loop PERSISTS so future batches
+    dedupe against signatures, never against corpus text: one row per doc
+    with (doc, exact_h, mh_0..mh_{k-1}) — the normalized-text md5 (exact
+    dedup key) and the k-wide minhash signature (near-dup key).
+
+    Why a store: at corpus scale the text is the corpus (~100 TB at the
+    north_rule shape); the store is ~(32 + 8k) bytes/doc — k=32 is ~300 GB
+    per 10^12 docs, 300x smaller than re-reading text, and it is the ONLY
+    corpus-side input incremental_flags_sig needs. incremental_flags'
+    `corpus_signatures` fast path accepts the mh columns of this frame
+    directly.
+
+    One corpus scan: the exact hash rides the signature groupBy as a
+    first() aggregate (it is functionally determined by doc — every
+    exploded shingle row of a doc carries the same hash). Docs whose
+    normalized text is too short to emit a single shingle still get a
+    store row (explode_outer) with NULL mh_* — they participate in exact
+    dedup but not LSH, exactly like the batch side (minhash_signatures
+    drops them from banding), so signature-only and text-mode flags agree.
+    Null-text docs carry exact_h NULL and match nothing (null keys never
+    join)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.md5(normalize_text(F.col(text_col))).alias("_eh"),
+        F.explode_outer(shingles(F.col(text_col), n, max_shingles)).alias("s"))
+    if hash_fn == "portable":
+        h = sh.select("doc", "_eh", portable_hash31(F.col("s")).alias("h"))
+        aggs = [
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P31)))
+            .alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_constants(k))
+        ]
+    else:
+        # the isNotNull gate matters: xxhash64 SKIPS null inputs (hashing
+        # only the seed), so an unguarded xxhash64(NULL) is NON-null and
+        # every shingle-less doc would get the same non-null signature —
+        # all of them "near-dupping" each other at est_jaccard 1.0. The
+        # portable branch needs no gate (NULL propagates through md5/pmod).
+        h = sh.select("doc", "_eh",
+                      F.when(F.col("s").isNotNull(),
+                             F.xxhash64("s")).alias("h"))
+        aggs = [F.min(F.when(F.col("h").isNotNull(),
+                             F.xxhash64(F.col("h"), F.lit(i))))
+                .alias(f"mh_{i}")
+                for i in range(k)]
+    return h.groupBy("doc").agg(F.first("_eh").alias("exact_h"), *aggs)
+
+
+def estimated_jaccard(left: DataFrame | str, right: DataFrame | str,
+                      k: int = 32) -> Column:
+    """MinHash-estimated Jaccard between two signature rows: the fraction
+    of the k components that agree (the standard unbiased estimator —
+    P[min-perm collision] = J). Resolution is 1/k; stderr ~= sqrt(J(1-J)/k)
+    (~0.07 at J=0.8, k=32) — raise k on the store when the admission
+    threshold needs tighter bands. Operands are the two frames (or their
+    aliases) carrying mh_0..mh_{k-1}."""
+    def _c(side, i):
+        if isinstance(side, str):
+            return F.col(f"{side}.mh_{i}")
+        return side[f"mh_{i}"]
+    hits = sum((_c(left, i) == _c(right, i)).cast("int") for i in range(k))
+    return hits / F.lit(float(k))
+
+
+def incremental_flags_sig(batch_store: DataFrame, store: DataFrame,
+                          id_col: str = "doc_id", k: int = 32,
+                          bands: int = 8, threshold: float = 0.8,
+                          max_bucket: int = 64,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """incremental_flags when BOTH sides exist only as signature_store
+    frames (doc, exact_h, mh_*): per batch doc, (id_col, exact_dup,
+    near_dup, est_jaccard). No text is read on either side — the batch
+    caller runs signature_store ONCE (its single text pass) and everything
+    downstream, including this, is signature-space. Near-dup verification
+    is the MinHash ESTIMATE (estimated_jaccard) instead of exact shingle
+    Jaccard — the one semantic difference from incremental_flags
+    (est_jaccard vs max_jaccard; same banding, same bucket cap, same
+    threshold contract; the estimator's 1/k resolution means borderline
+    pairs can flip relative to text-mode — the price of a text-free store,
+    documented here and pinned by the tests).
+
+    Scale shape: the store is scanned once. Its banding is a projection
+    (band_buckets, no shuffle); the bucket-size cap is computed only for
+    buckets the BATCH also hits (a broadcast semi-join prunes the store's
+    banded stream before the aggregate — corpus-only buckets never reach
+    the shuffle). Candidate pairs re-attach the k-wide signatures by doc
+    id with the pair side broadcast, so the store is never shuffled.
+    NULL-signature rows (shingle-less docs) are filtered out of banding on
+    both sides — they cannot meaningfully near-dup (no shingles to
+    estimate over) but DO participate in exact dedup through exact_h."""
+    # -- exact: batch exact_h against the store's exact_h set --
+    b_hash = batch_store.select(F.col("doc").alias("_b"),
+                                F.col("exact_h").alias("_h"))
+    c_hash = (store.filter(F.col("exact_h").isNotNull())
+              .select(F.col("exact_h").alias("_h")).distinct()
+              .withColumn("_e", F.lit(True)))
+    exact = (b_hash.join(c_hash, "_h", "left")
+             .select("_b", F.coalesce("_e", F.lit(False)).alias("exact_dup")))
+
+    # -- near: band both sides, prune store to batch-hit buckets, cap, pair
+    b_banded = band_buckets(batch_store.filter(F.col("mh_0").isNotNull()),
+                            k, bands, hash_fn) \
+        .withColumnRenamed("doc", "doc_a")
+    c_banded = band_buckets(store.filter(F.col("mh_0").isNotNull()),
+                            k, bands, hash_fn)
+    hit = (c_banded.join(F.broadcast(b_banded.select("band", "bucket")
+                                     .distinct()),
+                         ["band", "bucket"], "semi"))
+    sized = (hit.groupBy("band", "bucket")
+             .agg(F.collect_list("doc").alias("cdocs"))
+             .filter(F.size("cdocs") <= max_bucket))
+    cand = (sized.join(F.broadcast(b_banded), ["band", "bucket"])
+            .select("doc_a", F.explode("cdocs").alias("doc_b"))
+            .distinct())
+    # re-attach both signatures to candidate pairs; pairs are bucket-capped
+    # and batch-bounded, hence broadcastable — the store side resolves as a
+    # broadcast hash join, no store shuffle
+    bj = cand.join(F.broadcast(batch_store.withColumnRenamed("doc", "doc_a"))
+                   .alias("bs"), "doc_a")
+    est = (F.broadcast(bj).join(store.alias("cs"),
+                                F.col("doc_b") == F.col("cs.doc"))
+           .select(F.col("doc_a"),
+                   estimated_jaccard("bs", "cs", k).alias("_j")))
+    near = (est.filter(F.col("_j") >= F.lit(threshold))
+            .groupBy(F.col("doc_a").alias("_b"))
+            .agg(F.max("_j").alias("est_jaccard"))
+            .withColumn("_n", F.lit(True)))
+    bid = F.col("doc")
+    return (batch_store.select(bid)
+            .join(exact, bid == F.col("_b"), "left").drop("_b")
+            .join(near, bid == F.col("_b"), "left").drop("_b")
+            .select(bid.alias(id_col),
+                    F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+                    F.coalesce("_n", F.lit(False)).alias("near_dup"),
+                    "est_jaccard"))
+
+
+def ingest_batch_sig(batch: DataFrame, store: DataFrame | None,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 5, k: int = 32, bands: int = 8,
+                     threshold: float = 0.8, max_bucket: int = 64,
+                     max_shingles: int = 512, hash_fn: str = "xxhash64",
+                     transitive: bool = True,
+                     batch_signatures: DataFrame | None = None
+                     ) -> tuple[DataFrame, DataFrame]:
+    """One ingestion step against a persisted signature_store: returns
+    (survivors, survivor_signatures) — the batch rows that should join the
+    corpus, and exactly their signature_store rows to APPEND to the store
+    so the next batch dedupes against them. store=None is the first batch
+    ever (no vs-corpus stage). The streaming sink
+    (streaming.ingest_dedup_stream) wraps this pure step with idempotent
+    writes; it is equally callable from a scheduled batch loop.
+
+    Semantics mirror incremental_dedupe stage-for-stage, but verification
+    is signature-estimated on BOTH the vs-store and the within-batch side
+    (one estimator, one threshold meaning — not exact-Jaccard within the
+    batch and estimated against the store, which would make admission
+    depend on which side of a batch boundary a near-dup pair straddles):
+
+    1. exact — batch docs whose exact_h exists in the store drop; then
+       within-batch exact keeps each exact_h group's minimum id.
+    2. near — LSH pairs over the FULL exact-surviving batch signatures
+       (pairs_from_signatures), estimated-Jaccard verified. With
+       transitive=True a connected component containing ANY vs-store
+       near-dup member drops entirely (its corpus-side neighbour is the
+       keeper); clean components keep their minimum id.
+
+    Scale shape: the batch text is scanned ONCE (signature_store — skipped
+    entirely when the caller passes batch_signatures); every other input
+    is signature-width. The store is scanned once per batch inside
+    incremental_flags_sig and never shuffled (see its docstring); the
+    within-batch stages are batch-sized."""
+    bsig = batch_signatures if batch_signatures is not None else \
+        signature_store(batch, id_col, text_col, n, k, max_shingles, hash_fn)
+    if store is not None:
+        flags = incremental_flags_sig(bsig, store, id_col, k, bands,
+                                      threshold, max_bucket, hash_fn)
+    else:
+        flags = bsig.select(F.col("doc").alias(id_col),
+                            F.lit(False).alias("exact_dup"),
+                            F.lit(False).alias("near_dup"))
+    # stage 1: drop store-exact dups, then within-batch exact (min id wins;
+    # null exact_h = null-text docs form no group and all survive)
+    s1 = bsig.join(flags.filter(F.col("exact_dup")).select(
+        F.col(id_col).alias("doc")), "doc", "left_anti")
+    w_exact_losers = (s1.filter(F.col("exact_h").isNotNull())
+                      .groupBy("exact_h").agg(F.min("doc").alias("_keep"),
+                                              F.collect_list("doc").alias("_g"))
+                      .select(F.explode("_g").alias("doc"), "_keep")
+                      .filter(F.col("doc") != F.col("_keep"))
+                      .select("doc"))
+    s2 = s1.join(w_exact_losers, "doc", "left_anti")
+    # stage 2: within-batch near pairs, estimated verification. Shingle-
+    # less docs (NULL mh_*) are excluded from banding — they cannot
+    # near-dup (nothing to estimate over; xxhash64 banding would otherwise
+    # funnel them all into one degenerate bucket) but they remain
+    # survivors unless exact-dup'd above
+    pairs = pairs_from_signatures(s2.filter(F.col("mh_0").isNotNull()),
+                                  k, bands, max_bucket, hash_fn)
+    verified = (pairs
+                .join(F.broadcast(s2.withColumnRenamed("doc", "doc_a"))
+                      .alias("la"), "doc_a")
+                .join(F.broadcast(s2.withColumnRenamed("doc", "doc_b"))
+                      .alias("lb"), "doc_b")
+                .select("doc_a", "doc_b",
+                        estimated_jaccard("la", "lb", k).alias("_j"))
+                .filter(F.col("_j") >= F.lit(threshold))
+                .select("doc_a", "doc_b"))
+    flagged = flags.filter(F.col("near_dup")).select(
+        F.col(id_col).alias("_f"))
+    if transitive:
+        comp = connected_components(verified)
+        infected = (comp.join(flagged, comp["doc"] == F.col("_f"), "semi")
+                    .select("component").distinct()
+                    .withColumn("_i", F.lit(True)))
+        losers = (comp.join(infected, "component", "left")
+                  .filter(F.col("_i") | (F.col("doc") != F.col("component")))
+                  .select("doc"))
+    else:
+        losers = verified.select(F.greatest("doc_a", "doc_b").alias("doc"))
+    losers = losers.unionByName(
+        flagged.select(F.col("_f").alias("doc"))).distinct()
+    surv_sig = s2.join(losers, "doc", "left_anti")
+    survivors = batch.join(
+        surv_sig.select(F.col("doc").alias(id_col)), id_col, "semi")
+    return survivors, surv_sig

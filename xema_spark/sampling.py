@@ -95,3 +95,65 @@ def mixture_sample(df: DataFrame, id_col: str, strata_col: str,
     rates = mixture_rates(df, strata_col, target_shares, total_rows)
     return stratified_deterministic_sample(
         df, id_col, strata_col, rates, salt=salt, hash_fn=hash_fn)
+
+
+def source_caps(df: DataFrame, id_col: str, source_col: str = "source",
+                cap: int = 1000, salt: str = "v1",
+                hash_fn: str = "xxhash64",
+                keep_rank: bool = False) -> DataFrame:
+    """Per-source admission quota (the C4/RefinedWeb per-domain cap): keep
+    at most `cap` docs per source value, the ones with the `cap` LOWEST
+    (hash(id, salt), id) — membership is content-addressed like the
+    samplers above, so the kept set is identical on every run, cluster and
+    partitioning, unbiased w.r.t. arrival order, and re-drawable with a
+    new salt. NULL sources form their own group (hash-ranked like any
+    other).
+
+    Scale shape (the point of this function): the naive window rank
+    partitioned by source makes a hot source ONE task — a boilerplate
+    domain with 10^9 docs is a straggler that never finishes. Instead:
+    one partial-aggregated count per source, then a HASH PRE-BOUND admits
+    only rows whose hash falls in the lowest target/count fraction of the
+    hash space before any window runs, where
+    target = max(ceil(1.5*cap), cap + ceil(10*sqrt(cap)) + 50). The
+    admitted rows are a superset of the final kept set whenever >= cap
+    rows pass (the kept set IS the hash-order prefix), and under-admission
+    needs the Binomial(count, target/count) mass below cap — more than
+    ~9 sigma below its mean at every cap, P < 1e-15 per source (Chernoff);
+    the window then ranks partitions of O(cap) rows regardless of how hot
+    the source was. Sources with count <= cap pass the pre-bound whole and
+    their window partitions are <= cap rows by construction, so EVERY
+    window partition is bounded and the skew is gone. One count aggregate
+    + one (AQE-broadcastable) join + one bounded window.
+
+    'portable' flavor: an external SQL engine reproduces membership AND
+    rank exactly (the pre-bound provably does not change the result, so
+    the oracle ranks the unbounded set)."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    import math
+
+    from pyspark.sql import Window
+
+    target = max(math.ceil(1.5 * cap), cap + math.ceil(10 * math.sqrt(cap)) + 50)
+    h = _bucket31(F.col(id_col), salt, hash_fn)
+    counts = (df.groupBy(F.col(source_col).alias("_src"))
+              .agg(F.count(F.lit(1)).alias("_n")))
+    # admit threshold in integer hash space: floor((target/_n) * P31);
+    # _n <= target admits the whole source (fraction >= 1). The join is
+    # null-SAFE so a NULL source group caps like any other (an equi-join
+    # would silently drop every null-source row)
+    thr = F.when(F.col("_n") <= F.lit(target), F.lit(_P31)) \
+        .otherwise((F.lit(float(target)) / F.col("_n") * F.lit(_P31))
+                   .cast("long"))
+    admitted = (df.withColumn("_h", h)
+                .join(counts,
+                      F.col(source_col).eqNullSafe(F.col("_src")), "left")
+                .filter(F.col("_h") < thr)
+                .drop("_n", "_src"))
+    w = Window.partitionBy(source_col).orderBy(F.col("_h"), F.col(id_col))
+    out = (admitted.withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= F.lit(cap)))
+    if keep_rank:
+        return out.withColumnRenamed("_rk", "src_rank").drop("_h")
+    return out.drop("_rk", "_h")

@@ -263,3 +263,98 @@ def commit_micro_batch(batch_df: DataFrame, batch_id: int, rule: dict,
      .parquet(verdict_dir))
     commit_lineage(spark, output_dir, run_id, time.time() - t0)
     return run_id
+
+
+# ---------------------------------------------------------------------------
+# streaming ingestion dedup over a persisted signature store
+# ---------------------------------------------------------------------------
+
+def commit_ingest_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
+                        survivors_dir: str, id_col: str = "doc_id",
+                        text_col: str = "text", **kw) -> bool:
+    """One micro-batch through the ingestion-dedup commit protocol. Returns
+    False when this batch_id was already committed (foreachBatch replay past
+    the store append). Module-level so the replay path is directly testable,
+    and callable from a scheduled batch loop with a monotonically increasing
+    batch_id — the streaming sink and a batch backfill share the store.
+
+    Protocol (exactly-once visibility on at-least-once replay):
+    - The STORE APPEND is the commit point: surviving signatures land in
+      store_dir tagged with an `ingest_batch` column, written LAST. The
+      parquet job commit is atomic (file-output-committer: task output is
+      invisible until job commit), so a crashed attempt contributes zero
+      store rows and its replay recomputes from the same prior store.
+    - Replay detection: rows with this ingest_batch already in the store
+      => the batch fully committed (survivors were written before the
+      append) => skip. A batch that admitted ZERO docs leaves no store
+      rows to detect, so its replay recomputes — still exactly-once
+      visible, by determinism instead of detection (same prior store,
+      same empty outcome, overwrite rewrites the same empty partition).
+    - Survivors go under survivors_dir/batch=<id>/ with mode=overwrite:
+      a replayed attempt rewrites the partition bit-for-bit (the dedup is
+      deterministic given the same prior store) instead of duplicating it.
+    - The prior store is read as `ingest_batch < batch_id` — self-healing
+      for manual re-runs, and a no-op under a checkpointed stream (later
+      batches cannot exist when an earlier one replays).
+
+    The dedup itself is dedup.ingest_batch_sig; its signature frame is
+    localCheckpoint-ed so the whole dedupe DAG evaluates ONCE and both
+    writes (survivors, store rows) read the materialized result."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    from xema_spark import dedup
+    from xema_spark.runner import is_missing_path
+
+    spark = batch_df.sparkSession
+    store = None
+    try:
+        store = spark.read.parquet(store_dir)
+    except AnalysisException as e:
+        if not is_missing_path(e):
+            raise
+    if store is not None:
+        if (store.filter(F.col("ingest_batch") == batch_id)
+                .limit(1).count() > 0):
+            return False
+        prior = store.filter(F.col("ingest_batch") < batch_id) \
+            .drop("ingest_batch")
+    else:
+        prior = None
+    _, sigs = dedup.ingest_batch_sig(batch_df, prior, id_col, text_col, **kw)
+    sigs = sigs.localCheckpoint()
+    survivors = batch_df.join(sigs.select(F.col("doc").alias(id_col)),
+                              id_col, "semi")
+    (survivors.write.mode("overwrite")
+     .parquet(os.path.join(survivors_dir, f"batch={batch_id:09d}")))
+    (sigs.withColumn("ingest_batch", F.lit(batch_id))
+     .write.mode("append").parquet(store_dir))
+    return True
+
+
+def ingest_dedup_stream(stream_df: DataFrame, store_dir: str,
+                        survivors_dir: str, checkpoint_dir: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        **kw):
+    """Streaming ingestion dedup: each micro-batch is deduped against the
+    persisted signature store (exact + MinHash-estimated near-dup,
+    dedup.ingest_batch_sig) and within itself; survivors land under
+    survivors_dir/batch=<id>/ and their signatures append to the store —
+    so the stream's output is globally deduped ACROSS micro-batches
+    without ever re-reading corpus text (the store is ~(32+8k) bytes/doc).
+
+    kw passes through to ingest_batch_sig (n, k, bands, threshold,
+    max_bucket, max_shingles, hash_fn, transitive) — the store and every
+    batch MUST use one parameter set or buckets/signatures stop being
+    comparable; persist the choice next to the store.
+
+    Returns the configured DataStreamWriter — the caller picks the trigger
+    and calls .start() (e.g. .trigger(availableNow=True).start()), same
+    contract as stream_to_verdict_tables."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit_ingest_batch(batch_df, batch_id, store_dir, survivors_dir,
+                            id_col, text_col, **kw)
+
+    return (stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir))
