@@ -419,6 +419,22 @@ def _q_sim_knn_threshold(spark, sf_dir):
     return similarity.threshold_neighbor_counts(emb, q, threshold=0.8)
 
 
+
+def _q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-level decontamination (similarity.decontaminate_semantic):
+    vectors vec_id % 25 == 0 play the benchmark/eval set, the rest the
+    corpus; per corpus vector the max cosine against the broadcast bench
+    set + the >= 0.4 contamination flag (the synthetic embeddings are
+    near-orthogonal — max observed cross-cosine ~0.46 — so 0.4 actually
+    bisects; a real eval-leak gate sits at ~0.9). Window-free: one
+    broadcast crossJoin + one partial-aggregated groupBy max."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") % 25 == 0) \
+        .select(F.col("embedding").alias("q_vec"))
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    return similarity.decontaminate_semantic(corpus, bench, threshold=0.4)
+
+
 def _q_dedup_components(spark, sf_dir):
     """Transitive near-dup grouping: consecutive-doc 3-gram Jaccard edges
     (threshold 0.28) -> connected components by min-label propagation.
@@ -434,6 +450,32 @@ def _q_dedup_components(spark, sf_dir):
     edges = j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")) \
         .filter(F.col("jaccard") >= 0.28)
     return dedup.connected_components(edges)
+
+
+
+def _q_dedup_best_keeper(spark, sf_dir):
+    """Quality-aware near-dup keeper (dedup.near_dup_losers_by): the same
+    consecutive-doc 3-gram Jaccard edge chain as dedup_components, but
+    each component keeps its LONGEST member (score = length(text), ties ->
+    smallest id) instead of the id-minimum — the "keep the cleanest copy"
+    policy a curation pipeline actually wants; returns the dropped ids.
+    DuckDB re-derives reachability with the same recursive CTE plus a
+    per-component keeper window."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    sh = d.select("doc_id", dedup.shingles(F.col("text"), n=3,
+                                           max_shingles=4096).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select((F.col("doc_id") - 1).alias("doc_a"),
+                  F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    j = a.join(b, "doc_a")
+    jac = (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+           / F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1)))
+    edges = j.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")) \
+        .filter(F.col("jaccard") >= 0.28)
+    scores = d.select("doc_id",
+                      F.coalesce(F.length("text"), F.lit(0))
+                      .cast("double").alias("score"))
+    return dedup.near_dup_losers_by(edges, scores, "doc_id", "score")
 
 
 def _q_dedup_components_star(spark, sf_dir):
@@ -1200,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_sig": _q_dedup_incremental_sig,
         "sample_source_caps": _q_sample_source_caps,
+        "decontaminate_semantic": _q_decontaminate_semantic,
         "text_lm_score": _q_text_lm_score,
         # -- r3-evicted, back in the window --
         "referential_spans": _q_referential_spans,
@@ -1210,14 +1253,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_fail_mode_early": _q_v_fail_mode_early,
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
+        "dedup_best_keeper": _q_dedup_best_keeper,
         # keyword validation (oracle-checked)
         "v_required_dependencies": _q_v_required_dependencies,
-        "violations_explode": _q_violations_explode,
         "cast_pipeline": _q_cast_pipeline,
         # dataset scope (oracle-checked)
         "stats_documents": _q_stats_documents,
         "uniqueness_users": _q_uniqueness_users,
-        "referential_users": _q_referential_users,
         "drift_hist_nchars": _q_drift_hist_nchars,
         # training-pipeline ops (oracle-checked)
         "dedup_exact": _q_dedup_exact,
@@ -1263,6 +1305,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # when sample_source_caps joined: r1+r2+r3 green, and quantile
         # coverage stays in-window via drift_group_quantiles (exact
         # per-group quantiles) + stats_documents (percentile sketches))
+        # violations_explode demoted when decontaminate_semantic joined:
+        # r1+r2+r3 green, and the violation-explosion surface stays
+        # in-window via violations_sample + v_ref_inline (both read
+        # exploded violation rows)
+        # referential_users demoted when dedup_best_keeper joined:
+        # r1+r2+r3 green, referential coverage stays in-window via
+        # referential_spans (same broadcast-anti-join machinery)
+        "referential_users": _q_referential_users,
+        "violations_explode": _q_violations_explode,
         "quantiles_nchars": _q_quantiles_nchars,
         "v_strlen_pattern": _q_v_strlen_pattern,
         "v_tuple_items": _q_v_tuple_items,
@@ -2559,6 +2610,61 @@ def oracle_sql() -> dict[str, str]:
     # corpus/batch, corpus-only bucket cap (builder shares _perm_constants)
     out["dedup_incremental"] = _incremental_oracle_sql()
     out["dedup_incremental_sig"] = _incremental_sig_oracle_sql()
+    out["dedup_best_keeper"] = f"""
+        WITH RECURSIVE
+        sh AS (
+          SELECT doc_id,
+                 list_distinct([substr(nt, i, 3)
+                                for i in range(1, greatest(len(nt) - 1, 1))]) AS g
+          FROM (SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS nt
+                FROM {_T})
+        ),
+        jac AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(len(list_intersect(a.g, b.g))::DOUBLE /
+                       greatest(len(list_distinct(a.g || b.g)), 1), 6) AS j
+          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM jac WHERE j >= 0.28
+          UNION
+          SELECT doc_b, doc_a FROM jac WHERE j >= 0.28
+        ),
+        verts AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM verts
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (SELECT node AS doc, min(r) AS component
+                 FROM reach GROUP BY node),
+        sc AS (SELECT doc_id, coalesce(length(text), 0)::DOUBLE AS s
+               FROM {_T}),
+        rk AS (
+          SELECT c.doc,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY sc.s DESC, c.doc) AS rn
+          FROM comp c JOIN sc ON sc.doc_id = c.doc)
+        SELECT doc AS doc_id FROM rk WHERE rn > 1"""
+
+    out["decontaminate_semantic"] = """
+        WITH bench AS (
+          SELECT embedding::DOUBLE[] AS q_vec FROM embeddings WHERE vec_id % 25 = 0),
+        corpus AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 <> 0),
+        scored AS (
+          SELECT c.vec_id,
+                 round(list_dot_product(c.embedding::DOUBLE[], b.q_vec) /
+                       (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                              c.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(b.q_vec, b.q_vec)) + 1e-12),
+                       6) AS cos
+          FROM corpus c, bench b)
+        SELECT vec_id, max(cos) AS max_bench_cos,
+               (max(cos) >= 0.4) AS contaminated
+        FROM scored GROUP BY vec_id"""
+
     out["sample_source_caps"] = f'''
         WITH h AS (
           SELECT doc_id, source,

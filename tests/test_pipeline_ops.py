@@ -856,3 +856,94 @@ def test_ingest_batch_sig_infected_component_drops_entirely(spark):
                                         transitive=False,
                                         batch_signatures=bsig)
     assert surv_pp.count() == 0
+
+
+def test_curate_max_per_source_is_last_selection_stage(spark):
+    from xema_spark import pipeline, sampling
+
+    rows = [(i, f"a reasonably long document number {i} about common "
+                f"everyday things with plenty of normal words in it",
+             f"s{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    capped = pipeline.curate(df, near_dup_threshold=None,
+                             exact_dedupe=False, max_per_source=5)
+    per = {r["source"]: r["n"] for r in
+           capped.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    assert per == {"s0": 5, "s1": 5}
+    # composition: caps applied to the uncapped curate output give the
+    # SAME kept set (the quota is the last selection stage)
+    uncapped = pipeline.curate(df.withColumn("source", F.col("source")),
+                               near_dup_threshold=None, exact_dedupe=False,
+                               max_per_source=None)
+    # uncapped curate drops the source column (no carry) — re-attach
+    ref = sampling.source_caps(
+        uncapped.join(df.select("doc_id", "source"), "doc_id"),
+        "doc_id", "source", cap=5)
+    assert ({r["doc_id"] for r in capped.collect()}
+            == {r["doc_id"] for r in ref.collect()})
+
+
+def test_decontaminate_semantic_flags_and_max(spark):
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0]),    # parallel to bench A -> cos 1.0
+         (2, [0.0, 3.0]),    # parallel to bench B -> cos 1.0
+         (3, [1.0, 1.0]),    # 45 deg to both -> cos 0.707107
+         (4, [-1.0, 0.0])],  # anti-parallel to A -> cos 0 vs B
+        ["vec_id", "embedding"])
+    bench = spark.createDataFrame(
+        [([1.0, 0.0],), ([0.0, 1.0],)], ["q_vec"])
+    got = {r["vec_id"]: r for r in similarity.decontaminate_semantic(
+        corpus, bench, threshold=0.9).collect()}
+    assert got[1]["contaminated"] and got[2]["contaminated"]
+    assert not got[3]["contaminated"] and not got[4]["contaminated"]
+    assert abs(got[3]["max_bench_cos"] - 0.707107) < 1e-6
+    assert got[4]["max_bench_cos"] == 0.0   # max over {-1, 0}
+    assert len(got) == 4                    # one row per corpus vector
+    # scale shape: bench rides a broadcast nested-loop join (no shuffle
+    # before the final partial-agg max)
+    plan = similarity.decontaminate_semantic(
+        corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_near_dup_losers_by_keeps_best_scoring(spark):
+    # chain component {1,2,3} + pair component {10, 11}
+    dups = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"])
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.5), (11, 0.4)],  # 10 unscored -> -inf
+        ["doc_id", "score"])
+    losers = {r["doc_id"] for r in dedup.near_dup_losers_by(
+        dups, scores).collect()}
+    # component {1,2,3}: 2 has the best score -> 1 and 3 drop;
+    # {10,11}: 10 is unscored (ranks below everything) -> 10 drops
+    assert losers == {1, 3, 10}
+    # tie-break: equal scores keep the smallest id
+    tie = spark.createDataFrame([(5, 0.5), (6, 0.5)], ["doc_id", "score"])
+    l2 = {r["doc_id"] for r in dedup.near_dup_losers_by(
+        spark.createDataFrame([(5, 6)], ["doc_a", "doc_b"]), tie).collect()}
+    assert l2 == {6}
+    # per-pair mode drops the lower-scoring side of each verified pair
+    l3 = {r["doc_id"] for r in dedup.near_dup_losers_by(
+        dups, scores, transitive=False).collect()}
+    assert l3 == {1, 3, 10}  # (1,2)->1, (2,3)->3, (10,11)->10
+
+
+def test_curate_source_caps_does_not_leak_source_into_rule(spark):
+    from xema_spark import pipeline
+
+    # a STRICT rule (additional_properties=false over doc_id/text): the
+    # caps carry column must not enter the validated row struct, or every
+    # row would fail for having `source`
+    rule = {"type": "object",
+            "properties": {"doc_id": {}, "text": {"min_length": 5}},
+            "additional_properties": False}
+    rows = [(i, f"document number {i} with enough words to pass the gates",
+             f"s{i % 2}") for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = pipeline.curate(df, rule=rule, near_dup_threshold=None,
+                          exact_dedupe=False, max_per_source=3)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"s0": 3, "s1": 3}

@@ -416,6 +416,51 @@ def near_dup_losers(dups: DataFrame, id_col: str = "doc_id",
     return dups.select(F.greatest("doc_a", "doc_b").alias(id_col)).distinct()
 
 
+
+def near_dup_losers_by(dups: DataFrame, scores: DataFrame,
+                       id_col: str = "doc_id", score_col: str = "score",
+                       transitive: bool = True,
+                       algorithm: str = "star") -> DataFrame:
+    """near_dup_losers with a QUALITY-AWARE keeper: each duplicate group
+    keeps its BEST-scoring member (ties -> smallest id) instead of the
+    smallest id — the policy a curation pipeline actually wants (keep the
+    longest/cleanest copy of a boilerplate family, not the accidental
+    id-minimum). `scores`: one row per doc (id_col, score_col) — any
+    per-doc signal (text.quality_features' q_score, lm_score's neg-ppl,
+    token counts). Docs MISSING from `scores` rank below every scored doc
+    (score -inf), so a partially-scored corpus still resolves
+    deterministically. transitive=False prunes per verified pair: drop
+    the lower-scoring side (ties -> greater id).
+
+    Scale shape: identical to near_dup_losers (components over collision
+    pairs only) plus ONE extra join of the pair-sized node set against the
+    scores frame — broadcast-sized when the dup groups are, and never a
+    corpus shuffle (the join's left side is the component frame, not the
+    corpus)."""
+    sc = scores.select(F.col(id_col).alias("doc"),
+                       F.col(score_col).cast("double").alias("_s"))
+    if transitive:
+        comp = connected_components(dups, algorithm=algorithm)
+        j = (comp.join(sc, "doc", "left")
+             .withColumn("_s", F.coalesce("_s", F.lit(float("-inf")))))
+        # keeper = min(struct(-score, doc)): highest score, then lowest id
+        keep = (j.groupBy("component")
+                .agg(F.min(F.struct((-F.col("_s")).alias("k1"),
+                                    F.col("doc").alias("k2"))).alias("kp")))
+        return (j.join(keep, "component")
+                .filter(F.col("doc") != F.col("kp.k2"))
+                .select(F.col("doc").alias(id_col)))
+    a = sc.select(F.col("doc").alias("doc_a"), F.col("_s").alias("_sa"))
+    b = sc.select(F.col("doc").alias("doc_b"), F.col("_s").alias("_sb"))
+    scored = (dups.join(a, "doc_a", "left").join(b, "doc_b", "left")
+              .withColumn("_sa", F.coalesce("_sa", F.lit(float("-inf"))))
+              .withColumn("_sb", F.coalesce("_sb", F.lit(float("-inf")))))
+    loser = (F.when(F.col("_sa") > F.col("_sb"), F.col("doc_b"))
+             .when(F.col("_sb") > F.col("_sa"), F.col("doc_a"))
+             .otherwise(F.greatest("doc_a", "doc_b")))
+    return scored.select(loser.alias(id_col)).distinct()
+
+
 def minhash_dedupe(df: DataFrame, id_col: str, text_col: str = "text",
                    threshold: float = 0.8, transitive: bool = True,
                    **kw) -> DataFrame:

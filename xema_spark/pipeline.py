@@ -53,20 +53,39 @@ def curate(
     paragraph_sep: str | None = None,
     paragraph_chunk_tokens: int = 4,
     paragraph_min_dup: int = 2,
+    max_per_source: int | None = None,
+    source_col: str = "source",
+    source_salt: str = "v1",
 ) -> DataFrame:
     """Curated corpus: rows that pass the rule + quality gates, with exact
     and near duplicates removed (keep the lowest id), optionally
     decontaminated against a benchmark/eval set (`benchmark=` drops docs
     sharing >= decontaminate_min_hits token n-grams with it) and with PII
-    redacted in place. Output keeps `lang`, `q_alpha_ratio`,
+    redacted in place. `max_per_source=` adds the C4-style per-source
+    admission quota (sampling.source_caps) as the LAST selection stage —
+    quotas choose among otherwise-admitted docs, so they run after every
+    quality/dedup gate; the kept set is content-addressed (re-drawable via
+    source_salt) and the skew-proof pre-bound keeps a hot source from
+    becoming a straggler. Output keeps `lang`, `q_alpha_ratio`,
     `top_ngram_frac`, `dup_ngram_frac` alongside the surviving columns so
     downstream sampling can stratify on them."""
-    base = df.select(id_col, text_col)
+    carry = [source_col] if max_per_source is not None else []
     if rule is not None:
         from xema_spark.compiler import validate_df
 
+        # validate on the (id, text) projection ONLY — carrying the source
+        # column through validate_df would change rule semantics (the row
+        # struct is the instance, so a strict rule with
+        # additional_properties=false would reject every row for having
+        # `source`); re-attach it after the gate instead (one id-keyed
+        # join of two projections of the same scan)
+        base = df.select(id_col, text_col)
         base = (validate_df(base, rule, mode="verdict")
                 .filter(F.col("valid")).drop("valid"))
+        if carry:
+            base = base.join(df.select(id_col, *carry), id_col)
+    else:
+        base = df.select(id_col, text_col, *carry)
 
     # quality ratios + language id. Two shapes for the language stage:
     # - 'fused': per-row HOF argmax in the same projection (zero shuffle,
@@ -87,7 +106,8 @@ def curate(
     keep = F.col("q_alpha_ratio") >= F.lit(float(min_alpha_ratio))
     if langs:
         keep = keep & F.col("lang").isin(*langs)
-    q = q.filter(keep).select(id_col, text_col, "lang", "q_alpha_ratio")
+    q = q.filter(keep).select(id_col, text_col, "lang", "q_alpha_ratio",
+                              *carry)
 
     # repetition signals on survivors only (the explode/groupBy stage)
     rep = T.repetition_signals(q.select(id_col, text_col), id_col, text_col)
@@ -160,6 +180,16 @@ def curate(
         # choice live in dedup.near_dup_losers, shared with minhash_dedupe.
         q = q.join(dedup.near_dup_losers(dups, id_col, transitive),
                    id_col, "left_anti")
+
+    if max_per_source is not None:
+        from xema_spark import sampling
+
+        # last selection stage: the quota picks among docs every prior
+        # gate admitted; runs before the PII projection so the scrub
+        # touches only shipped rows
+        q = sampling.source_caps(q, id_col, source_col,
+                                 cap=max_per_source, salt=source_salt,
+                                 hash_fn=hash_fn)
 
     if scrub_pii:
         q = T.pii_scrub(q, text_col)
