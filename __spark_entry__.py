@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from xema_spark import dedup, multimodal, similarity, stats, text  # noqa: E402
+from xema_spark import dedup, interleaved, multimodal, similarity, stats, text  # noqa: E402
 from xema_spark.compiler import validate_df  # noqa: E402
 from xema_spark.datagen import FLAGSHIP_RULE, gen_assets, gen_documents  # noqa: E402
 from xema_spark.text import _STOPWORDS  # noqa: E402
@@ -648,6 +648,30 @@ def _q_referential_spans(spark, sf_dir):
         .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
 
 
+def _q_interleaved_render(spark, sf_dir):
+    """Training-text assembly over the interleaved corpus
+    (interleaved.render_text): span pieces ordered by (offset, position),
+    text spans contributing their text, media spans the '<media>'
+    placeholder, malformed kinds (null / 'blob' injections) skipped — one
+    row per input row, pure projection. The oracle re-derives every piece
+    from the closed-form index arithmetic and re-concatenates with
+    string_agg(ORDER BY offset, j)."""
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    return interleaved.render_text(gen_documents(spark, n))
+
+
+def _q_interleaved_normalize(spark, sf_dir):
+    """Span-sequence repair (interleaved.normalize_spans, flat shape):
+    drop structurally invalid spans (unknown kind, negative offset),
+    re-sort by offset, rewrite offsets to rendered-text positions — the
+    long-format repaired table. Oracle: same closed-form span derivation +
+    row_number / prefix-sum windows per doc."""
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    return interleaved.normalize_spans(gen_documents(spark, n), flat=True)
+
+
 def _q_pipeline_curate(spark, sf_dir):
     """End-to-end curation (pipeline.curate): rule gate -> quality/lang/
     repetition filters -> exact dedupe -> MinHash near-dup dedupe, with
@@ -1244,6 +1268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_source_caps": _q_sample_source_caps,
         "decontaminate_semantic": _q_decontaminate_semantic,
         "text_lm_score": _q_text_lm_score,
+        "interleaved_render": _q_interleaved_render,
+        "interleaved_normalize": _q_interleaved_normalize,
         # -- r3-evicted, back in the window --
         "referential_spans": _q_referential_spans,
         "sim_near_dups": _q_sim_near_dups,
@@ -1263,8 +1289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_hist_nchars": _q_drift_hist_nchars,
         # training-pipeline ops (oracle-checked)
         "dedup_exact": _q_dedup_exact,
-        "text_token_stats": _q_text_token_stats,
-        "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_winnow": _q_text_winnow,
         "text_repetition": _q_text_repetition,
@@ -1312,6 +1336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # referential_users demoted when dedup_best_keeper joined:
         # r1+r2+r3 green, referential coverage stays in-window via
         # referential_spans (same broadcast-anti-join machinery)
+        # text_token_stats + text_quality demoted when interleaved_render/
+        # interleaved_normalize joined: both r2+r3 green; token coverage
+        # stays in-window via text_top_tokens + text_lm_score + pack_docs,
+        # quality-ratio coverage via pipeline_curate's fused quality gate
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
         "referential_users": _q_referential_users,
         "violations_explode": _q_violations_explode,
         "quantiles_nchars": _q_quantiles_nchars,
@@ -2007,6 +2037,87 @@ def _ivf_oracle_sql(k: int = 10, n_cells: int = 16, n_probe: int = 4,
         ) WHERE rank <= {k}"""
 
 
+def _interleaved_span_cte(n: int) -> str:
+    """Shared CTEs re-deriving datagen.gen_documents(n)'s spans in DuckDB:
+    d = one row per doc index with violation class + (possibly duplicated)
+    doc_id; s = one row per span with kind/text/offset/asset_id exactly as
+    datagen.span() computes them (kind overrides at j=0 for cls 0/1, text
+    from the lorem prefix, offset -5 injection at cls 2, empty spans at
+    cls 3, dangling asset ids at cls 4)."""
+    from xema_spark.datagen import _LOREM
+
+    n_assets = max(100, n // 10)
+    return f"""
+        d AS (
+          SELECT i,
+                 CASE WHEN i % 13 = 0 THEN (i // 13) % 6 ELSE -1 END AS cls,
+                 printf('doc-%08d',
+                        CASE WHEN i % 101 = 0 AND i > 0 THEN i - 1 ELSE i END)
+                   AS doc_id
+          FROM range(0, {n}) t(i)
+        ),
+        s AS (
+          SELECT d.i, d.doc_id, j,
+                 CASE WHEN cls = 0 AND j = 0 THEN NULL
+                      WHEN cls = 1 AND j = 0 THEN 'blob'
+                      WHEN (i + j) % 2 = 0 THEN 'text' ELSE 'media' END AS kind,
+                 CASE WHEN (i + j) % 2 = 0 AND (i * 7 + j) % 17 <> 0
+                      THEN substr('{_LOREM}', 1,
+                                  (1 + (i * 13 + j * 7) % 120)::INT)
+                      ELSE NULL END AS text,
+                 CASE WHEN (i + j) % 2 <> 0 THEN printf('asset-%06d',
+                      CASE WHEN cls = 4 THEN {n_assets} + i % 97
+                           WHEN (i + j) % 10 < 3 THEN (i * 31 + j) % 10
+                           ELSE (i * 31 + j * 7) % {n_assets} END)
+                      ELSE NULL END AS media_ref,
+                 CASE WHEN cls = 2 AND j = 0 THEN -5
+                      ELSE j * 100 + i % 50 END AS o
+          FROM d, range(0, 7) u(j)
+          WHERE cls <> 3 AND j <= i % 7
+        )"""
+
+
+def _interleaved_render_oracle_sql(n: int = 20000) -> str:
+    return f"""
+        WITH {_interleaved_span_cte(n)},
+        p AS (
+          SELECT i, doc_id, o, j,
+                 CASE WHEN kind = 'text' THEN coalesce(text, '')
+                      ELSE '<media>' END AS piece
+          FROM s WHERE kind IN ('text', 'media')
+        ),
+        agg AS (
+          SELECT i, string_agg(piece, '' ORDER BY o, j) AS rendered,
+                 count(*)::INT AS n_pieces
+          FROM p GROUP BY i
+        )
+        SELECT d.doc_id,
+               coalesce(a.rendered, '') AS rendered,
+               coalesce(a.n_pieces, 0)::INT AS n_pieces,
+               length(coalesce(a.rendered, ''))::INT AS n_chars
+        FROM d LEFT JOIN agg a USING (i)"""
+
+
+def _interleaved_normalize_oracle_sql(n: int = 20000) -> str:
+    return f"""
+        WITH {_interleaved_span_cte(n)},
+        v AS (
+          SELECT i, doc_id, j, kind, text,
+                 CASE WHEN kind = 'media' THEN media_ref END AS media_ref, o
+          FROM s WHERE kind IN ('text', 'media') AND o >= 0
+        )
+        SELECT doc_id,
+               (row_number() OVER w - 1)::INT AS pos,
+               kind, text, media_ref,
+               coalesce(sum(CASE WHEN kind = 'text'
+                                 THEN length(coalesce(text, ''))
+                                 ELSE 7 END)
+                        OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0)::INT AS offset
+        FROM v
+        WINDOW w AS (PARTITION BY i ORDER BY o, j)"""
+
+
 def oracle_sql() -> dict[str, str]:
     norm = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
     toks = "string_split(text, ' ')"
@@ -2502,6 +2613,12 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN cls IN (0,1,2,3) THEN 1 ELSE 0 END)::BIGINT AS n_invalid,
                    sum(CASE WHEN cls IN (0,1,2,3) THEN 1 ELSE 0 END)::BIGINT AS n_violations
             FROM d GROUP BY partition_id""",
+        # interleaved span transforms: the corpus is a closed-form function
+        # of (i, j) (datagen.py span()), so the oracle re-derives every span
+        # field over range(n) x range(7) and replays render/normalize with
+        # ordered string_agg / row_number / prefix-sum windows
+        "interleaved_render": _interleaved_render_oracle_sql(),
+        "interleaved_normalize": _interleaved_normalize_oracle_sql(),
         "ann_topk": _lsh_topk_oracle_sql(),
         "stats_worst_partitions": """
             WITH d AS (

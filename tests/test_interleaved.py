@@ -1,0 +1,112 @@
+"""Span transformations: render_text / normalize_spans / span_kind_stats."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xema_spark import interleaved
+from xema_spark.datagen import SPAN_TYPE, gen_documents
+
+_DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+])
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, _DOC_SCHEMA)
+
+
+def test_render_orders_substitutes_and_skips(spark):
+    rows = [
+        # out-of-order offsets + media placeholder + junk kinds skipped
+        ("d1", [("media", None, "asset-1", 10),
+                ("text", "hello ", None, 0),
+                ("blob", "JUNK", None, 5),       # unknown kind -> skipped
+                (None, "JUNK", None, 7),          # missing kind -> skipped
+                ("text", "world", None, 20)]),
+        # null text in a text span renders as ''
+        ("d2", [("text", None, None, 0), ("text", "x", None, 1)]),
+        # null offset sorts last; equal offsets keep author order
+        ("d3", [("text", "b", None, None),
+                ("text", "a1", None, 3), ("text", "a2", None, 3)]),
+        ("d4", []),                               # empty spans -> '' row
+    ]
+    got = {r["doc_id"]: r for r in
+           interleaved.render_text(_docs(spark, rows)).collect()}
+    assert got["d1"]["rendered"] == "hello <media>world"
+    assert got["d1"]["n_pieces"] == 3
+    assert got["d1"]["n_chars"] == len("hello <media>world")
+    assert got["d2"]["rendered"] == "x"
+    assert got["d3"]["rendered"] == "a1a2b"
+    assert got["d4"]["rendered"] == "" and got["d4"]["n_pieces"] == 0
+    assert len(got) == 4  # row count preserved
+
+
+def test_normalize_repairs_offsets_consistently_with_render(spark):
+    rows = [
+        ("d1", [("media", None, "asset-1", 50),
+                ("text", "abc", None, 7),
+                ("blob", "JUNK", None, 0),        # dropped: bad kind
+                ("text", "XY", None, -4),          # dropped: negative offset
+                ("text", "tail", None, None),      # dropped: null offset
+                ("text", "de", None, 99)]),
+    ]
+    df = _docs(spark, rows)
+    fixed = interleaved.normalize_spans(df)
+    spans = fixed.collect()[0]["spans"]
+    # survivors sorted by offset, offsets rewritten to rendered positions
+    assert [(s["kind"], s["offset"]) for s in spans] == [
+        ("text", 0),            # 'abc' at 0
+        ("media", 3),           # '<media>' at 3
+        ("text", 3 + len("<media>")),
+    ]
+    # internal consistency: each text span's text sits at its offset in
+    # the rendered output of the SAME placeholder
+    rendered = interleaved.render_text(fixed).collect()[0]["rendered"]
+    assert rendered == "abc<media>de"
+    for s in spans:
+        if s["kind"] == "text":
+            assert rendered[s["offset"]:s["offset"] + len(s["text"])] == s["text"]
+
+    flat = interleaved.normalize_spans(df, flat=True).collect()
+    assert [r["pos"] for r in flat] == [0, 1, 2]
+    assert flat[1]["media_ref"] == "asset-1"
+    # a doc whose spans all drop keeps an empty array (nested mode) and
+    # vanishes in flat mode
+    gone = _docs(spark, [("d9", [("blob", "x", None, 1)])])
+    assert interleaved.normalize_spans(gone).collect()[0]["spans"] == []
+    assert interleaved.normalize_spans(gone, flat=True).count() == 0
+
+
+def test_span_kind_stats_counts(spark):
+    rows = [("d1", [("text", "abcd", None, 0), ("media", None, "a-1", 4),
+                    ("blob", "x", None, 9), ("text", None, None, 11)])]
+    r = interleaved.span_kind_stats(_docs(spark, rows)).collect()[0]
+    assert (r["n_spans"], r["n_text"], r["n_media"], r["n_bad_kind"]) == (4, 2, 1, 1)
+    assert r["text_chars"] == 4          # null text counts 0
+    assert abs(r["media_text_ratio"] - 0.5) < 1e-9
+
+
+def test_render_and_normalize_are_shuffle_free(spark):
+    docs = gen_documents(spark, 200)
+    for df in (interleaved.render_text(docs),
+               interleaved.normalize_spans(docs),
+               interleaved.span_kind_stats(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    # flat mode adds only a Generate (posexplode), still no shuffle
+    plan = interleaved.normalize_spans(docs, flat=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" in plan
+
+
+def test_render_over_generated_corpus_row_count(spark):
+    docs = gen_documents(spark, 400)
+    out = interleaved.render_text(docs)
+    assert out.count() == 400
+    # a doc with >=1 MEDIA span always renders non-empty (the placeholder
+    # guarantees content; text spans may legitimately carry null text)
+    has_media = interleaved.span_kind_stats(docs).filter(F.col("n_media") > 0)
+    n_empty = (out.join(has_media.select("doc_id").distinct(), "doc_id")
+               .filter(F.col("rendered") == "").count())
+    assert n_empty == 0

@@ -1,0 +1,171 @@
+"""Span-level TRANSFORMATIONS for the interleaved text+media corpus.
+
+The validation side of the engine checks span sequences against rules
+(compiler.py over the `input_hint` shape: spans:array<struct<kind,text,
+media_ref,offset>>; span-sequence parity with the reference's fixture
+tables, cf. /root/reference/test/xema_test.exs valid/invalid cases). A
+training pipeline additionally has to TRANSFORM those sequences:
+
+- `render_text`  — assemble the training-ready text: span pieces ordered
+  by (offset, original position), text spans contributing their text,
+  media spans a placeholder token (the interleaved-pretraining convention),
+  malformed kinds skipped.
+- `normalize_spans` — repair a span sequence: drop structurally invalid
+  spans (unknown kind, null/negative offset), re-sort by offset, and
+  REWRITE offsets to the exact character positions the pieces occupy in
+  the rendered text, so `render_text(normalize_spans(df))` is internally
+  consistent (each span starts at its own offset).
+
+Scale shape: both are PURE PROJECTIONS — per-row array expressions, zero
+shuffle, no Python; at 10^12 docs they pipeline with the parquet/Iceberg
+scan. The offset-repair fold is O(k^2) array copies for k spans per doc
+(concat-per-element), fine for document-sized span lists (k ~ 10^1-10^3);
+it never leaves the row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INT_MAX = (1 << 31) - 1  # null offsets sort last, before position tiebreak
+
+
+def _tagged(spans_col: str) -> Column:
+    """(o=offset-or-INT_MAX, p=original index, kind, text, media_ref, offset)
+    — the sortable carrier struct. Field order matters: array_sort compares
+    structs lexicographically and (o, p) is unique per element, so the
+    payload fields never participate in the comparison."""
+    return F.transform(
+        F.col(spans_col),
+        lambda s, j: F.struct(
+            F.coalesce(s["offset"].cast("long"), F.lit(_INT_MAX).cast("long")).alias("o"),
+            j.cast("long").alias("p"),
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+
+
+def _piece(t: Column, media_placeholder: str) -> Column:
+    return (F.when(t["kind"] == "text", F.coalesce(t["text"], F.lit("")))
+            .when(t["kind"] == "media", F.lit(media_placeholder))
+            .otherwise(F.lit("")))
+
+
+def render_text(df: DataFrame, id_col: str = "doc_id",
+                spans_col: str = "spans",
+                media_placeholder: str = "<media>",
+                out_col: str = "rendered") -> DataFrame:
+    """One row per input row: (id_col, rendered, n_pieces, n_chars).
+
+    Pieces are ordered by (offset NULLS LAST, original position) — the
+    position tiebreak keeps equal-offset spans in author order and makes
+    the output deterministic for any input. Spans whose kind is neither
+    'text' nor 'media' (missing kind, unknown kinds like 'blob') are
+    dropped from the rendering; a doc with no renderable spans yields
+    rendered = '' with n_pieces = 0, so the row count is exactly the
+    input's (a curation filter can then drop empties explicitly)."""
+    kept = F.filter(_tagged(spans_col),
+                    lambda t: t["kind"].isin("text", "media"))
+    ordered = F.array_sort(kept)
+    pieces = F.transform(ordered, lambda t: _piece(t, media_placeholder))
+    # stage the pieces array, then the rendered string: HOF trees are
+    # CodegenFallback (interpreted) and CollapseProject re-inlines cheap
+    # single-use aliases only, so each expensive expression is evaluated
+    # exactly once per row
+    staged = df.select(id_col, pieces.alias("_pieces"))
+    r = staged.select(
+        id_col,
+        F.concat_ws("", F.col("_pieces")).alias(out_col),
+        F.size("_pieces").cast("int").alias("n_pieces"))
+    return r.select(
+        id_col, out_col, "n_pieces",
+        F.length(out_col).cast("int").alias("n_chars"))
+
+
+def normalize_spans(df: DataFrame, id_col: str = "doc_id",
+                    spans_col: str = "spans",
+                    media_placeholder: str = "<media>",
+                    flat: bool = False) -> DataFrame:
+    """Repair each row's span sequence:
+
+    1. DROP structurally invalid spans: kind not in ('text','media'),
+       or offset null/negative (the injected violation classes).
+    2. SORT survivors by (offset, original position).
+    3. REWRITE offsets to the cumulative character position of each piece
+       in the rendered text (text spans occupy length(text) chars, media
+       spans length(media_placeholder)), so offsets are dense, monotonic
+       and consistent with `render_text` using the same placeholder.
+
+    flat=False returns (id_col, spans) in the input's nested shape —
+    drop-in repaired documents. flat=True explodes to one row per
+    surviving span: (id_col, pos, kind, text, media_ref, offset) — the
+    long-format table a downstream join or the DuckDB oracle wants.
+    Docs whose spans ALL drop keep an empty array (flat mode drops them)."""
+    kept = F.array_sort(F.filter(
+        _tagged(spans_col),
+        lambda t: t["kind"].isin("text", "media")
+        & t["offset"].isNotNull() & (t["offset"] >= 0)))
+    plen = F.length(F.lit(media_placeholder))
+    # left fold: acc = (arr: rebuilt spans, cum: chars rendered so far)
+    zero = F.struct(
+        F.array().cast(
+            "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+        ).alias("arr"),
+        F.lit(0).cast("long").alias("cum"))
+    repaired = F.aggregate(
+        kept, zero,
+        lambda acc, t: F.struct(
+            F.concat(acc["arr"], F.array(F.struct(
+                t["kind"].alias("kind"), t["text"].alias("text"),
+                t["media_ref"].alias("media_ref"),
+                acc["cum"].cast("int").alias("offset")))).alias("arr"),
+            (acc["cum"] + F.when(t["kind"] == "text",
+                                 F.coalesce(F.length(t["text"]), F.lit(0)))
+             .otherwise(plen).cast("long")).alias("cum")),
+        lambda acc: acc["arr"])
+    out = df.select(id_col, repaired.alias(spans_col))
+    if not flat:
+        return out
+    return out.select(
+        id_col, F.posexplode(spans_col).alias("pos", "s")
+    ).select(
+        id_col, F.col("pos").cast("int").alias("pos"),
+        F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"))
+
+
+def span_kind_stats(df: DataFrame, id_col: str = "doc_id",
+                    spans_col: str = "spans") -> DataFrame:
+    """Per-doc interleaving profile in one projection (no shuffle):
+    (id_col, n_spans, n_text, n_media, n_bad_kind, text_chars,
+    media_text_ratio). `n_bad_kind` counts spans that render_text would
+    skip — the quick corpus-health read before a full rule validation."""
+    spans = F.col(spans_col)
+    n_text = F.size(F.filter(spans, lambda s: s["kind"] == "text"))
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] == "media"))
+    text_chars = F.aggregate(
+        spans, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.when(s["kind"] == "text",
+                                    F.coalesce(F.length(s["text"]), F.lit(0))
+                                    .cast("long")).otherwise(F.lit(0)))
+    # base counts staged once (interpreted HOFs, multiply referenced below)
+    base = df.select(
+        id_col,
+        F.size(spans).cast("int").alias("n_spans"),
+        n_text.cast("int").alias("n_text"),
+        n_media.cast("int").alias("n_media"),
+        text_chars.alias("text_chars"))
+    return base.select(
+        id_col, "n_spans", "n_text", "n_media",
+        (F.col("n_spans") - F.col("n_text") - F.col("n_media"))
+        .cast("int").alias("n_bad_kind"),
+        "text_chars",
+        F.round(F.col("n_media").cast("double")
+                / F.greatest(F.col("n_text"), F.lit(1)).cast("double"), 6)
+        .alias("media_text_ratio"),
+    )
