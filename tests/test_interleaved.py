@@ -110,3 +110,25 @@ def test_render_over_generated_corpus_row_count(spark):
     n_empty = (out.join(has_media.select("doc_id").distinct(), "doc_id")
                .filter(F.col("rendered") == "").count())
     assert n_empty == 0
+
+
+def test_null_spans_column_keeps_contracts(spark):
+    # a real parquet corpus can carry spans = NULL (nullable array), which
+    # datagen never emits: every operator must treat it like "no spans",
+    # not propagate NULL through the HOF chain
+    rows = [("dnull", None), ("dempty", [])]
+    df = _docs(spark, rows)
+    got = {r["doc_id"]: r for r in interleaved.render_text(df).collect()}
+    for d in ("dnull", "dempty"):
+        assert got[d]["rendered"] == ""
+        assert got[d]["n_pieces"] == 0 and got[d]["n_chars"] == 0
+    fixed = {r["doc_id"]: r["spans"]
+             for r in interleaved.normalize_spans(df).collect()}
+    assert fixed["dnull"] == [] and fixed["dempty"] == []
+    assert interleaved.normalize_spans(df, flat=True).count() == 0
+    stats = {r["doc_id"]: r for r in
+             interleaved.span_kind_stats(df).collect()}
+    for d in ("dnull", "dempty"):
+        r = stats[d]
+        assert (r["n_spans"], r["n_text"], r["n_media"],
+                r["n_bad_kind"], r["text_chars"]) == (0, 0, 0, 0, 0)

@@ -907,6 +907,16 @@ def test_decontaminate_semantic_flags_and_max(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_decontaminate_semantic_empty_benchmark_raises(spark):
+    # the documented precondition is enforced: an empty eval set must fail
+    # loudly, not return an empty report a semi/anti-join consumer misreads
+    corpus = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    bench = spark.createDataFrame([([1.0, 0.0],)], ["q_vec"]) \
+        .filter(F.lit(False))
+    with pytest.raises(ValueError, match="benchmark frame is empty"):
+        similarity.decontaminate_semantic(corpus, bench)
+
+
 def test_near_dup_losers_by_keeps_best_scoring(spark):
     # chain component {1,2,3} + pair component {10, 11}
     dups = spark.createDataFrame(

@@ -478,6 +478,11 @@ def test_commit_ingest_batch_replay_idempotent(spark, tmp_path):
     assert commit_ingest_batch(b0, 0, store_dir, surv_dir) is False
     store = spark.read.parquet(store_dir)
     assert store.count() == 1  # no duplicate append
+    # store layout is hive-partitioned by ingest_batch so the per-batch
+    # replay probe (== id) and prior read (< id) prune directories instead
+    # of footer-reading the whole store as it ages
+    import os
+    assert any(d.startswith("ingest_batch=") for d in os.listdir(store_dir))
     surv = spark.read.parquet(surv_dir)
     assert surv.count() == 1
     # next batch-id sees batch 0's signatures: its exact dup drops

@@ -121,6 +121,37 @@ def shingles(col: Column, n: int = 5, max_shingles: int = 512) -> Column:
     return F.slice(F.array_distinct(grams), 1, max_shingles)
 
 
+def _shingle_hash(s: Column, hash_fn: str) -> Column:
+    """The per-shingle hash `h` both signature builders share. NULL-safe in
+    both flavors: portable propagates NULL through md5/pmod naturally, and
+    the xxhash64 flavor is explicitly gated because Spark's xxhash64 SKIPS
+    null inputs (hashing only the seed) — unguarded, every shingle-less doc
+    would share one non-null hash and "near-dup" every other at est 1.0."""
+    if hash_fn == "portable":
+        return portable_hash31(s)
+    return F.when(s.isNotNull(), F.xxhash64(s))
+
+
+def _minhash_aggs(hash_fn: str, k: int) -> list[Column]:
+    """The k permutation min-aggregates over the hashed-shingle column `h`,
+    aliased mh_0..mh_{k-1}. SINGLE SOURCE for the permutation family:
+    incremental_flags_sig bands batch signatures (minhash_signatures)
+    against store signatures (signature_store) — any drift between the two
+    builders would make LSH buckets silently stop colliding, so both MUST
+    build their aggregates here. An all-NULL group (shingle-less doc kept
+    by explode_outer) yields NULL mh_* — min ignores NULLs."""
+    if hash_fn == "portable":
+        return [
+            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P31)))
+            .alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_perm_constants(k))
+        ]
+    return [F.min(F.when(F.col("h").isNotNull(),
+                         F.xxhash64(F.col("h"), F.lit(i))))
+            .alias(f"mh_{i}")
+            for i in range(k)]
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
                        n: int = 5, k: int = 32, max_shingles: int = 512,
                        hash_fn: str = "xxhash64") -> DataFrame:
@@ -143,17 +174,8 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str = "text",
                   < 2^62, ANSI-exact, and DuckDB reproduces it bit-for-bit."""
     sh = df.select(F.col(id_col).alias("doc"),
                    F.explode(shingles(F.col(text_col), n, max_shingles)).alias("s"))
-    if hash_fn == "portable":
-        h = sh.select("doc", portable_hash31(F.col("s")).alias("h"))
-        aggs = [
-            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P31))).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(_perm_constants(k))
-        ]
-    else:
-        h = sh.select("doc", F.xxhash64("s").alias("h"))
-        aggs = [F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"mh_{i}")
-                for i in range(k)]
-    return h.groupBy("doc").agg(*aggs)
+    h = sh.select("doc", _shingle_hash(F.col("s"), hash_fn).alias("h"))
+    return h.groupBy("doc").agg(*_minhash_aggs(hash_fn, k))
 
 
 def _portable_bucket(cols: list[Column]) -> Column:
@@ -910,27 +932,11 @@ def signature_store(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc"),
         F.md5(normalize_text(F.col(text_col))).alias("_eh"),
         F.explode_outer(shingles(F.col(text_col), n, max_shingles)).alias("s"))
-    if hash_fn == "portable":
-        h = sh.select("doc", "_eh", portable_hash31(F.col("s")).alias("h"))
-        aggs = [
-            F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_P31)))
-            .alias(f"mh_{i}")
-            for i, (a, b) in enumerate(_perm_constants(k))
-        ]
-    else:
-        # the isNotNull gate matters: xxhash64 SKIPS null inputs (hashing
-        # only the seed), so an unguarded xxhash64(NULL) is NON-null and
-        # every shingle-less doc would get the same non-null signature —
-        # all of them "near-dupping" each other at est_jaccard 1.0. The
-        # portable branch needs no gate (NULL propagates through md5/pmod).
-        h = sh.select("doc", "_eh",
-                      F.when(F.col("s").isNotNull(),
-                             F.xxhash64("s")).alias("h"))
-        aggs = [F.min(F.when(F.col("h").isNotNull(),
-                             F.xxhash64(F.col("h"), F.lit(i))))
-                .alias(f"mh_{i}")
-                for i in range(k)]
-    return h.groupBy("doc").agg(F.first("_eh").alias("exact_h"), *aggs)
+    # signature expressions are SHARED with minhash_signatures (see
+    # _minhash_aggs: any drift would break store-vs-batch LSH collisions)
+    h = sh.select("doc", "_eh", _shingle_hash(F.col("s"), hash_fn).alias("h"))
+    return h.groupBy("doc").agg(F.first("_eh").alias("exact_h"),
+                                *_minhash_aggs(hash_fn, k))
 
 
 def estimated_jaccard(left: DataFrame | str, right: DataFrame | str,

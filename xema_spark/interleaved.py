@@ -77,10 +77,16 @@ def render_text(df: DataFrame, id_col: str = "doc_id",
     # single-use aliases only, so each expensive expression is evaluated
     # exactly once per row
     staged = df.select(id_col, pieces.alias("_pieces"))
+    # a NULL spans column propagates through filter/transform as NULL
+    # (not []): concat_ws already yields '' there, but size(NULL) is -1
+    # under the default legacy sizeOfNull (NULL under ANSI) — the explicit
+    # gate keeps the documented "no renderable spans => n_pieces = 0"
+    # contract for NULL rows under either setting
     r = staged.select(
         id_col,
         F.concat_ws("", F.col("_pieces")).alias(out_col),
-        F.size("_pieces").cast("int").alias("n_pieces"))
+        F.when(F.col("_pieces").isNotNull(), F.size("_pieces"))
+        .otherwise(F.lit(0)).cast("int").alias("n_pieces"))
     return r.select(
         id_col, out_col, "n_pieces",
         F.length(out_col).cast("int").alias("n_chars"))
@@ -127,7 +133,9 @@ def normalize_spans(df: DataFrame, id_col: str = "doc_id",
                                  F.coalesce(F.length(t["text"]), F.lit(0)))
              .otherwise(plen).cast("long")).alias("cum")),
         lambda acc: acc["arr"])
-    out = df.select(id_col, repaired.alias(spans_col))
+    # NULL spans → aggregate propagates NULL; coalesce to the same empty
+    # array an all-dropped doc keeps (flat mode then drops it)
+    out = df.select(id_col, F.coalesce(repaired, zero["arr"]).alias(spans_col))
     if not flat:
         return out
     return out.select(
@@ -154,12 +162,18 @@ def span_kind_stats(df: DataFrame, id_col: str = "doc_id",
                                     F.coalesce(F.length(s["text"]), F.lit(0))
                                     .cast("long")).otherwise(F.lit(0)))
     # base counts staged once (interpreted HOFs, multiply referenced below)
+    # NULL-spans gate: a NULL spans column must profile as 0 spans —
+    # filter/aggregate propagate NULL and size(NULL) is -1 under legacy
+    # sizeOfNull (NULL under ANSI), so each size() needs the explicit guard
+    def _n(c: Column) -> Column:
+        return F.when(spans.isNotNull(), c).otherwise(F.lit(0)).cast("int")
+
     base = df.select(
         id_col,
-        F.size(spans).cast("int").alias("n_spans"),
-        n_text.cast("int").alias("n_text"),
-        n_media.cast("int").alias("n_media"),
-        text_chars.alias("text_chars"))
+        _n(F.size(spans)).alias("n_spans"),
+        _n(n_text).alias("n_text"),
+        _n(n_media).alias("n_media"),
+        F.coalesce(text_chars, F.lit(0).cast("long")).alias("text_chars"))
     return base.select(
         id_col, "n_spans", "n_text", "n_media",
         (F.col("n_spans") - F.col("n_text") - F.col("n_media"))

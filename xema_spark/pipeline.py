@@ -151,6 +151,13 @@ def curate(
                             | (F.length("text_dedup") > 0))
             .select(id_col, F.col("text_dedup").alias(text_col)),
             id_col)
+        if cache_survivors and (benchmark is not None
+                                or near_dup_threshold is not None):
+            # the repair join is itself a corpus-wide explode/groupBy/join;
+            # without a second boundary here the decontamination gate (2
+            # references) and the near-dup stage (4 references) would
+            # re-execute the whole repair per reference.
+            q = q.localCheckpoint(eager=True)
 
     if benchmark is not None:
         # eval-set leakage gate on survivors (fewer rows than the raw

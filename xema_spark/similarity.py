@@ -322,7 +322,8 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
     (id_col, max_bench_cos, contaminated); drop flagged rows with a
     semi/anti join, mirroring contaminated_ids usage. `benchmark` must be
     non-empty — an empty eval set would cross-join every corpus row away
-    (a gate that silently passes nothing is worse than a loud one).
+    (a gate that silently passes nothing is worse than a loud one); this
+    is enforced with an eager isEmpty probe that raises ValueError.
 
     Scale shape (100 TB corpus, small eval set): the benchmark side is
     BROADCAST (eval sets are 10^3-10^5 vectors — the same smallness
@@ -339,6 +340,15 @@ def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
     element multiplies round differently per engine (measured 1.8e-7 vs
     DuckDB on the sf0.01 embeddings — enough to flip a round-6 boundary),
     while the all-double pipeline is bit-identical across engines."""
+    # enforce the documented precondition loudly: the benchmark side is
+    # small by contract, so this eager probe is one broadcast-sized job —
+    # far cheaper than a silently-empty report downstream
+    if benchmark.isEmpty():
+        raise ValueError(
+            "decontaminate_semantic: benchmark frame is empty — an empty "
+            "eval set would produce an empty report (no row per corpus "
+            "vector), which a semi/anti-join consumer misreads as "
+            "'everything contaminated' / 'nothing contaminated'")
     j = (corpus.select(id_col,
                        F.col(vec_col).cast("array<double>").alias(vec_col))
          .crossJoin(F.broadcast(benchmark.select(

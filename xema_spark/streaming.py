@@ -328,8 +328,12 @@ def commit_ingest_batch(batch_df: DataFrame, batch_id: int, store_dir: str,
                               id_col, "semi")
     (survivors.write.mode("overwrite")
      .parquet(os.path.join(survivors_dir, f"batch={batch_id:09d}")))
+    # partitioned by ingest_batch: both per-batch store reads (the replay
+    # probe `== batch_id` and the prior filter `< batch_id`) prune to
+    # directories instead of footer-reading every file the store has ever
+    # appended — without this, per-batch latency grows with store age
     (sigs.withColumn("ingest_batch", F.lit(batch_id))
-     .write.mode("append").parquet(store_dir))
+     .write.mode("append").partitionBy("ingest_batch").parquet(store_dir))
     return True
 
 
