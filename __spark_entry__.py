@@ -1149,6 +1149,23 @@ def _q_sample_mixture(spark, sf_dir):
         .select("doc_id", "lang")
 
 
+def _q_sample_dsir(spark, sf_dir):
+    """DSIR importance resampling (sampling.dsir_sample — public technique:
+    Xie et al. NeurIPS 2023): raw = the whole documents table, target = its
+    English subset; hashed unigram+bigram bucket distributions on both
+    sides, per-doc log importance weight, deterministic Gumbel-top-k
+    selection. The portable flavor makes every stage DuckDB-replayable:
+    the md5 bucket hash, the add-0.5 smoothed log-ratio sum (round 6), the
+    content-addressed Gumbel noise, and the final top-k ordering."""
+    from xema_spark import sampling
+
+    d = _docs(spark, sf_dir, "doc_id", "text", "lang")
+    raw = d.select("doc_id", "text")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    return sampling.dsir_sample(raw, target, "doc_id", k=50, n_buckets=512,
+                                hash_fn="portable")
+
+
 def _q_pack_docs(spark, sf_dir):
     """Token-budget sequence packing (packing.pack_sequences): docs land on
     a contiguous per-bucket token stream; window position = running token
@@ -1258,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "text_top_tokens": _q_text_top_tokens,
         "sample_mixture": _q_sample_mixture,
+        "sample_dsir": _q_sample_dsir,
         "pack_docs": _q_pack_docs,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "text_tfidf": _q_text_tfidf,
@@ -1281,7 +1299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": _q_dedup_components_star,
         "dedup_best_keeper": _q_dedup_best_keeper,
         # keyword validation (oracle-checked)
-        "v_required_dependencies": _q_v_required_dependencies,
         "cast_pipeline": _q_cast_pipeline,
         # dataset scope (oracle-checked)
         "stats_documents": _q_stats_documents,
@@ -1336,12 +1353,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # referential_users demoted when dedup_best_keeper joined:
         # r1+r2+r3 green, referential coverage stays in-window via
         # referential_spans (same broadcast-anti-join machinery)
+        # v_required_dependencies demoted when sample_dsir joined: r2+r3
+        # green, semantics untouched since r2; required/dependencies
+        # coverage stays in-window via v_fail_mode_early (a failing
+        # `required` shadowing the properties group IS its assertion) and
+        # v_map_keywords (the shared property-presence machinery)
         # text_token_stats + text_quality demoted when interleaved_render/
         # interleaved_normalize joined: both r2+r3 green; token coverage
         # stays in-window via text_top_tokens + text_lm_score + pack_docs,
         # quality-ratio coverage via pipeline_curate's fused quality gate
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
+        "v_required_dependencies": _q_v_required_dependencies,
         "referential_users": _q_referential_users,
         "violations_explode": _q_violations_explode,
         "quantiles_nchars": _q_quantiles_nchars,
@@ -2795,6 +2818,56 @@ def oracle_sql() -> dict[str, str]:
           FROM h)
         SELECT doc_id, source, src_rank::BIGINT AS src_rank
         FROM rk WHERE src_rank <= 10'''
+
+    # DSIR: identical tokenization + hashed unigram/bigram buckets (md5
+    # 31-bit, mod 512), both smoothed bucket distributions, the add-0.5
+    # log-ratio sum (round 6 AFTER the sum, the lm_score precedent), the
+    # content-addressed Gumbel noise, and the same (key DESC, doc_id)
+    # top-50. range(1, len(tk)) is empty for len < 2 — no bigram guard
+    # needed. alpha*B = 0.5*512 = 256.
+    out["sample_dsir"] = f"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM {_T}),
+        b AS MATERIALIZED (
+          SELECT doc_id, lang,
+                 ((('0x' || substr(md5(g || '|dsir-v1'), 1, 15))::BIGINT
+                   % 2147483647) % 512) AS bucket
+          FROM (SELECT doc_id, lang,
+                       unnest(list_concat(tk,
+                         [tk[i] || ' ' || tk[i+1]
+                          for i in range(1, len(tk))])) AS g
+                FROM base)),
+        rb AS MATERIALIZED (
+          SELECT doc_id, bucket, count(*)::BIGINT AS c
+          FROM b GROUP BY 1, 2),
+        tc AS (SELECT bucket, count(*)::BIGINT AS ct
+               FROM b WHERE lang = 'en' GROUP BY 1),
+        rc AS (SELECT bucket, sum(c)::BIGINT AS cr FROM rb GROUP BY 1),
+        tot AS (SELECT (SELECT sum(ct) FROM tc)::BIGINT AS ctot,
+                       (SELECT sum(cr) FROM rc)::BIGINT AS rtot),
+        w AS (
+          SELECT rb.doc_id, sum(rb.c)::BIGINT AS n_grams,
+                 round(sum(rb.c *
+                       ((ln(COALESCE(tc.ct, 0) + 0.5) - ln(tot.ctot + 256.0))
+                        - (ln(rc.cr + 0.5) - ln(tot.rtot + 256.0)))), 6)
+                   AS log_w
+          FROM rb LEFT JOIN tc USING (bucket) JOIN rc USING (bucket)
+               CROSS JOIN tot
+          GROUP BY 1),
+        keyed AS (
+          SELECT d.doc_id,
+                 COALESCE(w.n_grams, 0)::BIGINT AS n_grams,
+                 COALESCE(w.log_w, 0.0) AS log_w,
+                 round(COALESCE(w.log_w, 0.0) - ln(-ln(
+                   (((('0x' || substr(md5(d.doc_id::VARCHAR || '|gumbel-v1'),
+                       1, 15))::BIGINT % 2147483647) + 1)::DOUBLE)
+                   / 2147483648.0)), 6) AS "key"
+          FROM {_T} d LEFT JOIN w USING (doc_id))
+        SELECT doc_id, n_grams, log_w, "key"
+        FROM keyed ORDER BY "key" DESC, doc_id LIMIT 50"""
 
     # bigram LM: identical tokenization, both count tables, vocab size and
     # the add-0.5 smoothed nll; round-6 AFTER the average (unordered double

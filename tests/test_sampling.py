@@ -104,3 +104,65 @@ def test_source_caps_null_source_is_its_own_group(spark):
     assert got.filter("source = 'a'").count() == 3
     # output keeps the original columns only (no helper columns leak)
     assert got.columns == ["doc_id", "source"]
+
+
+def _dsir_corpus(spark):
+    # raw corpus: half "code-flavored" docs, half "prose-flavored";
+    # target: prose only — prose docs must out-weigh code docs
+    prose = ("the quick brown fox jumps over the lazy dog while the rain "
+             "falls softly on the quiet town")
+    code = ("def main args return self value import module class object "
+            "lambda yield assert raise except finally")
+    raw = spark.createDataFrame(
+        [(i, prose if i % 2 == 0 else code) for i in range(40)]
+        + [(98, ""), (99, None)],
+        ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(1000 + i, prose) for i in range(10)], ["doc_id", "text"])
+    return raw, target
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    raw, target = _dsir_corpus(spark)
+    got = {r["doc_id"]: r for r in
+           sampling.dsir_weights(raw, target, "doc_id",
+                                 n_buckets=512).collect()}
+    assert len(got) == 42                      # one row per raw doc
+    prose_w = got[0]["log_w"]
+    code_w = got[1]["log_w"]
+    assert prose_w > code_w                    # target-like docs score higher
+    assert prose_w > 0 > code_w                # and on the right sides of 0
+    # gram accounting: n tokens + (n-1) bigrams
+    n_tok = len("the quick brown fox jumps over the lazy dog while the "
+                "rain falls softly on the quiet town".split())
+    assert got[0]["n_grams"] == 2 * n_tok - 1
+    # no-evidence docs: empty and NULL text
+    for d in (98, 99):
+        assert got[d]["n_grams"] == 0 and got[d]["log_w"] == 0.0
+
+
+def test_dsir_sample_deterministic_gumbel_topk(spark):
+    raw, target = _dsir_corpus(spark)
+    kw = dict(k=10, n_buckets=512, hash_fn="portable")
+    a = sampling.dsir_sample(raw, target, "doc_id", **kw).collect()
+    b = sampling.dsir_sample(raw.repartition(5), target, "doc_id",
+                             **kw).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    keys = [r["key"] for r in a]
+    assert keys == sorted(keys, reverse=True)  # ranked by key desc
+    # weights dominate the noise here: the prose half should win most slots
+    prose_picked = sum(1 for r in a if r["doc_id"] % 2 == 0 and r["doc_id"] < 90)
+    assert prose_picked >= 8
+    # a different noise salt re-draws the sample
+    c = sampling.dsir_sample(raw, target, "doc_id",
+                             noise_salt="gumbel-v2", **kw).collect()
+    assert [r["doc_id"] for r in c] != [r["doc_id"] for r in a]
+
+
+def test_dsir_plan_shapes(spark):
+    raw, target = _dsir_corpus(spark)
+    plan = sampling.dsir_sample(raw, target, "doc_id", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # top-k never full-sorts; both distributions ride broadcast joins
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2

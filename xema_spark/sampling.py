@@ -157,3 +157,127 @@ def source_caps(df: DataFrame, id_col: str, source_col: str = "source",
     if keep_rank:
         return out.withColumnRenamed("_rk", "src_rank").drop("_h")
     return out.drop("_rk", "_h")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: importance resampling toward a target distribution
+# ---------------------------------------------------------------------------
+
+def _hashed_gram_counts(df: DataFrame, id_col: str, text_col: str,
+                        n_buckets: int, hash_fn: str,
+                        salt: str) -> DataFrame:
+    """(doc, bucket, c): per-doc hashed unigram+bigram counts — the DSIR
+    feature map (Xie et al., NeurIPS 2023: bag of hashed n-grams). One
+    projection + one explode + ONE partial-aggregated groupBy; bigrams are
+    O(1) element_at over the token array (arrays are indexed, unlike UTF8
+    substr), guarded for < 2 tokens (sequence(1, 0) would count DOWN).
+    NULL-text docs emit no rows (split/filter propagate NULL, explode
+    drops it) — callers left-join and coalesce."""
+    from xema_spark.text import tokens
+
+    toks = tokens(F.col(text_col))
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                          F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (df.select(F.col(id_col).alias("doc"),
+                    F.explode(F.concat(toks, bi)).alias("g"))
+          .select("doc", F.pmod(_bucket31(F.col("g"), salt, hash_fn),
+                                F.lit(n_buckets)).alias("bucket")))
+    return ex.groupBy("doc", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str,
+                 text_col: str = "text", n_buckets: int = 4096,
+                 alpha: float = 0.5, hash_fn: str = "xxhash64",
+                 salt: str = "dsir-v1") -> DataFrame:
+    """Per-doc DSIR importance weight of `raw` toward `target` (public
+    technique: Xie et al., "Data Selection for Language Models via
+    Importance Resampling", NeurIPS 2023): both corpora are featurized as
+    bags of hashed unigram+bigram counts over `n_buckets` buckets, each
+    side fits an add-alpha-smoothed categorical distribution over buckets,
+    and a raw doc's log-weight is
+
+        log w(x) = sum_b c_b(x) * (ln p_target(b) - ln p_raw(b))
+
+    — how much more likely the doc's features are under the target than
+    under the raw distribution. One row per raw doc:
+    (id_col, n_grams, log_w), log_w rounded to 6 (unordered double sums
+    differ ~1e-13 across engines). Docs with no grams (empty/NULL text)
+    get n_grams = 0, log_w = 0.0 — no evidence either way.
+
+    Scale shape (100 TB raw, small-ish target): the bucket distributions
+    are <= n_buckets rows — BROADCAST both; the raw corpus is scanned
+    twice (once aggregating its own bucket distribution, once scoring),
+    the target once; scoring is the exploded gram frame joined to two
+    broadcast tables then ONE partial-aggregated groupBy(doc). Nothing
+    shuffles at corpus width except the doc-keyed weight reduction."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    rb = _hashed_gram_counts(raw, id_col, text_col, n_buckets, hash_fn, salt)
+    tc = (_hashed_gram_counts(target, id_col, text_col, n_buckets,
+                              hash_fn, salt)
+          .groupBy("bucket").agg(F.sum("c").alias("_ct")))
+    rc = rb.groupBy("bucket").agg(F.sum("c").alias("_cr"))
+    tot = (tc.agg(F.sum("_ct").alias("_tot_t"))
+           .crossJoin(rc.agg(F.sum("_cr").alias("_tot_r"))))
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * n_buckets)
+    # raw-side buckets always hit rc (built from the same frame); buckets
+    # the target never saw take the smoothed floor via the left join
+    term = (F.col("c") *
+            ((F.log(F.coalesce(F.col("_ct"), F.lit(0)) + a)
+              - F.log(F.col("_tot_t") + ab))
+             - (F.log(F.col("_cr") + a) - F.log(F.col("_tot_r") + ab))))
+    w = (rb.join(F.broadcast(tc), "bucket", "left")
+         .join(F.broadcast(rc), "bucket")
+         .crossJoin(F.broadcast(tot))
+         .groupBy("doc")
+         .agg(F.sum("c").alias("n_grams"), F.sum(term).alias("_lw")))
+    return (raw.select(F.col(id_col))
+            .join(w, F.col(id_col) == F.col("doc"), "left").drop("doc")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.round(F.coalesce("_lw", F.lit(0.0)), 6).alias("log_w")))
+
+
+def dsir_sample(raw: DataFrame, target: DataFrame, id_col: str,
+                text_col: str = "text", k: int = 1000,
+                temperature: float = 1.0, n_buckets: int = 4096,
+                alpha: float = 0.5, hash_fn: str = "xxhash64",
+                salt: str = "dsir-v1",
+                noise_salt: str = "gumbel-v1") -> DataFrame:
+    """Select the k raw docs DSIR resampling keeps: Gumbel-top-k over the
+    importance weights — key_i = log w_i / temperature + g_i with g_i
+    standard Gumbel noise — draws k docs WITHOUT replacement with
+    probability proportional to w^(1/temperature) (the Gumbel-max trick;
+    temperature 1 is the paper's sampled-DSIR, large temperature
+    approaches uniform, small approaches deterministic top-k by weight).
+
+    The noise is content-addressed, not random: u_i derives from
+    hash(id, noise_salt) so the selected set is identical on every
+    run/cluster/partitioning and re-drawable with a new noise_salt —
+    the same reproducibility contract as deterministic_sample.
+
+    Returns (id_col, n_grams, log_w, key) for the k selected docs.
+    Scale shape: dsir_weights' plan + one TakeOrderedAndProject (per-task
+    top-k then k-row driver merge — never a full sort)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    w = dsir_weights(raw, target, id_col, text_col, n_buckets=n_buckets,
+                     alpha=alpha, hash_fn=hash_fn, salt=salt)
+    # u in (0, 1): (h+1)/(P31+1) with h in [0, P31-1] — both endpoints
+    # excluded, so -ln(-ln u) is always finite
+    u = ((_bucket31(F.col(id_col), noise_salt, hash_fn) + F.lit(1))
+         .cast("double") / F.lit(float(_P31 + 1)))
+    key = F.round(F.col("log_w") / F.lit(float(temperature))
+                  - F.log(-F.log(u)), 6)
+    return (w.withColumn("key", key)
+            .orderBy(F.desc("key"), F.asc(id_col))
+            .limit(k))
