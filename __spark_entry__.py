@@ -938,6 +938,20 @@ def _q_sim_near_dups(spark, sf_dir):
                                        n_planes=16, bands=4)
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedupe — Abbas et al. 2023): cell
+    assignment over the 16 smallest-id centroids, intra-cell near-dup
+    pairs at cos >= 0.3 (223 pairs at sf0.01 — the corpus max intra-cell
+    cos is 0.49, so the threshold actually fires), connected components,
+    keep-the-most-atypical verdicts. Fully deterministic double math —
+    DuckDB replays assignment, pairs, the recursive-CTE components and
+    the keeper window."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return (similarity.semantic_dedupe(emb, n_cells=16, threshold=0.3)
+            .withColumn("cell", F.col("cell").cast("long")))
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF top-k (the task's 'IVF variant as the scale path'): sampled
     centroids, n_probe-cell scan, exact rerank — oracle-checked (cell
@@ -1285,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_sig": _q_dedup_incremental_sig,
         "sample_source_caps": _q_sample_source_caps,
         "decontaminate_semantic": _q_decontaminate_semantic,
+        "dedup_semantic": _q_dedup_semantic,
         "text_lm_score": _q_text_lm_score,
         "interleaved_render": _q_interleaved_render,
         "interleaved_normalize": _q_interleaved_normalize,
@@ -1303,7 +1318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dataset scope (oracle-checked)
         "stats_documents": _q_stats_documents,
         "uniqueness_users": _q_uniqueness_users,
-        "drift_hist_nchars": _q_drift_hist_nchars,
         # training-pipeline ops (oracle-checked)
         "dedup_exact": _q_dedup_exact,
         "text_langid": _q_text_langid,
@@ -1358,6 +1372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # coverage stays in-window via v_fail_mode_early (a failing
         # `required` shadowing the properties group IS its assertion) and
         # v_map_keywords (the shared property-presence machinery)
+        # drift_hist_nchars demoted when dedup_semantic joined: r2+r3
+        # green, semantics untouched; drift coverage stays in-window via
+        # drift_run_report (the full cross-run gate) and
+        # drift_group_quantiles (exact per-group quantiles)
         # text_token_stats + text_quality demoted when interleaved_render/
         # interleaved_normalize joined: both r2+r3 green; token coverage
         # stays in-window via text_top_tokens + text_lm_score + pack_docs,
@@ -1365,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "v_required_dependencies": _q_v_required_dependencies,
+        "drift_hist_nchars": _q_drift_hist_nchars,
         "referential_users": _q_referential_users,
         "violations_explode": _q_violations_explode,
         "quantiles_nchars": _q_quantiles_nchars,
@@ -2060,6 +2079,66 @@ def _ivf_oracle_sql(k: int = 10, n_cells: int = 16, n_probe: int = 4,
         ) WHERE rank <= {k}"""
 
 
+def _semantic_dedupe_oracle_sql(n_cells: int = 16,
+                                threshold: float = 0.3) -> str:
+    """DuckDB replica of _q_dedup_semantic: centroid assignment (ties cos
+    DESC, cid DESC — same as the struct array_max), intra-cell pairs at
+    cos >= threshold, recursive-CTE min-label components, and the
+    keep-the-most-atypical window (cent_cos ASC, vec_id ASC)."""
+    cos = ("round(list_dot_product({a}, {b}) / "
+           "(sqrt(list_dot_product({a}, {a})) * "
+           "sqrt(list_dot_product({b}, {b})) + 1e-12), 6)")
+    return f"""
+        WITH RECURSIVE
+        emb AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cents AS (SELECT vec_id AS cid, v AS cvec FROM emb
+                  ORDER BY vec_id LIMIT {n_cells}),
+        scored AS (
+          SELECT e.vec_id, c.cid,
+                 {cos.format(a='e.v', b='c.cvec')} AS cos
+          FROM emb e CROSS JOIN cents c
+        ),
+        assign AS MATERIALIZED (
+          SELECT vec_id, cid AS cell, cos AS cent_cos FROM (
+            SELECT vec_id, cid, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cid DESC) AS rn
+            FROM scored) WHERE rn = 1
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+          FROM assign a JOIN assign b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          JOIN emb ea ON ea.vec_id = a.vec_id
+          JOIN emb eb ON eb.vec_id = b.vec_id
+          WHERE {cos.format(a='ea.v', b='eb.v')} >= {threshold}
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        verts AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM verts
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+        ),
+        comp AS (SELECT node AS doc, min(r) AS component
+                 FROM reach GROUP BY node),
+        dup AS (
+          SELECT a.vec_id, c.component,
+                 (row_number() OVER (PARTITION BY c.component
+                                     ORDER BY a.cent_cos ASC, a.vec_id ASC)
+                  = 1) AS kept
+          FROM assign a JOIN comp c ON c.doc = a.vec_id
+        )
+        SELECT a.vec_id, a.cell::BIGINT AS cell, a.cent_cos,
+               d.component, COALESCE(d.kept, TRUE) AS is_kept
+        FROM assign a LEFT JOIN dup d USING (vec_id)"""
+
+
 def _interleaved_span_cte(n: int) -> str:
     """Shared CTEs re-deriving datagen.gen_documents(n)'s spans in DuckDB:
     d = one row per doc index with violation class + (possibly duplicated)
@@ -2430,6 +2509,7 @@ def oracle_sql() -> dict[str, str]:
                     AND (n_chars IS NULL OR length(n_chars::VARCHAR) <= 2)) AS valid
             FROM {_T}""",
         "ann_ivf": _ivf_oracle_sql(),
+        "dedup_semantic": _semantic_dedupe_oracle_sql(),
         "dedup_components": f"""
             WITH RECURSIVE
             sh AS (

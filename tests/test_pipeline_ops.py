@@ -957,3 +957,49 @@ def test_curate_source_caps_does_not_leak_source_into_rule(spark):
     per = {r["source"]: r["n"] for r in
            out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert per == {"s0": 3, "s1": 3}
+
+
+def test_semantic_dedupe_keep_most_atypical(spark):
+    # two well-separated cells; cell 0 has a 3-vector near-dup chain plus
+    # one distinct member, cell 1 has a near-dup pair
+    rows = [
+        (10, [1.0, 0.0, 0.0]), (11, [0.9999, 0.002, 0.0]),
+        (12, [0.9998, 0.004, 0.0]),          # chain 10~11~12
+        (13, [0.9, 0.43, 0.0]),              # same cell, not a dup
+        (20, [0.0, 1.0, 0.0]), (21, [0.002, 0.9999, 0.0]),  # pair 20~21
+        (22, [0.0, 0.6, 0.8]),               # same cell, not a dup
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    out = {r["vec_id"]: r for r in similarity.semantic_dedupe(
+        df, centroids=cents, threshold=0.999).collect()}
+    assert len(out) == 7                       # one verdict row per vector
+    # component {10,11,12}: 12 is least similar to the centroid -> kept
+    assert [out[i]["component"] for i in (10, 11, 12)] == [10, 10, 10]
+    assert (out[10]["is_kept"], out[11]["is_kept"], out[12]["is_kept"]) \
+        == (False, False, True)
+    # component {20,21}: 21 is the more atypical member
+    assert out[20]["component"] == 20 and not out[20]["is_kept"]
+    assert out[21]["is_kept"]
+    # non-duplicates keep NULL component and survive
+    for i in (13, 22):
+        assert out[i]["component"] is None and out[i]["is_kept"]
+    # cell assignment and centroid similarity are reported
+    assert out[13]["cell"] == 0 and out[22]["cell"] == 1
+    assert out[10]["cent_cos"] == 1.0
+    # cross-cell vectors NEVER pair: a near-dup of 10 placed in cell 1
+    # (by construction of its vector) is not possible here, but the pair
+    # count certifies only intra-cell pairs existed
+    dropped = [i for i, r in out.items() if not r["is_kept"]]
+    assert sorted(dropped) == [10, 11, 20]
+
+
+def test_semantic_dedupe_respects_max_cell_cap(spark):
+    # a degenerate cell larger than max_cell is skipped (no pair explosion)
+    rows = [(i, [1.0, float(i) * 1e-6, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0, 0.0])]
+    out = similarity.semantic_dedupe(df, centroids=cents, threshold=0.99,
+                                     max_cell=5)
+    assert out.filter(~F.col("is_kept")).count() == 0  # cap skipped the cell
+    assert out.count() == 10

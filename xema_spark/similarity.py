@@ -165,6 +165,59 @@ def train_ivf_centroids(corpus: DataFrame, n_cells: int = 16, iters: int = 2,
     return cents
 
 
+def _resolve_centroids(corpus: DataFrame, centroids, n_cells: int,
+                       id_col: str, vec_col: str,
+                       caller: str) -> list[tuple[int, list[float]]]:
+    """Normalize the centroid argument both IVF consumers share: an
+    explicit (cid, vec) list (e.g. train_ivf_centroids output) passes
+    through; None falls back to the n_cells smallest-id corpus vectors —
+    deterministic, so oracles can re-derive it."""
+    if centroids is not None:
+        cents = [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids]
+        if not cents:
+            raise ValueError(f"{caller}: empty centroid list")
+        return cents
+    cent_rows = corpus.select(id_col, vec_col).orderBy(id_col) \
+        .limit(n_cells).collect()
+    if not cent_rows:
+        raise ValueError(f"{caller}: corpus has no rows to draw centroids from")
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+
+
+def _centroid_scorer(session, cents: list[tuple[int, list[float]]],
+                     inline_max_literals: int):
+    """The one centroid-scoring dispatch ivf_topk and semantic_dedupe
+    share: returns with_scores(df, vec) adding `__scores` =
+    array<struct<cos,cid>> (cos round-6, so array_max / sort_array order
+    by cos then cid — an explicit, engine-independent tie-break). Small
+    centroid sets inline as plan literals (pure projection, no join);
+    above inline_max_literals they ride as ONE broadcast row of
+    array<struct<cid,vec>> + F.transform — same math, O(1) plan size
+    (see ivf_topk's docstring for the full rationale)."""
+    dim = len(cents[0][1])
+    if len(cents) * dim <= inline_max_literals:
+        def with_scores(df: DataFrame, vec: Column) -> DataFrame:
+            return df.withColumn("__scores", F.array(*[
+                F.struct(F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 6).alias("cos"),
+                         F.lit(cid).alias("cid"))
+                for cid, cvec in cents
+            ]))
+    else:
+        cent_df = session.createDataFrame(
+            [([(cid, cvec) for cid, cvec in cents],)],
+            "__cents array<struct<cid:int,vec:array<double>>>")
+
+        def with_scores(df: DataFrame, vec: Column) -> DataFrame:
+            return (df.join(F.broadcast(cent_df))
+                    .withColumn("__scores", F.transform(
+                        F.col("__cents"),
+                        lambda c: F.struct(
+                            F.round(cosine(vec, c["vec"]), 6).alias("cos"),
+                            c["cid"].alias("cid"))))
+                    .drop("__cents"))
+    return with_scores
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -191,39 +244,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     top-k window runs over candidates only, never the whole corpus.
     Everything is deterministic double math — DuckDB can replay it
     bit-for-bit (ties broken by cos DESC, cid DESC)."""
-    if centroids is not None:
-        cents = [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids]
-        if not cents:
-            raise ValueError("ivf_topk: empty centroid list")
-    else:
-        cent_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-        if not cent_rows:
-            raise ValueError("ivf_topk: corpus has no rows to draw centroids from")
-        cents = [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
-    dim = len(cents[0][1])
-
-    if len(cents) * dim <= inline_max_literals:
-        def with_scores(df: DataFrame, vec: Column) -> DataFrame:
-            # array<struct<cos,cid>> so array_max / sort_array order by cos
-            # first, then cid — an explicit, engine-independent tie-break
-            return df.withColumn("__scores", F.array(*[
-                F.struct(F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 6).alias("cos"),
-                         F.lit(cid).alias("cid"))
-                for cid, cvec in cents
-            ]))
-    else:
-        cent_df = corpus.sparkSession.createDataFrame(
-            [([(cid, cvec) for cid, cvec in cents],)],
-            "__cents array<struct<cid:int,vec:array<double>>>")
-
-        def with_scores(df: DataFrame, vec: Column) -> DataFrame:
-            return (df.join(F.broadcast(cent_df))
-                    .withColumn("__scores", F.transform(
-                        F.col("__cents"),
-                        lambda c: F.struct(
-                            F.round(cosine(vec, c["vec"]), 6).alias("cos"),
-                            c["cid"].alias("cid"))))
-                    .drop("__cents"))
+    cents = _resolve_centroids(corpus, centroids, n_cells, id_col, vec_col,
+                               caller="ivf_topk")
+    with_scores = _centroid_scorer(corpus.sparkSession, cents,
+                                   inline_max_literals)
 
     corpus_cells = with_scores(corpus.select(id_col, vec_col), F.col(vec_col)) \
         .select(F.col(id_col), F.col(vec_col),
@@ -277,6 +301,73 @@ def cosine_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
              .filter(F.col("cos") >= threshold)
              .dropDuplicates(["doc_a", "doc_b"]))
     return pairs
+
+
+def semantic_dedupe(df: DataFrame, n_cells: int = 16,
+                    threshold: float = 0.95,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: list[tuple[int, list[float]]] | None = None,
+                    max_cell: int = 1024,
+                    inline_max_literals: int = 4096) -> DataFrame:
+    """SemDeDup (public technique: Abbas et al. 2023, arXiv:2303.09540):
+    cluster the corpus embeddings into k-means cells, find near-duplicate
+    pairs (cosine >= threshold) ONLY within each cell, group them into
+    connected components, and keep ONE representative per component — the
+    member LEAST similar to its cell centroid (the paper's keep-the-most-
+    atypical policy; it preserves coverage at the cluster edge), ties
+    broken on the smallest id. One verdict row per input vector:
+    (id_col, cell, cent_cos, component, is_kept) — component is NULL and
+    is_kept true for vectors with no near-duplicate; filter on is_kept for
+    the deduped corpus, or join the verdicts back for analytics.
+
+    Pass centroids=train_ivf_centroids(...) for Lloyd-refined cells (the
+    paper's setting); the default takes the n_cells smallest-id vectors so
+    the whole chain stays closed-form replayable.
+
+    Scale shape (100 TB of embeddings): cell assignment is the same
+    inline-literal / one-broadcast-row dispatch as ivf_topk — a pure
+    projection, no corpus shuffle; the pair search collects each CELL once
+    and unrolls ordered pairs only inside it (never a corpus self-join),
+    with max_cell capping degenerate cells exactly like
+    cosine_near_dups' max_bucket — at real scale pick n_cells so cells
+    average well under max_cell (the paper uses ~10^4-10^5 clusters).
+    Components run on the pair graph only (pairs are intra-cell, so a
+    component is <= one cell); the keeper window partitions by component —
+    every partition bounded by max_cell, no skew."""
+    from xema_spark.dedup import _ordered_pairs, connected_components
+
+    cents = _resolve_centroids(df, centroids, n_cells, id_col, vec_col,
+                               caller="semantic_dedupe")
+    with_scores = _centroid_scorer(df.sparkSession, cents,
+                                   inline_max_literals)
+    assigned = (with_scores(df.select(F.col(id_col).alias("doc"),
+                                      F.col(vec_col).alias("vec")),
+                            F.col("vec"))
+                .withColumn("_best", F.array_max("__scores"))
+                .select("doc", "vec",
+                        F.col("_best").getField("cid").alias("cell"),
+                        F.col("_best").getField("cos").alias("cent_cos")))
+    grouped = (assigned.groupBy("cell")
+               .agg(F.collect_list(F.struct(F.col("doc"), F.col("vec")))
+                    .alias("ds"))
+               .filter((F.size("ds") > 1) & (F.size("ds") <= max_cell)))
+    pairs = (grouped.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
+             .select(F.col("p.a.doc").alias("doc_a"),
+                     F.col("p.b.doc").alias("doc_b"),
+                     F.round(cosine(F.col("p.a.vec"), F.col("p.b.vec")), 6)
+                     .alias("cos"))
+             .filter(F.col("cos") >= F.lit(float(threshold)))
+             .select("doc_a", "doc_b"))
+    comp = connected_components(pairs)
+    w = Window.partitionBy("component").orderBy(F.asc("cent_cos"),
+                                                F.asc("doc"))
+    dup = (assigned.join(comp, "doc")
+           .withColumn("_rn", F.row_number().over(w))
+           .select("doc", "component", (F.col("_rn") == 1).alias("_kept")))
+    return (assigned.join(dup, "doc", "left")
+            .select(F.col("doc").alias(id_col), "cell", "cent_cos",
+                    "component",
+                    F.coalesce("_kept", F.lit(True)).alias("is_kept")))
 
 
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
