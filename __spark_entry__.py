@@ -952,6 +952,19 @@ def _q_dedup_semantic(spark, sf_dir):
             .withColumn("cell", F.col("cell").cast("long")))
 
 
+def _q_prototype_filter(spark, sf_dir):
+    """D4-style SSL-prototypes pruning (similarity.prototypicality_filter,
+    Tirumala et al. 2023): per-cell exact percentile threshold over the
+    centroid cosine, most-prototypical quarter dropped. The exact
+    `percentile` aggregate interpolates identically to DuckDB's
+    quantile_cont, so thresholds and verdicts replay bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    return (similarity.prototypicality_filter(emb, n_cells=16,
+                                              drop_frac=0.25)
+            .withColumn("cell", F.col("cell").cast("long")))
+
+
 def _q_ann_ivf(spark, sf_dir):
     """IVF top-k (the task's 'IVF variant as the scale path'): sampled
     centroids, n_probe-cell scan, exact rerank — oracle-checked (cell
@@ -1300,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_source_caps": _q_sample_source_caps,
         "decontaminate_semantic": _q_decontaminate_semantic,
         "dedup_semantic": _q_dedup_semantic,
+        "prototype_filter": _q_prototype_filter,
         "text_lm_score": _q_text_lm_score,
         "interleaved_render": _q_interleaved_render,
         "interleaved_normalize": _q_interleaved_normalize,
@@ -1317,7 +1331,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_pipeline": _q_cast_pipeline,
         # dataset scope (oracle-checked)
         "stats_documents": _q_stats_documents,
-        "uniqueness_users": _q_uniqueness_users,
         # training-pipeline ops (oracle-checked)
         "dedup_exact": _q_dedup_exact,
         "text_langid": _q_text_langid,
@@ -1376,6 +1389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green, semantics untouched; drift coverage stays in-window via
         # drift_run_report (the full cross-run gate) and
         # drift_group_quantiles (exact per-group quantiles)
+        # uniqueness_users demoted when prototype_filter joined: r1+r2+r3
+        # green, semantics untouched; duplicate-key detection coverage
+        # stays in-window via dedup_exact (the same hash-groupBy dup
+        # machinery) and stats_documents (distinct counts)
         # text_token_stats + text_quality demoted when interleaved_render/
         # interleaved_normalize joined: both r2+r3 green; token coverage
         # stays in-window via text_top_tokens + text_lm_score + pack_docs,
@@ -1384,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "v_required_dependencies": _q_v_required_dependencies,
         "drift_hist_nchars": _q_drift_hist_nchars,
+        "uniqueness_users": _q_uniqueness_users,
         "referential_users": _q_referential_users,
         "violations_explode": _q_violations_explode,
         "quantiles_nchars": _q_quantiles_nchars,
@@ -2510,6 +2528,36 @@ def oracle_sql() -> dict[str, str]:
             FROM {_T}""",
         "ann_ivf": _ivf_oracle_sql(),
         "dedup_semantic": _semantic_dedupe_oracle_sql(),
+        # per-cell exact percentile: Spark `percentile` and DuckDB
+        # quantile_cont share the linear-interpolation-at-rank-p*(n-1)
+        # definition, so the threshold — and therefore every verdict —
+        # replays exactly. 1 - drop_frac = 0.75.
+        "prototype_filter": """
+            WITH emb AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cents AS (SELECT vec_id AS cid, v AS cvec FROM emb
+                      ORDER BY vec_id LIMIT 16),
+            scored AS (
+              SELECT e.vec_id, c.cid,
+                     round(list_dot_product(e.v, c.cvec) /
+                           (sqrt(list_dot_product(e.v, e.v)) *
+                            sqrt(list_dot_product(c.cvec, c.cvec)) + 1e-12),
+                           6) AS cos
+              FROM emb e CROSS JOIN cents c
+            ),
+            assign AS MATERIALIZED (
+              SELECT vec_id, cid AS cell, cos AS cent_cos FROM (
+                SELECT vec_id, cid, cos,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cid DESC) AS rn
+                FROM scored) WHERE rn = 1
+            ),
+            thr AS (SELECT cell, quantile_cont(cent_cos, 0.75) AS t
+                    FROM assign GROUP BY cell)
+            SELECT a.vec_id, a.cell::BIGINT AS cell, a.cent_cos,
+                   (a.cent_cos < thr.t) AS is_kept
+            FROM assign a JOIN thr USING (cell)""",
         "dedup_components": f"""
             WITH RECURSIVE
             sh AS (

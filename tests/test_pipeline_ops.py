@@ -1003,3 +1003,61 @@ def test_semantic_dedupe_respects_max_cell_cap(spark):
                                      max_cell=5)
     assert out.filter(~F.col("is_kept")).count() == 0  # cap skipped the cell
     assert out.count() == 10
+
+
+def test_prototypicality_filter_drops_cell_cores(spark):
+    # cell 0: three prototypical vectors near the centroid + one edge
+    # vector; drop_frac 0.5 must drop from the top of the cent_cos order
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.045]), (3, [0.99, 0.14]),
+        (4, [0.8, 0.6]),                        # cluster edge (still cell 0)
+        (10, [0.0, 1.0]), (11, [0.14, 0.99]),   # second cell
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r["vec_id"]: r for r in similarity.prototypicality_filter(
+        df, centroids=cents, drop_frac=0.5).collect()}
+    assert len(out) == 6
+    # cell 0 threshold = median of its 4 cent_cos values: the two most
+    # prototypical (1, 2) drop, the two least (3, 4) survive
+    assert (out[1]["is_kept"], out[2]["is_kept"]) == (False, False)
+    assert (out[3]["is_kept"], out[4]["is_kept"]) == (True, True)
+    # cell 1: median of {cos(10), cos(11)} keeps only the edge vector
+    assert not out[10]["is_kept"] and out[11]["is_kept"]
+    assert out[4]["cell"] == 0 and out[11]["cell"] == 1
+
+
+def test_prototypicality_filter_plan_is_window_free(spark, emb):
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding"))
+    out = similarity.prototypicality_filter(e, n_cells=8, drop_frac=0.2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan            # threshold join, not a rank
+    assert "BroadcastHashJoin" in plan     # <= n_cells threshold rows
+    tot, kept = out.count(), out.filter("is_kept").count()
+    assert 0.65 < kept / tot < 0.9         # ~drop_frac realized
+
+
+def test_curate_semantic_dedup_stage(spark):
+    from xema_spark import pipeline
+
+    # docs 1 and 2 are token-distinct (MinHash can't pair them) but their
+    # embeddings are near-identical; 2 is the more atypical -> 1 drops.
+    # doc 3 has no embedding row and must pass through untouched.
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "a fast auburn canine leaps above the idle hound now"),
+         (3, "completely unrelated text about spark query planning")],
+        ["doc_id", "text"])
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.045, 0.0])],
+        ["vec_id", "embedding"])
+    kept = sorted(r["doc_id"] for r in pipeline.curate(
+        df, near_dup_threshold=None,
+        embeddings=emb, semantic_threshold=0.99,
+        semantic_cells=1).collect())
+    assert kept == [2, 3]
+    # embeddings=None keeps the stage out of the plan entirely
+    kept2 = sorted(r["doc_id"] for r in pipeline.curate(
+        df, near_dup_threshold=None).collect())
+    assert kept2 == [1, 2, 3]

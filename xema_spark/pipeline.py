@@ -56,6 +56,11 @@ def curate(
     max_per_source: int | None = None,
     source_col: str = "source",
     source_salt: str = "v1",
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_cells: int = 16,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
 ) -> DataFrame:
     """Curated corpus: rows that pass the rule + quality gates, with exact
     and near duplicates removed (keep the lowest id), optionally
@@ -66,7 +71,12 @@ def curate(
     quotas choose among otherwise-admitted docs, so they run after every
     quality/dedup gate; the kept set is content-addressed (re-drawable via
     source_salt) and the skew-proof pre-bound keeps a hot source from
-    becoming a straggler. Output keeps `lang`, `q_alpha_ratio`,
+    becoming a straggler. `embeddings=` adds a SemDeDup stage after the
+    token-level dedup: survivors whose embeddings form a near-duplicate
+    component (cosine >= semantic_threshold within a k-means cell) keep
+    only the most-atypical member — the paraphrase-level dedup MinHash
+    cannot see; docs without an embedding row pass through. Output keeps
+    `lang`, `q_alpha_ratio`,
     `top_ngram_frac`, `dup_ngram_frac` alongside the surviving columns so
     downstream sampling can stratify on them."""
     carry = [source_col] if max_per_source is not None else []
@@ -187,6 +197,26 @@ def curate(
         # choice live in dedup.near_dup_losers, shared with minhash_dedupe.
         q = q.join(dedup.near_dup_losers(dups, id_col, transitive),
                    id_col, "left_anti")
+
+    if embeddings is not None:
+        from xema_spark import similarity
+
+        # SemDeDup stage (Abbas et al. 2023): paraphrase-level duplicates
+        # the token-level MinHash chain above cannot see. Runs on the
+        # SURVIVORS' embeddings only (semi-join first — at this point the
+        # corpus has already been thinned by every cheaper gate), keeps
+        # each duplicate component's most-atypical member. Docs WITHOUT an
+        # embedding row pass through untouched (the verdict anti-join
+        # removes only ids flagged is_kept = false).
+        surv_emb = embeddings.select(
+            F.col(emb_id_col).alias(id_col), emb_vec_col).join(
+            q.select(id_col), id_col, "semi")
+        sem_losers = (similarity.semantic_dedupe(
+            surv_emb, n_cells=semantic_cells,
+            threshold=semantic_threshold,
+            id_col=id_col, vec_col=emb_vec_col)
+            .filter(~F.col("is_kept")).select(id_col))
+        q = q.join(sem_losers, id_col, "left_anti")
 
     if max_per_source is not None:
         from xema_spark import sampling

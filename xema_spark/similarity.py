@@ -370,6 +370,56 @@ def semantic_dedupe(df: DataFrame, n_cells: int = 16,
                     F.coalesce("_kept", F.lit(True)).alias("is_kept")))
 
 
+def prototypicality_filter(df: DataFrame, n_cells: int = 16,
+                           drop_frac: float = 0.2,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           centroids: list[tuple[int, list[float]]] | None = None,
+                           approx: bool = False,
+                           inline_max_literals: int = 4096) -> DataFrame:
+    """SSL-prototypes pruning (public technique: the D4 pipeline, Tirumala
+    et al. 2023 arXiv:2308.12284, building on Sorscher et al. 2022): drop
+    the `drop_frac` MOST prototypical vectors of each k-means cell — the
+    ones closest to their centroid carry the least marginal information;
+    the cluster edges carry the diversity. The complement of SemDeDup
+    (which removes near-IDENTICAL points); D4 runs both.
+
+    Per cell: thr = percentile(cent_cos, 1 - drop_frac); rows with
+    cent_cos >= thr are dropped. Returns one verdict row per vector:
+    (id_col, cell, cent_cos, is_kept) — interpolated-percentile ties make
+    the realized fraction approximate, which matches the technique (the
+    percentile is a soft knob, not an exact quota).
+
+    Scale shape: cell assignment is the shared inline/broadcast centroid
+    dispatch (no corpus shuffle); the threshold table is ONE
+    partial-aggregated groupBy(cell) of <= n_cells rows, broadcast back;
+    the verdict is then a pure projection — no window, no per-cell
+    straggler. The default exact `percentile` buffers each cell's values
+    in its aggregate (fine while cells fit an executor; it is also what
+    DuckDB's quantile_cont reproduces bit-for-bit for the oracle);
+    approx=True swaps in percentile_approx for production-sized cells —
+    identical plan shape, no oracle."""
+    if not 0.0 < drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in (0,1), got {drop_frac}")
+    cents = _resolve_centroids(df, centroids, n_cells, id_col, vec_col,
+                               caller="prototypicality_filter")
+    with_scores = _centroid_scorer(df.sparkSession, cents,
+                                   inline_max_literals)
+    assigned = (with_scores(df.select(F.col(id_col), F.col(vec_col)),
+                            F.col(vec_col))
+                .withColumn("_best", F.array_max("__scores"))
+                .select(F.col(id_col),
+                        F.col("_best").getField("cid").alias("cell"),
+                        F.col("_best").getField("cos").alias("cent_cos")))
+    p = float(1.0 - drop_frac)
+    fn = "percentile_approx" if approx else "percentile"
+    thr = (assigned.groupBy("cell")
+           .agg(F.expr(f"{fn}(cent_cos, {p!r})").alias("_thr")))
+    return (assigned.join(F.broadcast(thr), "cell")
+            .select(id_col, "cell", "cent_cos",
+                    (F.col("cent_cos") < F.col("_thr")).alias("is_kept")))
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         out_col: str = "qvec",
                         scale_col: str = "scale") -> DataFrame:
