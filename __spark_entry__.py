@@ -1160,6 +1160,19 @@ def _q_embed_quantize(spark, sf_dir):
         "recon_mae")
 
 
+def _q_sample_split(spark, sf_dir):
+    """Disjoint train/val/test split (sampling.hash_split): one label per
+    doc from contiguous 31-bit hash ranges — disjoint by construction,
+    identical membership in DuckDB (same md5 hash, same int-truncated
+    boundaries)."""
+    from xema_spark import sampling
+
+    d = _docs(spark, sf_dir, "doc_id")
+    return sampling.hash_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="split-v1", hash_fn="portable")
+
+
 def _q_sample_mixture(spark, sf_dir):
     """Recipe-driven mixture sampling (sampling.mixture_sample): target
     SHARES + a target size are turned into per-stratum rates from the
@@ -1303,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_tokens": _q_text_top_tokens,
         "sample_mixture": _q_sample_mixture,
         "sample_dsir": _q_sample_dsir,
+        "sample_split": _q_sample_split,
         "pack_docs": _q_pack_docs,
         "dedup_paragraphs": _q_dedup_paragraphs,
         "text_tfidf": _q_text_tfidf,
@@ -1333,7 +1347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_documents": _q_stats_documents,
         # training-pipeline ops (oracle-checked)
         "dedup_exact": _q_dedup_exact,
-        "text_langid": _q_text_langid,
         "text_winnow": _q_text_winnow,
         "text_repetition": _q_text_repetition,
         "text_pii": _q_text_pii,
@@ -1393,6 +1406,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green, semantics untouched; duplicate-key detection coverage
         # stays in-window via dedup_exact (the same hash-groupBy dup
         # machinery) and stats_documents (distinct counts)
+        # text_langid demoted when sample_split joined: r2+r3 green,
+        # semantics untouched; language-ID coverage stays in-window via
+        # pipeline_curate (its language gate runs lang_id_table) and
+        # sample_mixture (lang-keyed strata)
         # text_token_stats + text_quality demoted when interleaved_render/
         # interleaved_normalize joined: both r2+r3 green; token coverage
         # stays in-window via text_top_tokens + text_lm_score + pack_docs,
@@ -1402,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_required_dependencies": _q_v_required_dependencies,
         "drift_hist_nchars": _q_drift_hist_nchars,
         "uniqueness_users": _q_uniqueness_users,
+        "text_langid": _q_text_langid,
         "referential_users": _q_referential_users,
         "violations_explode": _q_violations_explode,
         "quantiles_nchars": _q_quantiles_nchars,
@@ -2823,6 +2841,20 @@ def oracle_sql() -> dict[str, str]:
     # so int() truncation can never diverge between engine and oracle
     from xema_spark.dedup import _P31 as _P
     _h31 = "(('0x' || substr(md5(doc_id::VARCHAR || '|v1'), 1, 15))::BIGINT % 2147483647)"
+    # split boundaries re-run hash_split's OWN float accumulation
+    # (int(cum * P31) after cum += wt), so float-addition drift can never
+    # diverge the literals; ranges are [lo, hi) over the same salted hash
+    _h31s = ("(('0x' || substr(md5(doc_id::VARCHAR || '|split-v1'), 1, 15))"
+             "::BIGINT % 2147483647)")
+    _branches, _cum = [], 0.0
+    for _name, _wt in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        _lo, _cum = int(_cum * _P), _cum + _wt
+        _branches.append(f"WHEN {_h31s} >= {_lo} AND {_h31s} < "
+                         f"{int(_cum * _P)} THEN '{_name}'")
+    out["sample_split"] = f"""
+        SELECT doc_id,
+               CASE {' '.join(_branches)} ELSE NULL END AS split
+        FROM {_T}"""
     out["sample_stratified"] = f"""
         SELECT doc_id, lang FROM {_T}
         WHERE {_h31} < CASE lang

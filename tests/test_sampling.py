@@ -166,3 +166,30 @@ def test_dsir_plan_shapes(spark):
     # top-k never full-sorts; both distributions ride broadcast joins
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_hash_split_disjoint_stable_and_sized(spark):
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sampling.hash_split(df, "doc_id", w)
+    per = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {"train", "val", "test"}   # full cover, no NULL
+    assert per["train"] + per["val"] + per["test"] == 4000
+    assert 0.75 < per["train"] / 4000 < 0.85
+    # partitioning-independent assignment
+    again = sampling.hash_split(df.repartition(7), "doc_id", w)
+    assert out.exceptAll(again).count() == 0
+    # holdout remainder labels NULL
+    hold = sampling.hash_split(df, "doc_id", {"train": 0.5})
+    n_null = hold.filter(F.col("split").isNull()).count()
+    assert 1700 < n_null < 2300
+    # shrinking a LATER split never moves rows between EARLIER ones
+    # (contiguous ranges: train's range is a prefix either way)
+    a = set(r["doc_id"] for r in sampling.hash_split(
+        df, "doc_id", {"train": 0.5, "val": 0.5}).filter(
+        "split = 'train'").collect())
+    b = set(r["doc_id"] for r in sampling.hash_split(
+        df, "doc_id", {"train": 0.5, "val": 0.1}).filter(
+        "split = 'train'").collect())
+    assert a == b

@@ -281,3 +281,36 @@ def dsir_sample(raw: DataFrame, target: DataFrame, id_col: str,
     return (w.withColumn("key", key)
             .orderBy(F.desc("key"), F.asc(id_col))
             .limit(k))
+
+
+def hash_split(df: DataFrame, id_col: str,
+               weights: dict[str, float],
+               salt: str = "split-v1",
+               hash_fn: str = "xxhash64",
+               out_col: str = "split") -> DataFrame:
+    """Disjoint train/val/test assignment: each row gets exactly one split
+    label, decided by where hash(id, salt) falls among contiguous ranges of
+    the 31-bit hash space sized by `weights` (which must sum to <= 1; any
+    remainder is labeled NULL — an explicit holdout). Content-addressed
+    like the samplers above: identical assignment on every
+    run/cluster/partitioning, disjoint BY CONSTRUCTION (ranges never
+    overlap — the failure mode of calling deterministic_sample twice with
+    different salts), and stable under corpus growth (a doc's label never
+    depends on other rows). Split boundaries use the same int-truncation
+    as deterministic_sample so an external SQL engine reproduces the
+    exact membership. One projection, no shuffle, pushdown-friendly."""
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total}, must be <= 1")
+    for name, wt in weights.items():
+        if wt < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {wt}")
+    h = _bucket31(F.col(id_col), salt, hash_fn)
+    expr: Column = F.lit(None).cast("string")
+    cum = 0.0
+    for name, wt in weights.items():
+        lo, cum = int(cum * _P31), cum + wt
+        hi = int(cum * _P31)
+        expr = F.when((h >= F.lit(lo)) & (h < F.lit(hi)),
+                      F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
