@@ -2115,25 +2115,30 @@ def _ivf_oracle_sql(k: int = 10, n_cells: int = 16, n_probe: int = 4,
         ) WHERE rank <= {k}"""
 
 
-def _semantic_dedupe_oracle_sql(n_cells: int = 16,
-                                threshold: float = 0.3) -> str:
-    """DuckDB replica of _q_dedup_semantic: centroid assignment (ties cos
-    DESC, cid DESC — same as the struct array_max), intra-cell pairs at
-    cos >= threshold, recursive-CTE min-label components, and the
-    keep-the-most-atypical window (cent_cos ASC, vec_id ASC)."""
-    cos = ("round(list_dot_product({a}, {b}) / "
-           "(sqrt(list_dot_product({a}, {a})) * "
-           "sqrt(list_dot_product({b}, {b})) + 1e-12), 6)")
+_COS_SQL = ("round(list_dot_product({a}, {b}) / "
+            "(sqrt(list_dot_product({a}, {a})) * "
+            "sqrt(list_dot_product({b}, {b})) + 1e-12), 6)")
+
+
+def _centroid_assign_cte(n_cells: int) -> str:
+    """Shared emb/cents/scored/assign CTE block: the DuckDB replica of
+    similarity._resolve_centroids (default draw: n_cells smallest-id
+    vectors, labeled POSITIONALLY by rank in id order) + _centroid_scorer
+    assignment (round-6 cosine, ties cos DESC cid DESC — the struct
+    array_max order). Both dedup_semantic and prototype_filter build on
+    this so the two oracles cannot drift, mirroring the engine-side
+    shared _centroid_scorer."""
     return f"""
-        WITH RECURSIVE
         emb AS (
           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ),
-        cents AS (SELECT vec_id AS cid, v AS cvec FROM emb
-                  ORDER BY vec_id LIMIT {n_cells}),
+        cents AS (
+          SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+                 v AS cvec
+          FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_cells})),
         scored AS (
           SELECT e.vec_id, c.cid,
-                 {cos.format(a='e.v', b='c.cvec')} AS cos
+                 {_COS_SQL.format(a='e.v', b='c.cvec')} AS cos
           FROM emb e CROSS JOIN cents c
         ),
         assign AS MATERIALIZED (
@@ -2142,14 +2147,29 @@ def _semantic_dedupe_oracle_sql(n_cells: int = 16,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY cos DESC, cid DESC) AS rn
             FROM scored) WHERE rn = 1
-        ),
+        )"""
+
+
+def _semantic_dedupe_oracle_sql(n_cells: int = 16, threshold: float = 0.3,
+                                max_cell: int = 1024) -> str:
+    """DuckDB replica of _q_dedup_semantic: shared centroid assignment
+    (_centroid_assign_cte), intra-cell pairs at cos >= threshold with the
+    SAME max_cell skew cap the engine applies (an over-cap cell yields no
+    pairs on either side), recursive-CTE min-label components, and the
+    keep-the-most-atypical window (cent_cos ASC, vec_id ASC)."""
+    return f"""
+        WITH RECURSIVE
+        {_centroid_assign_cte(n_cells)},
+        csz AS (SELECT cell, count(*) AS n FROM assign GROUP BY cell),
         pairs AS MATERIALIZED (
           SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
           FROM assign a JOIN assign b
             ON a.cell = b.cell AND a.vec_id < b.vec_id
+          JOIN csz ON csz.cell = a.cell
           JOIN emb ea ON ea.vec_id = a.vec_id
           JOIN emb eb ON eb.vec_id = b.vec_id
-          WHERE {cos.format(a='ea.v', b='eb.v')} >= {threshold}
+          WHERE csz.n <= {max_cell}
+            AND {_COS_SQL.format(a='ea.v', b='eb.v')} >= {threshold}
         ),
         edges AS (
           SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2549,28 +2569,10 @@ def oracle_sql() -> dict[str, str]:
         # per-cell exact percentile: Spark `percentile` and DuckDB
         # quantile_cont share the linear-interpolation-at-rank-p*(n-1)
         # definition, so the threshold — and therefore every verdict —
-        # replays exactly. 1 - drop_frac = 0.75.
-        "prototype_filter": """
-            WITH emb AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ),
-            cents AS (SELECT vec_id AS cid, v AS cvec FROM emb
-                      ORDER BY vec_id LIMIT 16),
-            scored AS (
-              SELECT e.vec_id, c.cid,
-                     round(list_dot_product(e.v, c.cvec) /
-                           (sqrt(list_dot_product(e.v, e.v)) *
-                            sqrt(list_dot_product(c.cvec, c.cvec)) + 1e-12),
-                           6) AS cos
-              FROM emb e CROSS JOIN cents c
-            ),
-            assign AS MATERIALIZED (
-              SELECT vec_id, cid AS cell, cos AS cent_cos FROM (
-                SELECT vec_id, cid, cos,
-                       row_number() OVER (PARTITION BY vec_id
-                                          ORDER BY cos DESC, cid DESC) AS rn
-                FROM scored) WHERE rn = 1
-            ),
+        # replays exactly. 1 - drop_frac = 0.75. Assignment CTEs shared
+        # with dedup_semantic (_centroid_assign_cte).
+        "prototype_filter": f"""
+            WITH {_centroid_assign_cte(16)},
             thr AS (SELECT cell, quantile_cont(cent_cos, 0.75) AS t
                     FROM assign GROUP BY cell)
             SELECT a.vec_id, a.cell::BIGINT AS cell, a.cent_cos,

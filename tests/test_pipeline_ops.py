@@ -1061,3 +1061,28 @@ def test_curate_semantic_dedup_stage(spark):
     kept2 = sorted(r["doc_id"] for r in pipeline.curate(
         df, near_dup_threshold=None).collect())
     assert kept2 == [1, 2, 3]
+
+
+def test_curate_semantic_stage_string_ids_and_no_embedded_survivors(spark):
+    from xema_spark import pipeline
+
+    # string doc ids: the default centroid draw must label cells
+    # positionally, not int() the ids
+    df = spark.createDataFrame(
+        [("doc-a", "the quick brown fox jumps over the lazy dog today"),
+         ("doc-b", "a fast auburn canine leaps above the idle hound now")],
+        ["doc_id", "text"])
+    emb = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.9999, 0.015])],
+        ["vec_id", "embedding"])
+    kept = sorted(r["doc_id"] for r in pipeline.curate(
+        df, near_dup_threshold=None, embeddings=emb,
+        semantic_threshold=0.99, semantic_cells=1).collect())
+    assert kept == ["doc-b"]               # the more atypical member wins
+    # embeddings that intersect ZERO survivors: stage is a no-op, not a
+    # crash (the documented pass-through contract)
+    emb_disjoint = spark.createDataFrame(
+        [("doc-zz", [1.0, 0.0])], ["vec_id", "embedding"])
+    kept2 = sorted(r["doc_id"] for r in pipeline.curate(
+        df, near_dup_threshold=None, embeddings=emb_disjoint).collect())
+    assert kept2 == ["doc-a", "doc-b"]

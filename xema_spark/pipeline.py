@@ -208,15 +208,28 @@ def curate(
         # each duplicate component's most-atypical member. Docs WITHOUT an
         # embedding row pass through untouched (the verdict anti-join
         # removes only ids flagged is_kept = false).
+        if cache_survivors:
+            # boundary before this stage: semantic_dedupe collects its
+            # default centroids EAGERLY and the stage references the
+            # survivor frame three times (semi-join, centroid draw, final
+            # anti-join) — without the leaf, the near-dup chain above
+            # would re-execute per reference AND once at centroid-draw
+            # time (the 56efc7f lesson).
+            q = q.localCheckpoint(eager=True)
         surv_emb = embeddings.select(
             F.col(emb_id_col).alias(id_col), emb_vec_col).join(
             q.select(id_col), id_col, "semi")
-        sem_losers = (similarity.semantic_dedupe(
-            surv_emb, n_cells=semantic_cells,
-            threshold=semantic_threshold,
-            id_col=id_col, vec_col=emb_vec_col)
-            .filter(~F.col("is_kept")).select(id_col))
-        q = q.join(sem_losers, id_col, "left_anti")
+        # zero embedded survivors => zero losers: skip rather than let the
+        # centroid draw raise on an empty frame (the documented contract
+        # is "docs without an embedding row pass through"). The probe is
+        # bounded — it reads from the checkpoint leaf, not the full chain.
+        if not surv_emb.isEmpty():
+            sem_losers = (similarity.semantic_dedupe(
+                surv_emb, n_cells=semantic_cells,
+                threshold=semantic_threshold,
+                id_col=id_col, vec_col=emb_vec_col)
+                .filter(~F.col("is_kept")).select(id_col))
+            q = q.join(sem_losers, id_col, "left_anti")
 
     if max_per_source is not None:
         from xema_spark import sampling

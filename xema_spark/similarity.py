@@ -170,8 +170,10 @@ def _resolve_centroids(corpus: DataFrame, centroids, n_cells: int,
                        caller: str) -> list[tuple[int, list[float]]]:
     """Normalize the centroid argument both IVF consumers share: an
     explicit (cid, vec) list (e.g. train_ivf_centroids output) passes
-    through; None falls back to the n_cells smallest-id corpus vectors —
-    deterministic, so oracles can re-derive it."""
+    through; None falls back to the n_cells smallest-id corpus vectors,
+    labeled POSITIONALLY 0..n-1 (cell ids are labels, not row ids — the
+    corpus id may be a string, which int() would crash on). Deterministic
+    either way, so oracles can re-derive it (rank-in-id-order)."""
     if centroids is not None:
         cents = [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids]
         if not cents:
@@ -181,7 +183,7 @@ def _resolve_centroids(corpus: DataFrame, centroids, n_cells: int,
         .limit(n_cells).collect()
     if not cent_rows:
         raise ValueError(f"{caller}: corpus has no rows to draw centroids from")
-    return [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows]
+    return [(i, [float(x) for x in r[1]]) for i, r in enumerate(cent_rows)]
 
 
 def _centroid_scorer(session, cents: list[tuple[int, list[float]]],
