@@ -349,14 +349,22 @@ def semantic_dedupe(df: DataFrame, n_cells: int = 16,
                 .select("doc", "vec",
                         F.col("_best").getField("cid").alias("cell"),
                         F.col("_best").getField("cos").alias("cent_cos")))
-    grouped = (assigned.groupBy("cell")
-               .agg(F.collect_list(F.struct(F.col("doc"), F.col("vec")))
+    # per-VECTOR norm staged before the pair unroll: the pair cosine then
+    # needs one interpreted-HOF fold (the dot) instead of three, same
+    # float ops in the same order so round-6 values are bit-identical
+    # (measured 1.15x on the sf0.1 pair stage, SCALING.md "SemDeDup")
+    staged = assigned.withColumn("_n", norm(F.col("vec")))
+    grouped = (staged.groupBy("cell")
+               .agg(F.collect_list(
+                   F.struct(F.col("doc"), F.col("vec"), F.col("_n")))
                     .alias("ds"))
                .filter((F.size("ds") > 1) & (F.size("ds") <= max_cell)))
     pairs = (grouped.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
              .select(F.col("p.a.doc").alias("doc_a"),
                      F.col("p.b.doc").alias("doc_b"),
-                     F.round(cosine(F.col("p.a.vec"), F.col("p.b.vec")), 6)
+                     F.round(dot(F.col("p.a.vec"), F.col("p.b.vec"))
+                             / (F.col("p.a._n") * F.col("p.b._n")
+                                + F.lit(1e-12)), 6)
                      .alias("cos"))
              .filter(F.col("cos") >= F.lit(float(threshold)))
              .select("doc_a", "doc_b"))
