@@ -1086,3 +1086,57 @@ def test_curate_semantic_stage_string_ids_and_no_embedded_survivors(spark):
     kept2 = sorted(r["doc_id"] for r in pipeline.curate(
         df, near_dup_threshold=None, embeddings=emb_disjoint).collect())
     assert kept2 == ["doc-a", "doc-b"]
+
+
+def test_semantic_dedupe_invariants_random_vectors(spark):
+    # structural invariants on a seeded random corpus: one verdict per
+    # vector, exactly ONE kept member per duplicate component, NULL
+    # component always kept
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(12, 8))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(int(rng.integers(1, 4))):   # 1-3 near-copies each
+            v = b + rng.normal(scale=1e-3, size=8)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.semantic_dedupe(df, n_cells=4, threshold=0.999).collect()
+    assert len(out) == len(rows)
+    comps = {}
+    for r in out:
+        if r["component"] is None:
+            assert r["is_kept"]
+        else:
+            comps.setdefault(r["component"], []).append(r)
+    for comp, members in comps.items():
+        assert sum(1 for m in members if m["is_kept"]) == 1
+        assert len(members) >= 2           # a component is never a singleton
+        # the kept member is the component argmin (cent_cos, vec_id)
+        want = min(members, key=lambda m: (m["cent_cos"], m["vec_id"]))
+        assert want["is_kept"]
+
+
+def test_prototypicality_filter_invariants_random_vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.prototypicality_filter(df, n_cells=4,
+                                            drop_frac=0.3).collect()
+    assert len(out) == 80
+    # within every cell, NO dropped vector is less prototypical than a
+    # kept one (the threshold is a clean cut in cent_cos order)
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        kept_max = max((m["cent_cos"] for m in members if m["is_kept"]),
+                       default=None)
+        drop_min = min((m["cent_cos"] for m in members if not m["is_kept"]),
+                       default=None)
+        if kept_max is not None and drop_min is not None:
+            assert drop_min >= kept_max
