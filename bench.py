@@ -548,10 +548,17 @@ def run_headline_queries(cpus: int) -> dict[str, float]:
     qs = entrymod.queries()
     out: dict[str, float] = {}
     try:
-        # untimed session warm-up: parquet footer reads + a first job so the
-        # first timed query isn't charged session/codegen startup
-        spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-        spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        # untimed session warm-up. Full-column noop scans, NOT counts: a
+        # parquet count() is answered from row-group metadata without
+        # touching the data pages, so the OS page cache stays cold and the
+        # first timed queries pay 2-4x real IO (measured: flagship 14.4s
+        # cold vs 2.2s warm on back-to-back runs after hours of idle —
+        # BENCH/history.jsonl ts 1787089368 vs 1787089458). The noop write
+        # reads every column JVM-side and also absorbs session/codegen
+        # startup.
+        for t in ("documents", "events", "embeddings"):
+            (spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+             .write.format("noop").mode("overwrite").save())
         for name in names:
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
