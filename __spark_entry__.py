@@ -5,7 +5,8 @@ entry()    — flagship single-pass validation over sf0.001, returning per-row
              deterministically from the flat documents table.
 queries()  — one entry per implemented operator family (SURVEY.md §2 +
              training-pipeline ops); each callable takes (spark, sf_dir).
-oracle_sql() — DuckDB-equivalent ANSI SQL for EVERY query (63/63): column
+oracle_sql() — DuckDB-equivalent ANSI SQL for EVERY query in queries()
+             (pinned by test_every_query_has_an_oracle): column
              names/aliases match EXACTLY; doubles rounded identically on
              both sides. Hash-chain queries use the portable md5-derived
              flavor; generated-input queries re-derive the closed-form

@@ -22,6 +22,7 @@ commands on stdin, prints one JSON line per rep.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -550,14 +551,19 @@ def run_headline_queries(cpus: int) -> dict[str, float]:
     try:
         # untimed session warm-up. Full-column noop scans, NOT counts: a
         # parquet count() is answered from row-group metadata without
-        # touching the data pages, so the OS page cache stays cold and the
-        # first timed queries pay 2-4x real IO (measured: flagship 14.4s
-        # cold vs 2.2s warm on back-to-back runs after hours of idle —
-        # BENCH/history.jsonl ts 1787089368 vs 1787089458). The noop write
-        # reads every column JVM-side and also absorbs session/codegen
-        # startup.
-        for t in ("documents", "events", "embeddings"):
-            (spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        # touching the data pages, so the OS page cache stayed cold and
+        # the first timed IO-bound queries paid 2-4x (measured on
+        # back-to-back runs after hours of idle, BENCH/history.jsonl ts
+        # 1787089368 vs 1787089458: v_strlen_pattern 5.0s -> 2.8s,
+        # dedup_minhash_pairs 20.5s -> 7.3s; validated by sync +
+        # drop_caches + rerun with this warm-up, which matched or beat
+        # all prior minima). The IO-free generated-corpus queries'
+        # cold-run inflation is NOT page cache — JIT/steal explain those —
+        # so the noop scans warm EVERY table under SF_DIR rather than a
+        # hand-picked list (referential_users reads customer.parquet too),
+        # and the first noop job also absorbs session startup.
+        for pq in sorted(glob.glob(f"{SF_DIR}/*.parquet")):
+            (spark.read.parquet(pq)
              .write.format("noop").mode("overwrite").save())
         for name in names:
             t0 = time.time()

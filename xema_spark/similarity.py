@@ -28,8 +28,15 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with pre-staged norms — the ONE definition of the epsilon
+    guard, so a caller that stages per-vector norms (one fold per pair
+    instead of three) can never drift from cosine() proper."""
+    return dot(a, b) / (na * nb + F.lit(1e-12))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b) + F.lit(1e-12))
+    return cosine_from_norms(a, b, norm(a), norm(b))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -362,9 +369,9 @@ def semantic_dedupe(df: DataFrame, n_cells: int = 16,
     pairs = (grouped.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
              .select(F.col("p.a.doc").alias("doc_a"),
                      F.col("p.b.doc").alias("doc_b"),
-                     F.round(dot(F.col("p.a.vec"), F.col("p.b.vec"))
-                             / (F.col("p.a._n") * F.col("p.b._n")
-                                + F.lit(1e-12)), 6)
+                     F.round(cosine_from_norms(
+                         F.col("p.a.vec"), F.col("p.b.vec"),
+                         F.col("p.a._n"), F.col("p.b._n")), 6)
                      .alias("cos"))
              .filter(F.col("cos") >= F.lit(float(threshold)))
              .select("doc_a", "doc_b"))
