@@ -991,6 +991,15 @@ def _q_sample_stratified(spark, sf_dir):
         .select("doc_id", "lang")
 
 
+def _q_text_bm25(spark, sf_dir):
+    """BM25 keyword relevance (text.bm25_scores — Robertson/Okapi, the
+    Lucene form): per-doc score against a fixed term set. Every stage is
+    integer counts + double arithmetic rounded once at the end, so DuckDB
+    replays tf, df, N/avgdl and the k1/b saturation exactly."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    return text.bm25_scores(d, "doc_id", ["join", "broadcast", "shuffle"])
+
+
 def _q_text_top_tokens(spark, sf_dir):
     """Corpus vocabulary heavy-hitters: explode->one groupBy->TakeOrdered
     top-k with a token tie-break; DuckDB unnests the same token stream."""
@@ -1330,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "prototype_filter": _q_prototype_filter,
         "text_lm_score": _q_text_lm_score,
+        "text_bm25": _q_text_bm25,
         "interleaved_render": _q_interleaved_render,
         "interleaved_normalize": _q_interleaved_normalize,
         # -- r3-evicted, back in the window --
@@ -1349,7 +1359,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-pipeline ops (oracle-checked)
         "dedup_exact": _q_dedup_exact,
         "text_winnow": _q_text_winnow,
-        "text_repetition": _q_text_repetition,
         "text_pii": _q_text_pii,
         "sim_knn_threshold": _q_sim_knn_threshold,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -1411,6 +1420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semantics untouched; language-ID coverage stays in-window via
         # pipeline_curate (its language gate runs lang_id_table) and
         # sample_mixture (lang-keyed strata)
+        # text_repetition demoted when text_bm25 joined: r2+r3 green,
+        # semantics untouched; the repetition gates stay in-window inside
+        # pipeline_curate (its top_ngram_frac/dup_ngram_frac filters run
+        # repetition_signals on survivors)
         # text_token_stats + text_quality demoted when interleaved_render/
         # interleaved_normalize joined: both r2+r3 green; token coverage
         # stays in-window via text_top_tokens + text_lm_score + pack_docs,
@@ -1421,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_hist_nchars": _q_drift_hist_nchars,
         "uniqueness_users": _q_uniqueness_users,
         "text_langid": _q_text_langid,
+        "text_repetition": _q_text_repetition,
         "referential_users": _q_referential_users,
         "violations_explode": _q_violations_explode,
         "quantiles_nchars": _q_quantiles_nchars,
@@ -3031,6 +3045,37 @@ def oracle_sql() -> dict[str, str]:
           FROM {_T} d LEFT JOIN w USING (doc_id))
         SELECT doc_id, n_grams, log_w, "key"
         FROM keyed ORDER BY "key" DESC, doc_id LIMIT 50"""
+
+    # BM25: identical tokenization, tf/df over the term set, N + avgdl
+    # (null-text docs count as 0-token docs on BOTH sides), the Okapi
+    # saturation with k1=1.2 b=0.75, round-6 after the per-doc sum
+    out["text_bm25"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '') AS tk
+          FROM {_T}),
+        dls AS (SELECT doc_id, COALESCE(len(tk), 0) AS dl FROM base),
+        stats AS (SELECT count(*)::BIGINT AS n_docs,
+                         avg(dl)::DOUBLE AS avgdl FROM dls),
+        tf AS MATERIALIZED (
+          SELECT b.doc_id, d.dl, t, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest(tk) AS t FROM base) b
+          JOIN dls d USING (doc_id)
+          WHERE t IN ('join', 'broadcast', 'shuffle')
+          GROUP BY 1, 2, 3),
+        dfreq AS (SELECT t, count(*)::BIGINT AS df_t FROM tf GROUP BY 1),
+        scored AS (
+          SELECT tf.doc_id, count(*)::BIGINT AS n_terms_hit,
+                 sum(ln(1.0 + (s.n_docs - df_t + 0.5) / (df_t + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / s.avgdl))) AS sc
+          FROM tf JOIN dfreq USING (t) CROSS JOIN stats s
+          GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(s.n_terms_hit, 0)::BIGINT AS n_terms_hit,
+               round(COALESCE(s.sc, 0.0), 6) AS bm25
+        FROM {_T} d LEFT JOIN scored s USING (doc_id)"""
 
     # bigram LM: identical tokenization, both count tables, vocab size and
     # the add-0.5 smoothed nll; round-6 AFTER the average (unordered double

@@ -1140,3 +1140,34 @@ def test_prototypicality_filter_invariants_random_vectors(spark):
                        default=None)
         if kept_max is not None and drop_min is not None:
             assert drop_min >= kept_max
+
+
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "spark spark engine"),       # tf(spark)=2, dl=3
+         (2, "engine room"),              # no query term... engine is one
+         (3, "the cat sat"),              # no hits
+         (4, None)],                      # null text -> 0
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.bm25_scores(
+        df, "doc_id", ["spark", "engine"]).collect()}
+    assert len(got) == 4
+    assert got[3]["bm25"] == 0.0 and got[3]["n_terms_hit"] == 0
+    assert got[4]["bm25"] == 0.0
+    assert got[1]["n_terms_hit"] == 2 and got[2]["n_terms_hit"] == 1
+    # hand computation: N=4, avgdl = mean(3, 2, 3, 0) — null text counts
+    # as a 0-token doc (the operator guards legacy size(NULL) = -1)
+    k1, b = 1.2, 0.75
+    N = 4
+    avgdl = (3 + 2 + 3 + 0) / 4
+    def idf(df_t):
+        return math.log(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    def part(tf, dl, df_t):
+        return idf(df_t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    want1 = part(2, 3, 1) + part(1, 3, 2)   # spark df=1, engine df=2
+    want2 = part(1, 2, 2)
+    assert abs(got[1]["bm25"] - round(want1, 6)) < 1e-9
+    assert abs(got[2]["bm25"] - round(want2, 6)) < 1e-9
+    assert got[1]["bm25"] > got[2]["bm25"]

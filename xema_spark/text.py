@@ -378,3 +378,60 @@ def lm_score(df: DataFrame, id_col: str, text_col: str = "text",
                     F.col("_nll").isNotNull().alias("scoreable"),
                     F.round("_nll", 6).alias("avg_nll"),
                     F.round(F.exp("_nll"), 6).alias("ppl")))
+
+
+def bm25_scores(df: DataFrame, id_col: str, query_terms: list[str],
+                text_col: str = "text", k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """Per-document BM25 relevance against a fixed term set (public:
+    Robertson-Sparck Jones probabilistic relevance, the Lucene/Okapi form)
+    — the lexical-retrieval complement of the embedding ANN family, and
+    the scoring a keyword-targeted corpus slice ("find the docs about X
+    to upsample") needs:
+
+        score(d) = sum_t idf(t) * tf(t,d)*(k1+1)
+                   / (tf(t,d) + k1*(1 - b + b*|d|/avgdl))
+        idf(t)   = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+
+    with |d| the doc's token count and avgdl the corpus mean. One row per
+    input doc: (id_col, n_terms_hit, bm25), score 0.0 for docs hitting no
+    term, round-6 doubles.
+
+    Scale shape (100 TB corpus, small term set): the token stream is
+    exploded ONCE and filtered to the query terms immediately (the filter
+    rides before the groupBy, so the corpus-wide shuffle carries only
+    matching tokens); df_t aggregates the already doc-distinct tf frame;
+    N/avgdl ride as one broadcast row; final reduce is ONE
+    partial-aggregated groupBy(doc). The term list is a plan literal —
+    fine for the 10^1-10^3 terms a slice query uses."""
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = tokens(F.col(text_col))
+    # dl guard: size(tokens(NULL)) is -1 under legacy sizeOfNull — a
+    # null-text doc must contribute 0 tokens to avgdl, not -1
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.when(F.col(text_col).isNotNull(), F.size(toks))
+                     .otherwise(F.lit(0)).alias("dl"),
+                     toks.alias("_tk"))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    tf = (base.select("doc", "dl", F.explode("_tk").alias("t"))
+          .filter(F.col("t").isin(*terms))
+          .groupBy("doc", "dl", "t").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5)))
+    part = (idf * F.col("tf") * F.lit(k1 + 1.0)
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+               + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(dfreq), "t")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc")
+              .agg(F.count(F.lit(1)).alias("n_terms_hit"),
+                   F.sum(part).alias("_s")))
+    return (df.select(F.col(id_col))
+            .join(scored, F.col(id_col) == F.col("doc"), "left").drop("doc")
+            .select(id_col,
+                    F.coalesce("n_terms_hit", F.lit(0)).alias("n_terms_hit"),
+                    F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("bm25")))
