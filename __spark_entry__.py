@@ -649,6 +649,69 @@ def _q_referential_spans(spark, sf_dir):
         .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
 
 
+def _q_pack_report(spark, sf_dir):
+    """Packing-efficiency report (packing.packing_stats) over the same
+    pack_sequences layout as pack_docs: per bucket, bin count (integer-
+    exact), tail fill and the straddle count a loss-masking trainer cares
+    about — one map-side-combined groupBy on the packed frame."""
+    from xema_spark import packing
+
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    packed = packing.pack_sequences(d, budget=512, n_buckets=8,
+                                    hash_fn="portable")
+    return packing.packing_stats(packed, budget=512)
+
+
+def _q_referential_spans_salted(spark, sf_dir):
+    """Same referential check as referential_spans but through the SALTED
+    sort-merge anti-join path (stats.referential_violations with
+    broadcast_dim=False, salt_buckets=8): the dim side explodes into 8
+    salted copies so a skewed probe side (hot media_refs land in ~30% of
+    media spans by construction) spreads each hot key over 8 reducers —
+    the north_rule's explicit skew handling, driver-checked against the
+    SAME oracle as the broadcast flavor (plan changes, answer must not)."""
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    docs = gen_documents(spark, n)
+    assets = gen_assets(spark, n)
+    refs = docs.select("doc_id", F.explode("spans.media_ref").alias("media_ref")) \
+        .filter(F.col("media_ref").isNotNull())
+    return stats.referential_violations(refs, "media_ref", assets, "media_ref",
+                                        broadcast_dim=False, salt_buckets=8) \
+        .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
+
+
+def _q_asset_hot_refs(spark, sf_dir):
+    """Hot-media-ref skew detector (interleaved.hot_refs): top-15 assets by
+    reference count with corpus share + hot flag — the measurement that
+    sizes salt_buckets for the referential join. One rollup shuffle carries
+    both the per-ref counts and the grand total; TakeOrderedAndProject cuts
+    to k+1 rows before the tiny share window."""
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    return interleaved.hot_refs(gen_documents(spark, n),
+                                top_k=15, hot_share=0.01)
+
+
+def _q_pack_interleaved(spark, sf_dir):
+    """Token-budget packing over the INTERLEAVED corpus: per-doc cost from
+    interleaved.token_cost (text spans = whitespace tokens, media spans =
+    flat 64-token vision budget, malformed spans 0), duplicate doc_ids
+    (the every-101st uniqueness injection) summed into one packing unit,
+    then packing.pack_sequences lays docs on the per-bucket token stream.
+    Cost fold is a pure projection; the only shuffles are the doc_id
+    pre-aggregation and the pack bucket."""
+    from xema_spark import packing
+
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    costed = interleaved.token_cost(gen_documents(spark, n), media_cost=64)
+    per_doc = costed.groupBy("doc_id").agg(F.sum("n_tokens").alias("n_tokens"))
+    return packing.pack_sequences(per_doc, token_col="n_tokens", budget=2048,
+                                  n_buckets=8, hash_fn="portable") \
+        .select("doc_id", "n_tokens", "bucket", "bin", "bin_offset")
+
+
 def _q_interleaved_render(spark, sf_dir):
     """Training-text assembly over the interleaved corpus
     (interleaved.render_text): span pieces ordered by (offset, position),
@@ -1342,6 +1405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": _q_text_bm25,
         "interleaved_render": _q_interleaved_render,
         "interleaved_normalize": _q_interleaved_normalize,
+        "pack_interleaved": _q_pack_interleaved,
+        "pack_report": _q_pack_report,
+        "asset_hot_refs": _q_asset_hot_refs,
+        "referential_spans_salted": _q_referential_spans_salted,
         # -- r3-evicted, back in the window --
         "referential_spans": _q_referential_spans,
         "sim_near_dups": _q_sim_near_dups,
@@ -1358,13 +1425,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_documents": _q_stats_documents,
         # training-pipeline ops (oracle-checked)
         "dedup_exact": _q_dedup_exact,
-        "text_winnow": _q_text_winnow,
-        "text_pii": _q_text_pii,
         "sim_knn_threshold": _q_sim_knn_threshold,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "ann_ivf": _q_ann_ivf,
-        "ann_ivf_bcast": _q_ann_ivf_bcast,
         # custom hooks + multi-rule + map/ref keywords
         "v_custom_validator": _q_v_custom_validator,
         "v_map_keywords": _q_v_map_keywords,
@@ -1428,6 +1491,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interleaved_normalize joined: both r2+r3 green; token coverage
         # stays in-window via text_top_tokens + text_lm_score + pack_docs,
         # quality-ratio coverage via pipeline_curate's fused quality gate
+        # text_winnow + text_pii + ann_ivf_bcast demoted when
+        # pack_interleaved/asset_hot_refs/referential_spans_salted joined:
+        # all three r2+r3 (winnow/pii) or r3 (ivf_bcast) driver-green, so
+        # union(r3, r4) coverage is preserved; fingerprint coverage stays
+        # in-window via dedup_exact + the minhash chain, regex-scrub
+        # machinery via the flagship's pattern keywords, and the broadcast
+        # centroid plan shape via ann_ivf + ann_ivf_trained (same
+        # _centroid_scorer; bcast is a plan variant sharing ann_ivf's
+        # oracle, still asserted by tests/test_plans.py every run)
+        # dedup_simhash_pairs demoted when pack_report joined: r2+r3
+        # driver-green, semantics untouched; Hamming-band near-dup
+        # coverage stays in-window via the minhash chain (same LSH
+        # banding machinery) and dedup_best_keeper (simhash-adjacent
+        # signature dedup), and the operator stays oracle-checked in CI
+        "text_winnow": _q_text_winnow,
+        "text_pii": _q_text_pii,
+        "ann_ivf_bcast": _q_ann_ivf_bcast,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "v_required_dependencies": _q_v_required_dependencies,
@@ -2291,6 +2372,63 @@ def _interleaved_normalize_oracle_sql(n: int = 20000) -> str:
         WINDOW w AS (PARTITION BY i ORDER BY o, j)"""
 
 
+def _asset_hot_refs_oracle_sql(n: int = 20000, k: int = 15,
+                               hot_share: float = 0.01) -> str:
+    """Replays hot_refs: per-ref counts, grand total as the denominator,
+    the same (n_refs DESC, ref ASC) deterministic cut to k rows."""
+    return f"""
+        WITH {_interleaved_span_cte(n)},
+        r AS (SELECT media_ref FROM s WHERE media_ref IS NOT NULL),
+        c AS (SELECT media_ref, count(*)::BIGINT AS n_refs
+              FROM r GROUP BY media_ref),
+        t AS (SELECT sum(n_refs)::BIGINT AS total FROM c),
+        k AS (SELECT media_ref, n_refs FROM c
+              ORDER BY n_refs DESC, media_ref ASC LIMIT {k})
+        SELECT media_ref, n_refs,
+               round(n_refs::DOUBLE / total, 6) AS share,
+               (n_refs::DOUBLE / total) >= {hot_share} AS is_hot
+        FROM k, t"""
+
+
+def _pack_interleaved_oracle_sql(n: int = 20000, media_cost: int = 64,
+                                 budget: int = 2048,
+                                 n_buckets: int = 8) -> str:
+    """Replays token_cost + pack_sequences over the closed-form spans:
+    text spans cost the same whitespace-token count as the pack_docs
+    oracle, media spans the flat media_cost, malformed/null kinds 0;
+    duplicate doc_ids sum into one packing unit; then the identical
+    portable-hash bucket + running-sum layout as pack_docs."""
+    return f"""
+        WITH {_interleaved_span_cte(n)},
+        span_cost AS (
+          SELECT i,
+                 (CASE WHEN kind = 'text' THEN
+                       COALESCE(len(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '')), 0)
+                       WHEN kind = 'media' THEN {media_cost}
+                       ELSE 0 END)::BIGINT AS c
+          FROM s),
+        doc_cost AS (
+          SELECT d.i, d.doc_id, COALESCE(sum(sc.c), 0)::BIGINT AS cost_i
+          FROM d LEFT JOIN span_cost sc USING (i)
+          GROUP BY d.i, d.doc_id),
+        per_doc AS (
+          SELECT doc_id, sum(cost_i)::BIGINT AS n_tokens,
+                 ((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 2147483647) % {n_buckets})::INTEGER AS bucket
+          FROM doc_cost GROUP BY doc_id),
+        cum AS (
+          SELECT doc_id, n_tokens, bucket,
+                 (SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) AS cb
+          FROM per_doc)
+        SELECT doc_id, n_tokens, bucket,
+               (cb // {budget})::BIGINT AS bin,
+               (cb % {budget})::BIGINT AS bin_offset
+        FROM cum"""
+
+
 def oracle_sql() -> dict[str, str]:
     norm = "regexp_replace(lower(text), '[^a-z0-9]+', '', 'g')"
     toks = "string_split(text, ' ')"
@@ -2805,6 +2943,8 @@ def oracle_sql() -> dict[str, str]:
         # ordered string_agg / row_number / prefix-sum windows
         "interleaved_render": _interleaved_render_oracle_sql(),
         "interleaved_normalize": _interleaved_normalize_oracle_sql(),
+        "asset_hot_refs": _asset_hot_refs_oracle_sql(),
+        "pack_interleaved": _pack_interleaved_oracle_sql(),
         "ann_topk": _lsh_topk_oracle_sql(),
         "stats_worst_partitions": """
             WITH d AS (
@@ -2853,6 +2993,10 @@ def oracle_sql() -> dict[str, str]:
     # plan shapes
     out["dedup_components_star"] = out["dedup_components"]
     out["ann_ivf_bcast"] = out["ann_ivf"]
+    # salted referential check is a PLAN variant: the 8-way salted
+    # sort-merge anti-join must return exactly what the broadcast flavor
+    # returns — one oracle adjudicates both shapes
+    out["referential_spans_salted"] = out["referential_spans"]
     out["ann_ivf_trained"] = _ivf_trained_oracle_sql()
     # thresholds computed with the SAME python expression sampling.py uses,
     # so int() truncation can never diverge between engine and oracle
@@ -2922,6 +3066,21 @@ def oracle_sql() -> dict[str, str]:
                                     t -> t <> '')) AS token
           FROM {_T})
         GROUP BY token ORDER BY n DESC, token LIMIT 30"""
+    # packing report: the pack_docs layout replayed as a subquery, then the
+    # same integer-exact bin arithmetic per bucket ((t-1)//b + 1 bins,
+    # t % b tail, bin_offset + n > b straddles)
+    out["pack_report"] = f"""
+        SELECT bucket,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               (CASE WHEN sum(n_tokens) <= 0 THEN 0
+                     ELSE ((sum(n_tokens) - 1) // 512) + 1
+                END)::BIGINT AS n_bins,
+               (sum(n_tokens) % 512)::BIGINT AS tail_fill,
+               sum(CASE WHEN bin_offset + n_tokens > 512
+                        THEN 1 ELSE 0 END)::BIGINT AS n_straddle
+        FROM ({out["pack_docs"]}) p
+        GROUP BY bucket"""
     # shard layout: same salted portable hash, same (hash, id) window order
     # incremental ingestion dedup: full portable minhash replay, split
     # corpus/batch, corpus-only bucket cap (builder shares _perm_constants)

@@ -67,6 +67,20 @@ def test_referential(spark):
     salted = stats.referential_violations(spans, "media_ref", assets, "media_ref",
                                           broadcast_dim=False, salt_buckets=4)
     assert salted.count() == len(rows)
+    # plan pin: with the dim too big to broadcast (the 100 TB regime,
+    # forced here via the threshold), the salted flavor must take a
+    # shuffled anti-join with the salt key in the join condition — hot
+    # media_refs spread over salt_buckets reducers
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = stats.referential_violations(
+            spans, "media_ref", assets, "media_ref",
+            broadcast_dim=False, salt_buckets=4) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
 def test_column_stats_and_drift(spark):

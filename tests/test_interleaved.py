@@ -132,3 +132,70 @@ def test_null_spans_column_keeps_contracts(spark):
         r = stats[d]
         assert (r["n_spans"], r["n_text"], r["n_media"],
                 r["n_bad_kind"], r["text_chars"]) == (0, 0, 0, 0, 0)
+
+
+def test_token_cost_hand_computed(spark):
+    rows = [
+        ("d1", [("text", "Hello  big world", None, 0),   # 3 tokens
+                ("media", None, "asset-1", 10),           # 64 tokens
+                ("text", None, None, 20),                 # null text -> 0
+                ("blob", "JUNK JUNK", None, 30),          # bad kind -> 0
+                (None, "JUNK", None, 40),                 # null kind -> 0
+                ("text", "  a\tb\nc  ", None, 50)]),      # 3 tokens
+        ("d2", [("media", None, "a", 0), ("media", None, "b", -5)]),  # 128
+        ("d3", []),                                       # empty -> 0
+        ("d4", None),                                     # NULL spans -> 0
+    ]
+    got = {r["doc_id"]: r["n_tokens"] for r in
+           interleaved.token_cost(_docs(spark, rows), media_cost=64).collect()}
+    assert got == {"d1": 3 + 64 + 3, "d2": 128, "d3": 0, "d4": 0}
+    # cost is a pure projection: no shuffle at any corpus size
+    plan = interleaved.token_cost(_docs(spark, rows)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hot_refs_counts_shares_and_cut(spark):
+    # a: 4 refs, b: 2, c: 1, d: 1 -> total 8; text spans/nulls ignored
+    rows = [
+        ("d1", [("media", None, "a", 0), ("media", None, "a", 1),
+                ("media", None, "b", 2), ("text", "x", None, 3)]),
+        ("d2", [("media", None, "a", 0), ("media", None, "a", 1),
+                ("media", None, "b", 2), ("media", None, "c", 3)]),
+        ("d3", [("media", None, "d", 0), (None, None, None, 1)]),
+    ]
+    out = interleaved.hot_refs(_docs(spark, rows), top_k=3, hot_share=0.2)
+    got = {r["media_ref"]: r for r in out.collect()}
+    # top-3 cut, tie between c and d at n=1 breaks on ref name: c stays
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["n_refs"] == 4 and got["a"]["share"] == 0.5
+    assert got["b"]["n_refs"] == 2 and got["b"]["share"] == 0.25
+    assert got["c"]["share"] == 0.125
+    assert got["a"]["is_hot"] and got["b"]["is_hot"] and not got["c"]["is_hot"]
+
+
+def test_hot_refs_plan_one_rollup_shuffle_and_takeordered(spark):
+    out = interleaved.hot_refs(gen_documents(spark, 400), top_k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Expand carries both grouping sets through ONE partial aggregation;
+    # the cut is TakeOrderedAndProject, never a global sort
+    assert "Expand" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+    # the share window runs AFTER the k+1 cut (tiny frame): exactly the
+    # rollup exchange plus the single-partition window exchange
+    assert plan.count("Exchange") <= 2
+
+
+def test_hot_refs_detects_datagen_hot_asset(spark):
+    # datagen's hot-ref branch fires when (i+j)%10 == 1 (the only odd
+    # residue < 3) and then (i*31+j)%10 == (30i+1)%10 == 1 ALWAYS: the
+    # corpus has exactly ONE mega-hot asset, asset-000001, holding ~20%
+    # of all media refs — the single-hot-key regime salting exists for
+    out = interleaved.hot_refs(gen_documents(spark, 2000),
+                               top_k=10, hot_share=0.05).collect()
+    assert len(out) == 10
+    hot = [r for r in out if r["is_hot"]]
+    assert [r["media_ref"] for r in hot] == ["asset-000001"]
+    assert hot[0]["share"] > 0.15
+    assert max(r["n_refs"] for r in out) == hot[0]["n_refs"]

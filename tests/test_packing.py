@@ -157,3 +157,36 @@ def test_shard_assign_validates_n_shards(spark):
     df = spark.range(1).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError, match="n_shards"):
         packing.shard_assign(df, n_shards=0)
+
+
+def test_packing_stats_hand_computed(spark):
+    # one bucket, budget 10: docs of 4,8,3,9 tokens laid out in id order
+    # -> offsets 0,4,12->2,15->5; total 24 -> 3 bins, tail 4; straddlers:
+    # d2 (4+8>10) and d4 (5+9>10)
+    from xema_spark import packing
+    rows = [("d1", "a b c d"), ("d2", " ".join("x" * 1 for _ in range(8))),
+            ("d3", "p q r"), ("d4", " ".join(str(i) for i in range(9)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = packing.pack_sequences(df, budget=10, n_buckets=1,
+                                    hash_fn="portable")
+    rep = packing.packing_stats(packed, budget=10).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert (r["n_docs"], r["total_tokens"], r["n_bins"],
+            r["tail_fill"], r["n_straddle"]) == (4, 24, 3, 4, 2)
+    # map-side-combined single aggregation: exactly one exchange
+    plan = packing.packing_stats(packed, budget=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # pack bucket + groupBy
+
+
+def test_packing_stats_exact_boundary_and_empty_bucket(spark):
+    from xema_spark import packing
+    # total exactly 2 bins (t % b == 0) and a zero-token doc
+    rows = [("a", "w x y z"), ("b", "1 2 3 4"), ("c", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = packing.pack_sequences(df, budget=4, n_buckets=1,
+                                    hash_fn="portable")
+    r = packing.packing_stats(packed, budget=4).collect()[0]
+    assert (r["total_tokens"], r["n_bins"], r["tail_fill"]) == (8, 2, 0)
+    assert r["n_straddle"] == 0

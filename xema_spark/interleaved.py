@@ -147,6 +147,76 @@ def normalize_spans(df: DataFrame, id_col: str = "doc_id",
         F.col("s.offset").alias("offset"))
 
 
+def token_cost(df: DataFrame, id_col: str = "doc_id",
+               spans_col: str = "spans", media_cost: int = 64) -> DataFrame:
+    """Per-doc training-token cost of an interleaved document, the quantity
+    a token-budget packer needs BEFORE sequence packing: text spans cost
+    their whitespace token count, media spans a flat `media_cost` tokens
+    (the fixed vision-encoder patch budget per image in interleaved
+    pretraining), malformed/null-kind spans cost 0 — exactly the spans
+    `render_text` skips. Output: (id_col, n_tokens).
+
+    Scale shape: ONE projection, zero shuffle — the cost fold never leaves
+    the row, so at 10^12 docs it pipelines with the scan straight into
+    `packing.pack_sequences(token_col="n_tokens")`. NULL spans cost 0.
+    """
+    spans = F.col(spans_col)
+    # token count per span, null-guarded: split/filter/size all propagate
+    # NULL (size(NULL) = -1 under legacy sizeOfNull), so gate on text first
+    text_toks = lambda s: F.when(  # noqa: E731 — local lambda reads better
+        s["text"].isNotNull(),
+        F.size(F.filter(F.split(F.lower(s["text"]), r"\s+"),
+                        lambda t: t != "")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    cost = F.aggregate(
+        spans, F.lit(0).cast("long"),
+        lambda acc, s: acc + (
+            F.when(s["kind"] == "text", text_toks(s))
+            .when(s["kind"] == "media", F.lit(int(media_cost)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))))
+    return df.select(
+        F.col(id_col),
+        F.coalesce(cost, F.lit(0).cast("long")).alias("n_tokens"))
+
+
+def hot_refs(df: DataFrame, spans_col: str = "spans",
+             top_k: int = 20, hot_share: float = 0.01) -> DataFrame:
+    """Top-k most-referenced media assets with their corpus share — the
+    skew DETECTOR that sizes `stats.referential_violations(salt_buckets=)`
+    (north_rule: "skew salting for hot media_refs"). Output per asset:
+    (media_ref, n_refs, share, is_hot) where share = n_refs / total media
+    refs and is_hot = share >= hot_share.
+
+    Scale shape: explode -> ONE rollup aggregation (Expand doubles the
+    exploded rows pre-shuffle but both grouping sets partial-aggregate
+    map-side, so per-ref counts AND the grand total ride ONE shuffle) ->
+    TakeOrderedAndProject(top_k + 1) — the grand-total row (NULL key) is
+    the max so it always survives the cut — -> a window over those <= k+1
+    collected rows to divide by the total. Nothing driver-side ever holds
+    more than k+1 rows; no second corpus scan for the denominator.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+    refs = (df.select(F.explode(F.col(spans_col)["media_ref"])
+                      .alias("media_ref"))
+            .filter(F.col("media_ref").isNotNull()))
+    counts = refs.rollup("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
+    # deterministic cut: ties at the boundary break on the ref string; the
+    # total row (NULL ref) coalesces to '' which sorts first in BOTH Spark
+    # and DuckDB, so the oracle replays the identical k-set
+    top = counts.orderBy(F.col("n_refs").desc(),
+                         F.coalesce("media_ref", F.lit("")).asc()) \
+                .limit(top_k + 1)
+    total = F.max("n_refs").over(Window.partitionBy())
+    share = F.col("n_refs").cast("double") / F.col("total_refs").cast("double")
+    return (top.withColumn("total_refs", total)
+            .filter(F.col("media_ref").isNotNull())
+            .select("media_ref", "n_refs",
+                    F.round(share, 6).alias("share"),
+                    (share >= F.lit(float(hot_share))).alias("is_hot")))
+
+
 def span_kind_stats(df: DataFrame, id_col: str = "doc_id",
                     spans_col: str = "spans") -> DataFrame:
     """Per-doc interleaving profile in one projection (no shuffle):

@@ -33,10 +33,16 @@ from xema_spark.text import token_count
 
 def _tokens_or_zero(token_col: str | None, text_col: str):
     """Token count as a non-null long — a null text is an empty doc (0
-    tokens occupying no window space), not a null that poisons the cumsum."""
-    tok = (F.col(token_col) if token_col
-           else token_count(F.col(text_col))).cast("long")
-    return F.coalesce(tok, F.lit(0).cast("long"))
+    tokens occupying no window space), not a null that poisons the cumsum.
+    The null gate must be EXPLICIT: under legacy sizeOfNull (ansi off)
+    size(split(NULL)) is -1, not NULL, so a plain coalesce would let null
+    texts SUBTRACT a token from the bucket's running layout."""
+    if token_col:
+        return F.coalesce(F.col(token_col).cast("long"),
+                          F.lit(0).cast("long"))
+    c = F.col(text_col)
+    return (F.when(c.isNotNull(), token_count(c).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
 
 
 def _with_bucket(df: DataFrame, id_col: str, n_buckets: int,
@@ -135,6 +141,37 @@ def pack_greedy(df: DataFrame, id_col: str = "doc_id",
         return pdf[keep] if oversize == "drop" else pdf
 
     return base.groupBy("bucket").applyInPandas(fill, out_schema)
+
+
+def packing_stats(packed: DataFrame, budget: int,
+                  bucket_col: str = "bucket") -> DataFrame:
+    """Packing-efficiency report over `pack_sequences` output, per bucket:
+    (bucket, n_docs, total_tokens, n_bins, tail_fill, n_straddle).
+    `n_straddle` counts docs crossing a bin boundary — the rows a trainer
+    pays attention-reset / loss-masking cost for; `tail_fill` is the only
+    non-full bin's occupancy (concatenate-then-chunk fills every other bin
+    exactly). ONE partial-agg groupBy on the already-packed frame — at
+    10^12 docs this is a map-side-combined pass, no extra scan of text.
+
+    Bin count stays integer-exact (no double ceil): for t > 0 bins =
+    (t - 1 - (t - 1) % budget) / budget + 1, the same modulo-floor trick
+    pack_sequences uses for bin ids.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    t = F.sum("n_tokens")
+    tm1 = t - F.lit(1).cast("long")
+    n_bins = F.when(t <= 0, F.lit(0).cast("long")) \
+        .otherwise(((tm1 - tm1 % budget) / budget).cast("long") + 1)
+    straddle = (F.col("bin_offset") + F.col("n_tokens")
+                > F.lit(int(budget)).cast("long"))
+    return packed.groupBy(bucket_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        t.alias("total_tokens"),
+        n_bins.alias("n_bins"),
+        (t % budget).cast("long").alias("tail_fill"),
+        F.sum(straddle.cast("long")).alias("n_straddle"),
+    )
 
 
 def shard_assign(df: DataFrame, id_col: str = "doc_id",
