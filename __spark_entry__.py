@@ -638,13 +638,20 @@ def _q_flagship_interleaved(spark, sf_dir):
     return stats.per_partition_summary(v)
 
 
-def _q_referential_spans(spark, sf_dir):
+def _span_refs_and_assets(spark, sf_dir):
+    """Shared input for the referential-check flavors: (exploded non-null
+    media_ref rows, asset dim) over the generated interleaved corpus —
+    both plan variants must score the SAME refs to share one oracle."""
     n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
         os.path.basename(sf_dir.rstrip("/")), 20000)
     docs = gen_documents(spark, n)
-    assets = gen_assets(spark, n)
     refs = docs.select("doc_id", F.explode("spans.media_ref").alias("media_ref")) \
         .filter(F.col("media_ref").isNotNull())
+    return refs, gen_assets(spark, n)
+
+
+def _q_referential_spans(spark, sf_dir):
+    refs, assets = _span_refs_and_assets(spark, sf_dir)
     return stats.referential_violations(refs, "media_ref", assets, "media_ref") \
         .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))
 
@@ -666,16 +673,11 @@ def _q_referential_spans_salted(spark, sf_dir):
     """Same referential check as referential_spans but through the SALTED
     sort-merge anti-join path (stats.referential_violations with
     broadcast_dim=False, salt_buckets=8): the dim side explodes into 8
-    salted copies so a skewed probe side (hot media_refs land in ~30% of
-    media spans by construction) spreads each hot key over 8 reducers —
+    salted copies so a skewed probe side (asset-000001 alone holds ~20% of
+    ALL media refs by construction) spreads the hot key over 8 reducers —
     the north_rule's explicit skew handling, driver-checked against the
     SAME oracle as the broadcast flavor (plan changes, answer must not)."""
-    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
-        os.path.basename(sf_dir.rstrip("/")), 20000)
-    docs = gen_documents(spark, n)
-    assets = gen_assets(spark, n)
-    refs = docs.select("doc_id", F.explode("spans.media_ref").alias("media_ref")) \
-        .filter(F.col("media_ref").isNotNull())
+    refs, assets = _span_refs_and_assets(spark, sf_dir)
     return stats.referential_violations(refs, "media_ref", assets, "media_ref",
                                         broadcast_dim=False, salt_buckets=8) \
         .groupBy("media_ref").agg(F.count(F.lit(1)).alias("n_refs"))

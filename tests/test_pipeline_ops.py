@@ -1171,3 +1171,33 @@ def test_bm25_scores_hand_computed(spark):
     assert abs(got[1]["bm25"] - round(want1, 6)) < 1e-9
     assert abs(got[2]["bm25"] - round(want2, 6)) < 1e-9
     assert got[1]["bm25"] > got[2]["bm25"]
+
+
+def test_bm25_scores_merged_ids(spark):
+    import math
+
+    # duplicate doc_ids: with unique_ids=False they are FRAGMENTS of one
+    # logical document — dl sums, tf sums, N/avgdl over distinct ids,
+    # exactly one output row per distinct id
+    df = spark.createDataFrame(
+        [("a", "spark spark engine"),     # a: fragment 1 (dl 3)
+         ("a", "spark room"),             # a: fragment 2 (dl 2)
+         ("b", "engine"),                 # b: dl 1
+         ("c", None)],                    # c: dl 0
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.bm25_scores(
+        df, "doc_id", ["spark", "engine"], unique_ids=False).collect()}
+    assert len(got) == 3                  # one row per DISTINCT id
+    k1, b = 1.2, 0.75
+    N = 3                                 # distinct docs
+    avgdl = (5 + 1 + 0) / 3               # merged dl for a
+    def idf(df_t):
+        return math.log(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    def part(tf, dl, df_t):
+        return idf(df_t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    want_a = part(3, 5, 1) + part(1, 5, 2)   # tf(spark)=3 merged, df(spark)=1
+    want_b = part(1, 1, 2)
+    assert got["a"]["n_terms_hit"] == 2 and got["b"]["n_terms_hit"] == 1
+    assert abs(got["a"]["bm25"] - round(want_a, 6)) < 1e-9
+    assert abs(got["b"]["bm25"] - round(want_b, 6)) < 1e-9
+    assert got["c"]["bm25"] == 0.0 and got["c"]["n_terms_hit"] == 0

@@ -11,7 +11,9 @@ Generation follows FIXTURES.md T1/T2 exactly: row i has 1 + (i % 7) spans
 alternating text/media; every 13th doc carries an injected violation class
 cycling through {missing kind, kind='blob', negative offset, empty spans,
 dangling media_ref, dup marker}; every 101st doc repeats the previous doc_id
-(uniqueness violations); hot asset refs j<10 land in ~30% of media spans
+(uniqueness violations); the hot-ref branch fires on ~20% of media spans
+(residue (i+j)%10 == 1, the only odd residue < 3) and its target
+(i*31+j)%10 == (30i+1)%10 collapses to asset 1 — ONE mega-hot media_ref
 (skew for the referential join).
 
 Everything is a closed-form function of the row index, built with
@@ -104,7 +106,10 @@ def gen_documents(
             is_text & (F.pmod(i * 7 + j, F.lit(17)) != 0),
             F.substring(F.lit(_LOREM), 1, 500).substr(F.lit(1), text_len),
         ).otherwise(F.lit(None).cast("string"))
-        # media refs: ~30% hot (asset id < N_HOT_ASSETS) to exercise skew
+        # media refs: the hot branch needs i+j odd (media spans), so it
+        # fires at residue 1 only (~20% of media spans) and (i*31+j)%10
+        # then collapses to (30i+1)%10 == 1 — ONE mega-hot asset, the
+        # worst-case key for an unsalted reducer (see interleaved.hot_refs)
         hot = F.pmod(i + j, F.lit(10)) < 3
         asset_id = F.when(hot, F.pmod(i * 31 + j, F.lit(N_HOT_ASSETS))) \
             .otherwise(F.pmod(i * 31 + j * 7, F.lit(n_assets)))

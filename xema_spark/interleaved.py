@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from xema_spark.text import token_count_or_zero
+
 _INT_MAX = (1 << 31) - 1  # null offsets sort last, before position tiebreak
 
 
@@ -161,17 +163,10 @@ def token_cost(df: DataFrame, id_col: str = "doc_id",
     `packing.pack_sequences(token_col="n_tokens")`. NULL spans cost 0.
     """
     spans = F.col(spans_col)
-    # token count per span, null-guarded: split/filter/size all propagate
-    # NULL (size(NULL) = -1 under legacy sizeOfNull), so gate on text first
-    text_toks = lambda s: F.when(  # noqa: E731 — local lambda reads better
-        s["text"].isNotNull(),
-        F.size(F.filter(F.split(F.lower(s["text"]), r"\s+"),
-                        lambda t: t != "")).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
     cost = F.aggregate(
         spans, F.lit(0).cast("long"),
         lambda acc, s: acc + (
-            F.when(s["kind"] == "text", text_toks(s))
+            F.when(s["kind"] == "text", token_count_or_zero(s["text"]))
             .when(s["kind"] == "media", F.lit(int(media_cost)).cast("long"))
             .otherwise(F.lit(0).cast("long"))))
     return df.select(

@@ -28,21 +28,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from xema_spark.dedup import bucket_hash31
-from xema_spark.text import token_count
+from xema_spark.text import token_count_or_zero
 
 
 def _tokens_or_zero(token_col: str | None, text_col: str):
     """Token count as a non-null long — a null text is an empty doc (0
-    tokens occupying no window space), not a null that poisons the cumsum.
-    The null gate must be EXPLICIT: under legacy sizeOfNull (ansi off)
-    size(split(NULL)) is -1, not NULL, so a plain coalesce would let null
-    texts SUBTRACT a token from the bucket's running layout."""
+    tokens occupying no window space), not a -1 that poisons the cumsum
+    (see text.token_count_or_zero for the legacy-sizeOfNull trap)."""
     if token_col:
         return F.coalesce(F.col(token_col).cast("long"),
                           F.lit(0).cast("long"))
-    c = F.col(text_col)
-    return (F.when(c.isNotNull(), token_count(c).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
+    return token_count_or_zero(F.col(text_col))
 
 
 def _with_bucket(df: DataFrame, id_col: str, n_buckets: int,

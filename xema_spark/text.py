@@ -37,6 +37,16 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def token_count_or_zero(col: Column) -> Column:
+    """Null-safe whitespace token count as a non-null long. The null gate
+    must be EXPLICIT: under legacy sizeOfNull (ansi off) size(split(NULL))
+    is -1, not NULL, so a plain coalesce lets null texts contribute -1 —
+    the trap that silently corrupted pack_sequences' bucket layout once.
+    Every operator that counts tokens goes through here."""
+    return (F.when(col.isNotNull(), token_count(col).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     return F.coalesce(F.regexp_count(col, F.lit(BPE_ISH)), F.lit(0))
 
@@ -382,7 +392,7 @@ def lm_score(df: DataFrame, id_col: str, text_col: str = "text",
 
 def bm25_scores(df: DataFrame, id_col: str, query_terms: list[str],
                 text_col: str = "text", k1: float = 1.2,
-                b: float = 0.75) -> DataFrame:
+                b: float = 0.75, unique_ids: bool = True) -> DataFrame:
     """Per-document BM25 relevance against a fixed term set (public:
     Robertson-Sparck Jones probabilistic relevance, the Lucene/Okapi form)
     — the lexical-retrieval complement of the embedding ANN family, and
@@ -403,22 +413,39 @@ def bm25_scores(df: DataFrame, id_col: str, query_terms: list[str],
     matching tokens); df_t aggregates the already doc-distinct tf frame;
     N/avgdl ride as one broadcast row; final reduce is ONE
     partial-aggregated groupBy(doc). The term list is a plan literal —
-    fine for the 10^1-10^3 terms a slice query uses."""
+    fine for the 10^1-10^3 terms a slice query uses.
+
+    `unique_ids=True` (default, the shuffle-free-dl path) REQUIRES id_col
+    to uniquely identify rows — the usual corpus contract, checkable with
+    `stats.uniqueness_violations`. With duplicate ids it would both merge
+    tf across same-length duplicates and fan scores back onto every row;
+    set `unique_ids=False` to treat duplicate ids as FRAGMENTS of one
+    logical document instead (dl = summed length, tf = summed counts,
+    N/avgdl over distinct ids, ONE output row per distinct id) at the
+    cost of an (id, dl) pre-aggregation and a doc-keyed join."""
     if not query_terms:
         raise ValueError("bm25_scores: query_terms must be non-empty")
     terms = [t.lower() for t in query_terms]
     toks = tokens(F.col(text_col))
-    # dl guard: size(tokens(NULL)) is -1 under legacy sizeOfNull — a
-    # null-text doc must contribute 0 tokens to avgdl, not -1
     base = df.select(F.col(id_col).alias("doc"),
-                     F.when(F.col(text_col).isNotNull(), F.size(toks))
-                     .otherwise(F.lit(0)).alias("dl"),
+                     token_count_or_zero(F.col(text_col)).alias("dl"),
                      toks.alias("_tk"))
-    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.avg("dl").alias("avgdl"))
-    tf = (base.select("doc", "dl", F.explode("_tk").alias("t"))
-          .filter(F.col("t").isin(*terms))
-          .groupBy("doc", "dl", "t").agg(F.count(F.lit(1)).alias("tf")))
+    if unique_ids:
+        stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                         F.avg("dl").alias("avgdl"))
+        tf = (base.select("doc", "dl", F.explode("_tk").alias("t"))
+              .filter(F.col("t").isin(*terms))
+              .groupBy("doc", "dl", "t").agg(F.count(F.lit(1)).alias("tf")))
+        out_ids = df.select(F.col(id_col).alias("doc"))
+    else:
+        dls = base.groupBy("doc").agg(F.sum("dl").alias("dl"))
+        stats = dls.agg(F.count(F.lit(1)).alias("n_docs"),
+                        F.avg("dl").alias("avgdl"))
+        tf = (base.select("doc", F.explode("_tk").alias("t"))
+              .filter(F.col("t").isin(*terms))
+              .groupBy("doc", "t").agg(F.count(F.lit(1)).alias("tf"))
+              .join(dls, "doc"))
+        out_ids = dls.select("doc")
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
                 / (F.col("df_t") + F.lit(0.5)))
@@ -430,8 +457,8 @@ def bm25_scores(df: DataFrame, id_col: str, query_terms: list[str],
               .groupBy("doc")
               .agg(F.count(F.lit(1)).alias("n_terms_hit"),
                    F.sum(part).alias("_s")))
-    return (df.select(F.col(id_col))
-            .join(scored, F.col(id_col) == F.col("doc"), "left").drop("doc")
-            .select(id_col,
+    return (out_ids
+            .join(scored, "doc", "left")
+            .select(F.col("doc").alias(id_col),
                     F.coalesce("n_terms_hit", F.lit(0)).alias("n_terms_hit"),
                     F.round(F.coalesce("_s", F.lit(0.0)), 6).alias("bm25")))
