@@ -199,3 +199,114 @@ def test_hot_refs_detects_datagen_hot_asset(spark):
     assert [r["media_ref"] for r in hot] == ["asset-000001"]
     assert hot[0]["share"] > 0.15
     assert max(r["n_refs"] for r in out) == hot[0]["n_refs"]
+
+
+def test_filter_text_spans_gates(spark):
+    rows = [
+        ("d1", [("text", "four words right here ok", None, 0),   # kept
+                ("text", "too short", None, 10),                  # < min_words
+                ("text", "x" * 30, None, 20),                     # 1 token
+                ("text", None, None, 30),                         # null text
+                ("text", "click here to BUY NOW cheap pills", None, 40),
+                ("media", None, "asset-1", 50),                   # kept
+                ("media", None, None, 60),                        # null ref
+                ("blob", "junk junk junk junk", None, 70)]),      # bad kind
+        ("d2", None),                                             # NULL spans
+        ("d3", []),
+    ]
+    out = {r["doc_id"]: r for r in interleaved.filter_text_spans(
+        _docs(spark, rows), min_chars=10, min_words=4,
+        blocklist=("buy now",)).collect()}
+    kept = [(s["kind"], s["media_ref"]) for s in out["d1"]["spans"]]
+    assert kept == [("text", None), ("media", "asset-1")]
+    assert out["d1"]["n_kept"] == 2 and out["d1"]["n_dropped"] == 6
+    assert out["d2"]["spans"] == [] and out["d2"]["n_dropped"] == 0
+    assert out["d3"]["n_kept"] == 0 and out["d3"]["n_dropped"] == 0
+
+
+def test_filter_text_spans_keep_media_false_and_no_shuffle(spark):
+    rows = [("d1", [("media", None, "asset-1", 0),
+                    ("text", "alpha beta gamma", None, 10)])]
+    out = interleaved.filter_text_spans(
+        _docs(spark, rows), min_words=2, keep_media=False)
+    assert [s["kind"] for s in out.collect()[0]["spans"]] == ["text"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection
+
+
+def test_filter_then_normalize_offsets_dense(spark):
+    rows = [("d1", [("text", "keep me please", None, 5),
+                    ("text", "no", None, 0),
+                    ("media", None, "asset-9", 9)])]
+    gated = interleaved.filter_text_spans(
+        _docs(spark, rows), min_words=3).select("doc_id", "spans")
+    fixed = interleaved.normalize_spans(gated).collect()[0]["spans"]
+    assert [(s["kind"], s["offset"]) for s in fixed] == [
+        ("text", 0), ("media", len("keep me please"))]
+
+
+_ASSET_SCHEMA = T.StructType([
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("fingerprint", T.StringType()),
+])
+
+
+def _canon_rows(spark, broadcast_remap):
+    docs = _docs(spark, [
+        ("d1", [("media", None, "asset-b", 0),     # remaps -> asset-a
+                ("text", "hello", None, 10),
+                ("media", None, "asset-a", 20),    # already canonical
+                ("media", None, "dangling", 30)]), # not in assets: untouched
+        ("d2", [("media", None, "asset-c", 0)]),   # fp unique: untouched
+        ("d3", []),
+    ])
+    assets = spark.createDataFrame(
+        [("asset-a", "fp1"), ("asset-b", "fp1"), ("asset-c", "fp2")],
+        _ASSET_SCHEMA)
+    out = interleaved.canonicalize_media_refs(
+        docs, assets, "fingerprint", broadcast_remap=broadcast_remap)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_canonicalize_media_refs_broadcast(spark):
+    got = _canon_rows(spark, True)
+    assert [s["media_ref"] for s in got["d1"]["spans"]] == [
+        "asset-a", None, "asset-a", "dangling"]
+    # text span payload survives the rewrite untouched
+    assert [s["text"] for s in got["d1"]["spans"]] == [
+        None, "hello", None, None]
+    assert got["d1"]["n_remapped"] == 1
+    assert got["d2"]["n_remapped"] == 0
+    assert got["d3"]["spans"] == [] and got["d3"]["n_remapped"] == 0
+
+
+def test_canonicalize_media_refs_smj_path_agrees(spark):
+    a, b = _canon_rows(spark, True), _canon_rows(spark, False)
+    for k in a:
+        assert a[k]["spans"] == b[k]["spans"], k
+        assert a[k]["n_remapped"] == b[k]["n_remapped"], k
+
+
+def test_canonicalize_identity_when_no_dup_content(spark):
+    docs = _docs(spark, [("d1", [("media", None, "asset-a", 0)])])
+    assets = spark.createDataFrame(
+        [("asset-a", "fp1"), ("asset-b", "fp2")], _ASSET_SCHEMA)
+    got = interleaved.canonicalize_media_refs(
+        docs, assets, "fingerprint").collect()[0]
+    assert got["spans"][0]["media_ref"] == "asset-a"
+    assert got["n_remapped"] == 0
+
+
+def test_canonicalize_broadcast_plan_no_fact_shuffle(spark):
+    docs = gen_documents(spark, 400)
+    from xema_spark.datagen import gen_assets
+    assets = gen_assets(spark, 400).withColumn(
+        "fingerprint",
+        F.md5(F.concat_ws(":", "media_type", F.pmod("bytes", F.lit(997)))))
+    out = interleaved.canonicalize_media_refs(docs, assets, "fingerprint")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the one-row remap map reaches the docs via a broadcast nested-loop
+    # join; every Exchange in the plan belongs to the dim-side fold
+    assert "BroadcastNestedLoopJoin" in plan
+    fact_side = plan.split("BroadcastNestedLoopJoin")[1].split("Broadcast")[0]
+    assert "Exchange" not in fact_side

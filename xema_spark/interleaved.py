@@ -212,6 +212,135 @@ def hot_refs(df: DataFrame, spans_col: str = "spans",
                     (share >= F.lit(float(hot_share))).alias("is_hot")))
 
 
+def filter_text_spans(df: DataFrame, id_col: str = "doc_id",
+                      spans_col: str = "spans",
+                      min_chars: int = 1, min_words: int = 1,
+                      blocklist: tuple[str, ...] = (),
+                      keep_media: bool = True) -> DataFrame:
+    """Span-level quality gate — the C4/RefinedWeb line-filtering idea
+    applied where interleaved documents naturally segment: the span.
+    Keeps a span iff
+
+    - kind = 'text' AND text is non-null AND trimmed length >= min_chars
+      AND whitespace-token count >= min_words AND lowercased text contains
+      none of `blocklist`; or
+    - kind = 'media' AND media_ref is non-null (when keep_media).
+
+    Malformed kinds (the ones `render_text` skips) always drop. Output:
+    (id_col, spans, n_kept, n_dropped) — same nested shape as the input
+    (offsets untouched; compose with `normalize_spans` to re-densify), so
+    a curation pass can gate on n_kept or feed the doc straight back into
+    validation/rendering.
+
+    Scale shape: ONE projection, zero shuffle, no Python — the keep
+    predicate never leaves the row, so at 10^12 docs it pipelines with
+    the scan exactly like render_text/token_cost.
+    """
+    spans = F.col(spans_col)
+
+    def _keep(s: Column) -> Column:
+        txt_ok = (s["text"].isNotNull()
+                  & (F.length(F.trim(s["text"])) >= int(min_chars))
+                  & (token_count_or_zero(s["text"]) >= int(min_words)))
+        for b in blocklist:
+            txt_ok = txt_ok & ~F.lower(s["text"]).contains(b.lower())
+        keep = (s["kind"] == "text") & txt_ok
+        if keep_media:
+            keep = keep | ((s["kind"] == "media") & s["media_ref"].isNotNull())
+        return keep
+
+    span_t = df.schema[spans_col].dataType.simpleString()
+    # NULL spans → filter propagates NULL; keep the normalize_spans
+    # contract (an all-dropped / NULL doc carries an empty array)
+    kept = F.coalesce(F.filter(spans, _keep),
+                      F.array().cast(span_t))
+    staged = df.select(
+        id_col, kept.alias("_kept"),
+        F.when(spans.isNotNull(), F.size(spans)).otherwise(F.lit(0))
+        .cast("int").alias("_n_in"))
+    return staged.select(
+        id_col, F.col("_kept").alias(spans_col),
+        F.size("_kept").cast("int").alias("n_kept"),
+        (F.col("_n_in") - F.size("_kept")).cast("int").alias("n_dropped"))
+
+
+def canonicalize_media_refs(docs: DataFrame, assets: DataFrame,
+                            fp_col: str, id_col: str = "doc_id",
+                            spans_col: str = "spans",
+                            ref_col: str = "media_ref",
+                            broadcast_remap: bool = True) -> DataFrame:
+    """Media-asset DEDUP by content fingerprint + span rewrite: assets
+    sharing `fp_col` (e.g. sha2 of the payload) collapse to one canonical
+    ref (the minimum, deterministic), and every span's media_ref is
+    remapped to its canonical — the corpus afterwards references each
+    distinct asset exactly once, which is what makes downstream
+    ref-level dedup/caching/packing see through byte-identical uploads.
+    Refs absent from `assets` (dangling) pass through unchanged. Output:
+    (id_col, spans, n_remapped) in the input's nested shape.
+
+    Two plan shapes, one semantics (cf. the ann_ivf/ann_ivf_bcast pair):
+
+    - broadcast_remap=True (default): the remap pairs (only refs whose
+      canonical DIFFERS — the identity majority never ships) fold into ONE
+      map column on ONE row, broadcast, and each doc rewrites its spans
+      with element_at(map, ref) inside a transform — the fact side is a
+      pure projection, ZERO shuffle at any corpus size. Right whenever
+      the changed-ref set fits a broadcast (dim-sized, it does).
+    - broadcast_remap=False: posexplode → left join remap → re-assemble
+      by (id, pos). The SMJ fallback for a remap too large to broadcast;
+      requires `id_col` to be unique (re-assembly groups by it — the
+      duplicated-doc_id injection class must be deduped first).
+    """
+    canon = assets.groupBy(fp_col).agg(F.min(ref_col).alias("_canon"))
+    remap = (assets.join(canon, fp_col)
+             .select(F.col(ref_col).alias("_from"), "_canon")
+             .filter(F.col("_from") != F.col("_canon")))
+    spans = F.col(spans_col)
+
+    if broadcast_remap:
+        one = remap.agg(F.map_from_entries(
+            F.collect_list(F.struct("_from", "_canon"))).alias("_remap"))
+        m = F.col("_remap")
+        new_spans = F.transform(
+            spans,
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                F.coalesce(F.element_at(m, s[ref_col]), s[ref_col])
+                .alias("media_ref"),
+                s["offset"].alias("offset")))
+        # remap holds ONLY changed refs, so a map hit IS a rewrite
+        n_remapped = F.size(F.filter(
+            spans, lambda s: F.element_at(m, s[ref_col]).isNotNull()))
+        return (docs.crossJoin(F.broadcast(one))
+                .select(id_col, new_spans.alias(spans_col),
+                        F.when(spans.isNotNull(), n_remapped)
+                        .otherwise(F.lit(0)).cast("int").alias("n_remapped")))
+
+    ex = docs.select(id_col, F.posexplode(spans_col).alias("pos", "s"))
+    joined = ex.join(remap, ex["s"][ref_col] == F.col("_from"), "left")
+    rebuilt = joined.select(
+        id_col, "pos",
+        F.struct(
+            F.col("s.kind").alias("kind"), F.col("s.text").alias("text"),
+            F.coalesce("_canon", F.col("s")[ref_col]).alias("media_ref"),
+            F.col("s.offset").alias("offset")).alias("s2"),
+        F.col("_canon").isNotNull().cast("int").alias("_chg"))
+    agg = rebuilt.groupBy(id_col).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "s2"))),
+                    lambda t: t["s2"]).alias(spans_col),
+        F.sum("_chg").cast("int").alias("n_remapped"))
+    # docs whose spans are NULL/empty vanish in the explode — restore them
+    # with the empty-array contract via a left join back onto the ids
+    base = docs.select(id_col)
+    span_t = docs.schema[spans_col].dataType.simpleString()
+    return (base.join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce(spans_col,
+                               F.array().cast(span_t)).alias(spans_col),
+                    F.coalesce("n_remapped", F.lit(0)).cast("int")
+                    .alias("n_remapped")))
+
+
 def span_kind_stats(df: DataFrame, id_col: str = "doc_id",
                     spans_col: str = "spans") -> DataFrame:
     """Per-doc interleaving profile in one projection (no shuffle):
