@@ -789,6 +789,40 @@ def _q_asset_canonicalize(spark, sf_dir):
         F.col("s.offset").alias("offset"))
 
 
+def _q_interleaved_truncate(spark, sf_dir):
+    """Context-window prefix truncation (interleaved.truncate_to_budget,
+    budget=100 tokens, media spans = 64): text spans at the cut are
+    word-truncated, media spans at the cut drop, everything after the cut
+    is gone. Summary output keeps every doc (incl. empty/all-cut):
+    (doc_id, n_spans_kept, n_tokens_kept, truncated, kept_text_chars) —
+    kept_text_chars hashes the exact word-slice the cut span keeps."""
+    n = {"sf0.001": 2000, "sf0.01": 20000, "sf0.1": 200000}.get(
+        os.path.basename(sf_dir.rstrip("/")), 20000)
+    t = interleaved.truncate_to_budget(gen_documents(spark, n), budget=100)
+    kept_chars = F.aggregate(
+        F.col("spans"), F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0))
+        .cast("long"))
+    return t.select(
+        "doc_id", F.size("spans").cast("int").alias("n_spans_kept"),
+        "n_tokens_kept", "truncated",
+        F.coalesce(kept_chars, F.lit(0).cast("long"))
+        .alias("kept_text_chars"))
+
+
+def _q_curriculum_shards(spark, sf_dir):
+    """Curriculum layout (packing.curriculum_order, quantile mode): shard
+    k = the k-th global n_chars quantile (8 shards, exact percentile
+    boundaries — one agg to 7 doubles broadcast back, assignment a pure
+    projection, ONE shard_pos window shuffle; approx=True is the 10^12-doc
+    seam). Boundary ties land low; within-shard order (score, doc_id)."""
+    from xema_spark import packing
+
+    d = _docs(spark, sf_dir, "doc_id", "n_chars")
+    out = packing.curriculum_order(d, "n_chars", n_shards=8)
+    return out.select("doc_id", "shard", "shard_pos")
+
+
 def _q_pipeline_curate(spark, sf_dir):
     """End-to-end curation (pipeline.curate): rule gate -> quality/lang/
     repetition filters -> exact dedupe -> MinHash near-dup dedupe, with
@@ -1464,6 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_spans_salted": _q_referential_spans_salted,
         "interleaved_span_filter": _q_interleaved_span_filter,
         "asset_canonicalize": _q_asset_canonicalize,
+        "interleaved_truncate": _q_interleaved_truncate,
+        "curriculum_shards": _q_curriculum_shards,
         # -- r3-evicted, back in the window --
         "referential_spans": _q_referential_spans,
         "sim_near_dups": _q_sim_near_dups,
@@ -1474,10 +1510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_components_star": _q_dedup_components_star,
         "dedup_best_keeper": _q_dedup_best_keeper,
-        # dataset scope (oracle-checked)
-        "stats_documents": _q_stats_documents,
-        # training-pipeline ops (oracle-checked)
-        "sim_knn_threshold": _q_sim_knn_threshold,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "ann_ivf": _q_ann_ivf,
         # custom hooks + multi-rule + map/ref keywords
@@ -1494,6 +1526,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline_curate (whose exact-dedupe stage IS dedup_exact)
         "cast_pipeline": _q_cast_pipeline,
         "dedup_exact": _q_dedup_exact,
+        # sim_knn_threshold demoted when interleaved_truncate joined the
+        # window: r2+r3 green, semantics untouched; cosine coverage stays
+        # in-window via sim_near_dups + ann_ivf + ann_topk + dedup_semantic
+        "sim_knn_threshold": _q_sim_knn_threshold,
+        # stats_documents demoted when curriculum_shards joined the window:
+        # r1+r2+r3 green, semantics untouched; column-stats coverage stays
+        # in-window via stats_worst_partitions + drift_run_report +
+        # drift_group_quantiles (the same stats machinery)
+        "stats_documents": _q_stats_documents,
         # (drift_quantile + dedup_jaccard_consecutive demoted in r4 so
         # v_ref_inline — green in r3 only — lands at slot 50 exactly; drift
         # coverage stays in-window via drift_run_report /
@@ -2467,6 +2508,65 @@ def _interleaved_span_filter_oracle_sql(n: int = 20000) -> str:
         FROM d LEFT JOIN agg a USING (i)"""
 
 
+def _interleaved_truncate_oracle_sql(n: int = 20000, budget: int = 100,
+                                     media_cost: int = 64) -> str:
+    """Replays truncate_to_budget's prefix fold relationally: per-span cost
+    (same tokenizer), prefix cumsum window, the cut = the FIRST span whose
+    cost exceeds the remainder (the cumsum is only valid up to there, and
+    only rows before/at the cut are kept so that is the only place it is
+    read), word-slice length for the cut text span, per-doc aggregates."""
+    return f"""
+        WITH {_interleaved_span_cte(n)},
+        c AS (
+          SELECT i, j, kind, text,
+                 (CASE WHEN kind = 'text' AND text IS NOT NULL THEN
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       t -> t <> ''))
+                       WHEN kind = 'media' THEN {media_cost}
+                       ELSE 0 END)::BIGINT AS cost
+          FROM s),
+        cum AS (
+          SELECT *, coalesce(sum(cost) OVER (PARTITION BY i ORDER BY j
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cb
+          FROM c),
+        cut AS (
+          SELECT i, min(j) AS cut_j FROM cum
+          WHERE cost > {budget} - cb GROUP BY i),
+        k AS (
+          SELECT cum.*, cut.cut_j,
+                 CASE WHEN cut_j IS NULL OR cum.j < cut_j THEN 'whole'
+                      WHEN cum.j = cut_j AND cum.kind = 'text'
+                           AND {budget} - cum.cb > 0 THEN 'cut'
+                      END AS keep_mode
+          FROM cum LEFT JOIN cut USING (i)),
+        agg AS (
+          SELECT i,
+                 count(*) FILTER (WHERE keep_mode IS NOT NULL)
+                   AS n_spans_kept,
+                 coalesce(sum(CASE WHEN keep_mode = 'whole' THEN cost
+                                   WHEN keep_mode = 'cut'
+                                   THEN {budget} - cb END), 0)
+                   AS n_tokens_kept,
+                 bool_or(cut_j IS NOT NULL) AS truncated,
+                 coalesce(sum(CASE WHEN keep_mode = 'whole'
+                                   THEN length(coalesce(text, ''))
+                                   WHEN keep_mode = 'cut'
+                                   THEN length(array_to_string(list_slice(
+                                        list_filter(
+                                          string_split_regex(text, '\\s+'),
+                                          t -> t <> ''),
+                                        1, ({budget} - cb)::INT), ' '))
+                              END), 0) AS kept_chars
+          FROM k GROUP BY i)
+        SELECT d.doc_id,
+               coalesce(a.n_spans_kept, 0)::INT AS n_spans_kept,
+               coalesce(a.n_tokens_kept, 0)::BIGINT AS n_tokens_kept,
+               coalesce(a.truncated, FALSE) AS truncated,
+               coalesce(a.kept_chars, 0)::BIGINT AS kept_text_chars
+        FROM d LEFT JOIN agg a USING (i)"""
+
+
 def _asset_canonicalize_oracle_sql(n: int = 20000) -> str:
     """Replays canonicalize_media_refs over the closed-form corpus: the
     asset dim re-derived from gen_assets' index arithmetic, fingerprint
@@ -3077,6 +3177,26 @@ def oracle_sql() -> dict[str, str]:
         "pack_interleaved": _pack_interleaved_oracle_sql(),
         "interleaved_span_filter": _interleaved_span_filter_oracle_sql(),
         "asset_canonicalize": _asset_canonicalize_oracle_sql(),
+        "interleaved_truncate": _interleaved_truncate_oracle_sql(),
+        # curriculum layout: Spark exact percentile interpolates identically
+        # to DuckDB quantile_cont (the prototype_filter precedent); boundary
+        # ties land in the lower shard on both sides
+        "curriculum_shards": f"""
+            WITH b AS (
+              SELECT quantile_cont(n_chars::DOUBLE,
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+                     AS bounds
+              FROM {_T}),
+            sh AS (
+              SELECT d.doc_id, d.n_chars::DOUBLE AS score,
+                     len(list_filter((SELECT bounds FROM b),
+                                     x -> d.n_chars::DOUBLE > x))::INT
+                       AS shard
+              FROM {_T} d)
+            SELECT doc_id, shard,
+                   (row_number() OVER (PARTITION BY shard
+                      ORDER BY score, doc_id) - 1)::BIGINT AS shard_pos
+            FROM sh""",
         "ann_topk": _lsh_topk_oracle_sql(),
         "stats_worst_partitions": """
             WITH d AS (

@@ -310,3 +310,45 @@ def test_canonicalize_broadcast_plan_no_fact_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan
     fact_side = plan.split("BroadcastNestedLoopJoin")[1].split("Broadcast")[0]
     assert "Exchange" not in fact_side
+
+
+def test_truncate_to_budget_prefix_semantics(spark):
+    rows = [
+        # text straddles the cut: word-truncated to the remaining tokens
+        ("d1", [("text", "a b c d", None, 0), ("media", None, "m1", 1),
+                ("text", "x y z", None, 2)]),
+        # media straddles: dropped whole, everything after gone
+        ("d2", [("text", "a b c d", None, 0), ("media", None, "m1", 1),
+                ("media", None, "m2", 2)]),
+        # exact fit: no truncation
+        ("d3", [("text", "a b", None, 0), ("media", None, "m1", 1)]),
+        # zero-cost span AFTER the cut is gone (prefix, not greedy)
+        ("d4", [("media", None, "m1", 0), ("media", None, "m2", 1),
+                ("media", None, "m3", 2), ("blob", "junk", None, 3)]),
+        # zero-cost spans within the prefix are kept
+        ("d5", [("blob", "junk", None, 0), ("text", None, None, 1),
+                ("text", "a b", None, 2)]),
+        ("d6", None),
+    ]
+    out = {r["doc_id"]: r for r in interleaved.truncate_to_budget(
+        _docs(spark, rows), budget=10, media_cost=5).collect()}
+    assert [s["text"] for s in out["d1"]["spans"]] == ["a b c d", None, "x"]
+    assert out["d1"]["n_tokens_kept"] == 10 and out["d1"]["truncated"]
+    assert [s["kind"] for s in out["d2"]["spans"]] == ["text", "media"]
+    assert out["d2"]["n_tokens_kept"] == 9 and out["d2"]["truncated"]
+    assert out["d3"]["n_tokens_kept"] == 7 and not out["d3"]["truncated"]
+    assert [s["media_ref"] for s in out["d4"]["spans"]] == ["m1", "m2"]
+    assert out["d4"]["n_tokens_kept"] == 10 and out["d4"]["truncated"]
+    assert len(out["d5"]["spans"]) == 3 and not out["d5"]["truncated"]
+    assert out["d6"]["spans"] == [] and out["d6"]["n_tokens_kept"] == 0
+    assert not out["d6"]["truncated"]
+
+
+def test_truncate_preserves_case_and_plan_no_shuffle(spark):
+    rows = [("d1", [("text", "Aa Bb Cc Dd", None, 0)])]
+    out = interleaved.truncate_to_budget(_docs(spark, rows), budget=2)
+    got = out.collect()[0]
+    assert got["spans"][0]["text"] == "Aa Bb"
+    assert got["n_tokens_kept"] == 2 and got["truncated"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

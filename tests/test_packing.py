@@ -190,3 +190,74 @@ def test_packing_stats_exact_boundary_and_empty_bucket(spark):
     r = packing.packing_stats(packed, budget=4).collect()[0]
     assert (r["total_tokens"], r["n_bins"], r["tail_fill"]) == (8, 2, 0)
     assert r["n_straddle"] == 0
+
+
+class TestCurriculumOrder:
+    def _df(self, spark):
+        from pyspark.sql import types as T
+        return spark.createDataFrame(
+            [(f"d{i}", float(i)) for i in range(1, 9)],
+            T.StructType([T.StructField("doc_id", T.StringType()),
+                          T.StructField("score", T.DoubleType())]))
+
+    def test_quantile_shards_and_positions(self, spark):
+        from xema_spark.packing import curriculum_order
+        out = curriculum_order(self._df(spark), "score", n_shards=4)
+        got = {r["doc_id"]: (r["shard"], r["shard_pos"])
+               for r in out.collect()}
+        # exact percentiles of 1..8 at 1/4,1/2,3/4 = 2.75, 4.5, 6.25
+        assert got == {"d1": (0, 0), "d2": (0, 1), "d3": (1, 0),
+                       "d4": (1, 1), "d5": (2, 0), "d6": (2, 1),
+                       "d7": (3, 0), "d8": (3, 1)}
+
+    def test_descending_flips_ramp(self, spark):
+        from xema_spark.packing import curriculum_order
+        out = curriculum_order(self._df(spark), "score", n_shards=4,
+                               ascending=False)
+        got = {r["doc_id"]: (r["shard"], r["shard_pos"])
+               for r in out.collect()}
+        # hardest first: d8 opens shard 0
+        assert got["d8"] == (0, 0) and got["d7"] == (0, 1)
+        assert got["d1"] == (3, 1) and got["d2"] == (3, 0)
+
+    def test_boundary_ties_land_low(self, spark):
+        from pyspark.sql import types as T
+        from xema_spark.packing import curriculum_order
+        df = spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0), ("c", 2.0), ("d", 2.0)],
+            T.StructType([T.StructField("doc_id", T.StringType()),
+                          T.StructField("score", T.DoubleType())]))
+        out = curriculum_order(df, "score", n_shards=2)
+        got = {r["doc_id"]: r["shard"] for r in out.collect()}
+        # median of (1,2,2,2) = 2.0; score == boundary -> lower shard
+        assert got == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+    def test_hash_mode_matches_shard_assign_buckets(self, spark):
+        from xema_spark.packing import curriculum_order, shard_assign
+        df = self._df(spark)
+        cur = curriculum_order(df, "score", n_shards=4, by_quantile=False)
+        sha = shard_assign(df, n_shards=4)
+        a = {r["doc_id"]: r["shard"] for r in cur.collect()}
+        b = {r["doc_id"]: r["shard"] for r in sha.collect()}
+        assert a == b  # same hash31 shard; only the within-order differs
+        for r in cur.groupBy("shard").count().collect():
+            pass  # shard_pos contiguity asserted below
+        rows = cur.collect()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(
+                (r["shard_pos"], r["score"]))
+        for shard, lst in by_shard.items():
+            lst.sort()
+            assert [p for p, _ in lst] == list(range(len(lst)))
+            assert [s for _, s in lst] == sorted(s for _, s in lst)
+
+    def test_quantile_plan_no_global_sort(self, spark):
+        from xema_spark.packing import curriculum_order
+        out = curriculum_order(self._df(spark), "score", n_shards=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # boundaries broadcast back as one row; the only sort is the
+        # per-shard window sort after a hashpartitioning exchange — never
+        # a rangepartitioning global sort
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "rangepartitioning" not in plan.lower()

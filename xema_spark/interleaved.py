@@ -264,6 +264,80 @@ def filter_text_spans(df: DataFrame, id_col: str = "doc_id",
         (F.col("_n_in") - F.size("_kept")).cast("int").alias("n_dropped"))
 
 
+def truncate_to_budget(df: DataFrame, budget: int, id_col: str = "doc_id",
+                       spans_col: str = "spans",
+                       media_cost: int = 64) -> DataFrame:
+    """Context-window PREFIX truncation: keep the longest span prefix whose
+    token cost fits `budget` (same cost model as `token_cost`: text spans
+    their whitespace token count, media spans a flat `media_cost`,
+    malformed/null kinds 0). The first span that does not fit is the cut:
+
+    - a TEXT span at the cut is word-truncated to the remaining tokens
+      (whitespace-joined — original inter-word spacing is not preserved,
+      the token-level contract a trainer feeds anyway);
+    - a MEDIA span at the cut is dropped (an image does not truncate);
+    - everything after the cut is gone, including zero-cost spans —
+      prefix semantics, not greedy bin packing (that's `pack_sequences`).
+
+    Output: (id_col, spans, n_tokens_kept, truncated). Offsets are left
+    untouched — compose with `normalize_spans` to re-densify. Pure
+    per-row fold, zero shuffle, pipelines with the scan at 10^12 docs.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    spans = F.col(spans_col)
+    span_t = df.schema[spans_col].dataType.simpleString()
+    bl = F.lit(int(budget)).cast("long")
+
+    def _cost(s: Column) -> Column:
+        return (F.when(s["kind"] == "text", token_count_or_zero(s["text"]))
+                .when(s["kind"] == "media",
+                      F.lit(int(media_cost)).cast("long"))
+                .otherwise(F.lit(0).cast("long")))
+
+    def _words(s: Column) -> Column:
+        # NOT lowercased (tokens() lowercases for counting; the rebuild
+        # must keep the original words) — same boundaries, same count
+        return F.filter(F.split(s["text"], r"\s+"), lambda t: t != "")
+
+    def _cut_text(s: Column, rem: Column) -> Column:
+        return F.struct(
+            s["kind"].alias("kind"),
+            F.array_join(F.slice(_words(s), 1, rem.cast("int")), " ")
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"))
+
+    zero = F.struct(
+        F.array().cast(span_t).alias("arr"),
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(False).alias("cut"))
+
+    def _step(acc: Column, s: Column) -> Column:
+        cost = _cost(s)
+        rem = bl - acc["cum"]
+        fits = ~acc["cut"] & (cost <= rem)
+        cuts_text = (~acc["cut"] & ~(cost <= rem)
+                     & (s["kind"] == "text") & (rem > 0))
+        return F.struct(
+            (F.when(fits, F.concat(acc["arr"], F.array(s)))
+             .when(cuts_text, F.concat(acc["arr"],
+                                       F.array(_cut_text(s, rem))))
+             .otherwise(acc["arr"])).alias("arr"),
+            (F.when(fits, acc["cum"] + cost)
+             .when(cuts_text, bl)
+             .otherwise(acc["cum"])).alias("cum"),
+            (acc["cut"] | ~fits).alias("cut"))
+
+    folded = F.aggregate(spans, zero, _step)
+    staged = df.select(id_col, F.coalesce(folded, zero).alias("_f"))
+    return staged.select(
+        id_col,
+        F.col("_f")["arr"].alias(spans_col),
+        F.col("_f")["cum"].cast("long").alias("n_tokens_kept"),
+        F.col("_f")["cut"].alias("truncated"))
+
+
 def canonicalize_media_refs(docs: DataFrame, assets: DataFrame,
                             fp_col: str, id_col: str = "doc_id",
                             spans_col: str = "spans",

@@ -196,3 +196,56 @@ def shard_assign(df: DataFrame, id_col: str = "doc_id",
     return (staged
             .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("long"))
             .drop("_h"))
+
+
+def curriculum_order(df: DataFrame, score_col: str,
+                     id_col: str = "doc_id", n_shards: int = 1024,
+                     by_quantile: bool = True, ascending: bool = True,
+                     approx: bool = False) -> DataFrame:
+    """Curriculum layout: order the corpus easy -> hard for curriculum
+    training. Adds (shard, shard_pos) like `shard_assign`, but ordered by
+    `score_col` (the difficulty proxy: perplexity, length, quality score)
+    instead of a hash.
+
+    by_quantile=True (default): shard k holds the k-th GLOBAL score
+    quantile — reading shards 0..n-1 in order replays the whole-corpus
+    curriculum. Boundaries are the exact `percentile` of score at
+    k/n_shards (approx=True swaps in percentile_approx for the 10^12-doc
+    run: one sketch pass, same plan shape — the exact flavor is what the
+    DuckDB oracle can replay, cf. prototypicality's approx seam); a score
+    equal to a boundary lands in the lower shard, so ties are
+    deterministic. Scale shape: ONE aggregation to <= n_shards-1 boundary
+    doubles broadcast back as a single row, shard assignment is a pure
+    projection, then the one shard_pos window shuffle — identical cost to
+    `shard_assign`, no global sort, no single-partition window.
+
+    by_quantile=False: shard = hash31(id) % n_shards (each shard is a
+    hash sample of the corpus), score-ordered WITHIN the shard — every
+    data-parallel worker sees its own easy->hard ramp; zero extra passes.
+
+    Ordering within a shard is (score, id) ascending (descending score
+    when ascending=False; the id tie-break keeps either a pure function
+    of the data). Output: input columns + (shard, shard_pos).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    s = F.col(score_col).cast("double")
+    if by_quantile and n_shards > 1:
+        fracs = F.array(*[F.lit(k / n_shards) for k in range(1, n_shards)])
+        pctl = (F.percentile_approx(s, fracs) if approx
+                else F.percentile(s, fracs))
+        bounds = df.agg(pctl.alias("_bounds"))
+        staged = df.crossJoin(F.broadcast(bounds))
+        rank_up = F.size(F.filter(F.col("_bounds"), lambda b: s > b))
+        shard = (rank_up if ascending
+                 else (F.lit(n_shards - 1) - rank_up)).cast("int")
+        staged = staged.withColumn("shard", shard).drop("_bounds")
+    else:
+        staged = df.withColumn(
+            "shard",
+            F.pmod(bucket_hash31(F.col(id_col), "xxhash64", None),
+                   F.lit(n_shards)).cast("int"))
+    order = [s.asc() if ascending else s.desc(), F.col(id_col).asc()]
+    w = Window.partitionBy("shard").orderBy(*order)
+    return staged.withColumn(
+        "shard_pos", (F.row_number().over(w) - 1).cast("long"))
