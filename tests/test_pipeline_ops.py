@@ -1201,3 +1201,56 @@ def test_bm25_scores_merged_ids(spark):
     assert abs(got["a"]["bm25"] - round(want_a, 6)) < 1e-9
     assert abs(got["b"]["bm25"] - round(want_b, 6)) < 1e-9
     assert got["c"]["bm25"] == 0.0 and got["c"]["n_terms_hit"] == 0
+
+
+def test_winnow_overlap_shared_paragraph_and_cull(spark):
+    shared = "identical boilerplate paragraph reused verbatim across docs"
+    df = spark.createDataFrame(
+        [(1, shared + " plus unique tail alpha omega xylophone"),
+         (2, "entirely different leading prose here then " + shared),
+         (3, "no overlap with anything else at all in this one zebra")],
+        ["doc_id", "text"])
+    out = {(r["doc_a"], r["doc_b"]): r["shared"] for r in
+           text.winnow_overlap(df, "doc_id", k=5, w=4, min_shared=2).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 2   # shared substring detected
+    assert not any(3 in p for p in out)          # unrelated doc pairs nothing
+    # ubiquitous-fingerprint cull: a fp in EVERY doc never reaches the join
+    many = spark.createDataFrame(
+        [(i, shared) for i in range(10)], ["doc_id", "text"])
+    assert text.winnow_overlap(many, "doc_id", max_fp_docs=5).count() == 0
+    # and the same corpus passes once the cap admits the fp frequency
+    assert text.winnow_overlap(many, "doc_id", max_fp_docs=10).count() == 45
+    with pytest.raises(ValueError, match="min_shared"):
+        text.winnow_overlap(df, "doc_id", min_shared=0)
+
+
+def test_project_embeddings_flavors_match_and_preserve_geometry(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    inline = similarity.project_embeddings(
+        df, "embedding", in_dim=32, out_dim=8, inline_max_literals=4096)
+    bcast = similarity.project_embeddings(
+        df, "embedding", in_dim=32, out_dim=8, inline_max_literals=4)
+    # literal and broadcast plan shapes compute the identical projection
+    assert inline.select("vec_id", "proj").exceptAll(
+        bcast.select("vec_id", "proj")).count() == 0
+    got = {r["vec_id"]: r["proj"] for r in inline.collect()}
+    assert all(len(v) == 8 for v in got.values())
+    # JL scaling: E[||proj||^2] = ||x||^2 — corpus-level ratio near 1
+    import math
+    n2_in = {i: sum(x * x for x in v) for i, v in rows}
+    ratio = (sum(sum(x * x for x in got[i]) for i, _ in rows)
+             / sum(n2_in.values()))
+    assert 0.6 < ratio < 1.6
+    # deterministic: same seed same matrix, different seed different one
+    again = similarity.project_embeddings(
+        df, "embedding", in_dim=32, out_dim=8)
+    assert inline.exceptAll(again).count() == 0
+    other = similarity.project_embeddings(
+        df, "embedding", in_dim=32, out_dim=8, seed="v2")
+    assert inline.exceptAll(other).count() > 0
+    with pytest.raises(ValueError, match="out_dim"):
+        similarity.projection_signs(0, 4)

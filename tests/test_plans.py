@@ -337,3 +337,42 @@ def test_source_caps_prebounds_before_window(spark):
     assert "Filter" in below and "_h" in below
     # and the count aggregate exists (per-source counts feeding the bound)
     assert "Aggregate" in opt or "HashAggregate" in plan
+
+
+def test_project_embeddings_plan_shapes(spark):
+    from xema_spark import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 16)], "vec_id long, embedding array<float>")
+    inline = plan_of(similarity.project_embeddings(
+        df, in_dim=16, out_dim=4, inline_max_literals=4096))
+    # literal flavor: pure projection — no join, no shuffle, no Python
+    # (applySchemaToPythonRDD is the fixture's source, not the operator)
+    assert "Join" not in inline and "Exchange" not in inline
+    assert "BatchEvalPython" not in inline and "ArrowEvalPython" not in inline
+    bcast = plan_of(similarity.project_embeddings(
+        df, in_dim=16, out_dim=4, inline_max_literals=4))
+    # above the literal budget the sign matrix rides as ONE broadcast row
+    assert "BroadcastNestedLoopJoin" in bcast
+    assert "Exchange hashpartitioning" not in bcast
+
+
+def test_materialize_epochs_is_shuffle_free(spark):
+    from xema_spark import sampling
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "src"])
+    plan = plan_of(sampling.materialize_epochs(
+        df, "doc_id", "src", {"a": 2.5}))
+    # replication is a per-row Generate + filter: no shuffle, no Python
+    assert "Generate" in plan and "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_overlap_culls_before_self_join(spark):
+    from xema_spark import text
+
+    df = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+    plan = plan_of(text.winnow_overlap(df, "doc_id"))
+    # equi-join on fp (hash-joinable), never a cartesian pair blowup
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

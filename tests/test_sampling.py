@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from xema_spark import sampling
@@ -193,3 +194,36 @@ def test_hash_split_disjoint_stable_and_sized(spark):
         df, "doc_id", {"train": 0.5, "val": 0.1}).filter(
         "split = 'train'").collect())
     assert a == b
+
+
+def test_materialize_epochs_counts_and_nesting(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b") for i in range(200)],
+        ["doc_id", "src"])
+    out = sampling.materialize_epochs(
+        df, "doc_id", "src", {"a": 2.5, "b": 0.3}, salt="t", hash_fn="portable")
+    rows = out.groupBy("src", "epoch").agg(F.count(F.lit(1)).alias("n"))
+    per = {(r["src"], r["epoch"]): r["n"] for r in rows.collect()}
+    # full epochs replicate every row exactly once each
+    assert per[("a", 0)] == 100 and per[("a", 1)] == 100
+    # partial epochs hold ~frac of the stratum
+    assert 30 <= per[("a", 2)] <= 70 and 15 <= per[("b", 0)] <= 45
+    assert set(e for (_, e) in per) <= {0, 1, 2}
+    # default budget 0: an unknown stratum emits nothing (and no [0,-1]
+    # bogus sequence rows)
+    extra = spark.createDataFrame([(999, "zzz")], ["doc_id", "src"])
+    assert sampling.materialize_epochs(
+        extra, "doc_id", "src", {"a": 1.0}).count() == 0
+    # monotone nesting: raising a budget only ADDS (doc, epoch) replicas
+    lo = set((r["doc_id"], r["epoch"]) for r in sampling.materialize_epochs(
+        df, "doc_id", "src", {"a": 2.3}, salt="t", hash_fn="portable").collect())
+    hi = set((r["doc_id"], r["epoch"]) for r in sampling.materialize_epochs(
+        df, "doc_id", "src", {"a": 2.8}, salt="t", hash_fn="portable").collect())
+    assert lo <= hi
+    # partitioning-independent membership
+    again = sampling.materialize_epochs(
+        df.repartition(7), "doc_id", "src", {"a": 2.5, "b": 0.3},
+        salt="t", hash_fn="portable")
+    assert out.exceptAll(again).count() == 0
+    with pytest.raises(ValueError, match="must be >= 0"):
+        sampling.materialize_epochs(df, "doc_id", "src", {"a": -1.0})

@@ -314,3 +314,44 @@ def hash_split(df: DataFrame, id_col: str,
         expr = F.when((h >= F.lit(lo)) & (h < F.lit(hi)),
                       F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def materialize_epochs(df: DataFrame, id_col: str, strata_col: str,
+                       epochs: dict[str, float],
+                       default_epochs: float = 0.0,
+                       salt: str = "epochs-v1",
+                       hash_fn: str = "xxhash64",
+                       epoch_col: str = "epoch") -> DataFrame:
+    """Materialize an UPSAMPLING recipe (fractional epochs per stratum, the
+    "wiki x 3.5, web x 1, junk x 0.25" knob of a training-data mix): a row
+    whose stratum has budget e is replicated for full epochs 0..floor(e)-1
+    and appears in the one partial epoch floor(e) iff
+    hash(id | salt | floor(e)) < frac(e) — content-addressed membership,
+    same machinery as deterministic_sample, so reruns/resumes materialize
+    the identical replica multiset and raising a stratum's budget only ADDS
+    replicas (full epochs are supersets; the partial epoch's threshold test
+    is monotone in e under the shared per-epoch hash).
+
+    Returns the input rows replicated with `epoch_col` (int, 0-based).
+    Scale shape: one projection + per-row sequence/explode — no shuffle, no
+    join (the stratum->budget map is a CASE literal); output row count is
+    exactly sum_s round(e_s * n_s) in expectation. At 10^12 docs the
+    replicas are produced streaming inside the scan stage, never staged.
+    """
+    for s, e in list(epochs.items()) + [("default_epochs", default_epochs)]:
+        if e < 0:
+            raise ValueError(f"epochs for {s!r} must be >= 0, got {e}")
+    e_col: Column = F.lit(float(default_epochs))
+    for s, e in epochs.items():
+        e_col = F.when(F.col(strata_col) == s, F.lit(float(e))).otherwise(e_col)
+    full = F.floor(e_col).cast("int")
+    n = F.ceil(e_col).cast("int")
+    # sequence(0, -1) would yield [0, -1]: guard the zero-budget stratum
+    seq = F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1))) \
+        .otherwise(F.array().cast("array<int>"))
+    out = df.withColumn(epoch_col, F.explode(seq))
+    t = F.col(epoch_col)
+    key = F.concat(F.col(id_col).cast("string"), F.lit("|"), t.cast("string"))
+    h = bucket_hash31(key, hash_fn, salt=salt)
+    thr = ((e_col - full.cast("double")) * F.lit(float(_P31))).cast("long")
+    return out.filter((t < full) | (h < thr))

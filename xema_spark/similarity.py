@@ -468,6 +468,68 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
             .drop("_absmax"))
 
 
+def projection_signs(out_dim: int, in_dim: int,
+                     seed: str = "v1") -> list[list[float]]:
+    """Deterministic ±1 random-projection matrix (Achlioptas 2003 — a
+    Rademacher sign matrix satisfies the JL lemma): sign(j, i) = +1 iff
+    portable md5-31 hash of "seed|j|i" is even. Content-addressed like the
+    sampling salts, so every run, engine, and oracle derives the identical
+    matrix; the DuckDB-side expression is
+    ((('0x' || substr(md5(seed||'|'||j||'|'||i), 1, 15))::BIGINT
+      % 2147483647) % 2)."""
+    import hashlib
+
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(
+            f"out_dim/in_dim must be >= 1, got {out_dim}/{in_dim}")
+    p31 = (1 << 31) - 1
+
+    def sgn(j: int, i: int) -> float:
+        h = int(hashlib.md5(f"{seed}|{j}|{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if (h % p31) % 2 == 0 else -1.0
+
+    return [[sgn(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def project_embeddings(df: DataFrame, vec_col: str = "embedding",
+                       in_dim: int = 64, out_dim: int = 16,
+                       seed: str = "v1", out_col: str = "proj",
+                       inline_max_literals: int = 4096) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction of an embedding column
+    by a deterministic ±1 sign matrix: proj_j = sum_i v_i * sign(j,i) /
+    sqrt(out_dim) (the 1/sqrt(k) scaling that makes the projection
+    distance-preserving in expectation). The cheap pre-shrink an ANN/near-dup
+    stage wants before shuffling vectors — at 100 TB, projecting 768-d
+    float32 to 64-d cuts the candidate-join shuffle ~12x while keeping
+    cosine neighborhoods (combine with quantize_embeddings for another 4x).
+
+    Plan shape mirrors _centroid_scorer: when out_dim*in_dim fits
+    `inline_max_literals` the sign rows inline as plan literals (pure
+    projection, zero joins); above it they ride as ONE broadcast row of
+    array<array<double>> + F.transform — O(1) plan size either way, no
+    shuffle, all JVM-side (zip_with/aggregate fold, no Python in the path).
+    Elements round to 6 decimals so float32-input sums compare
+    cross-engine."""
+    signs = projection_signs(out_dim, in_dim, seed)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    inv = F.lit(1.0 / math.sqrt(float(out_dim)))
+
+    def proj_one(row_col):
+        return F.round(
+            F.aggregate(F.zip_with(v, row_col, lambda x, s: x * s),
+                        F.lit(0.0), lambda acc, x: acc + x) * inv, 6)
+
+    if out_dim * in_dim <= inline_max_literals:
+        out = F.array(*[proj_one(F.array(*[F.lit(s) for s in row]))
+                        for row in signs])
+        return df.withColumn(out_col, out)
+    signs_df = df.sparkSession.createDataFrame(
+        [(signs,)], "__signs array<array<double>>")
+    return (df.join(F.broadcast(signs_df))
+            .withColumn(out_col, F.transform(F.col("__signs"), proj_one))
+            .drop("__signs"))
+
+
 def decontaminate_semantic(corpus: DataFrame, benchmark: DataFrame,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",

@@ -292,6 +292,39 @@ def winnow_fingerprints(df: "DataFrame", id_col: str, text_col: str = "text",
             .select("doc", "fp").distinct())
 
 
+def winnow_overlap(df: "DataFrame", id_col: str, text_col: str = "text",
+                   k: int = 5, w: int = 4, hash_fn: str = "xxhash64",
+                   min_shared: int = 2, max_fp_docs: int = 64) -> "DataFrame":
+    """Cross-document substring-overlap pairs — the REPORT stage of the MOSS
+    scheme layered on `winnow_fingerprints`: two docs that share winnowed
+    fingerprints share verbatim k-char substrings (robust to edits outside
+    the shared region), which catches partial/contained duplication that
+    whole-document MinHash under-scores. Returns
+    (doc_a, doc_b, shared) — the count of distinct fingerprints the ordered
+    pair has in common, `shared >= min_shared` only.
+
+    Scale shape: fingerprints occurring in more than `max_fp_docs` documents
+    are culled BEFORE the self-join (the frequency cull MOSS itself applies
+    to boilerplate) — so the fp-keyed hash self-join fans out to at most
+    max_fp_docs^2/2 pairs per fingerprint, never corpus^2; the pair count is
+    one partial-aggregated groupBy. No all-pairs stage anywhere."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_fp_docs < 2:
+        raise ValueError(f"max_fp_docs must be >= 2, got {max_fp_docs}")
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w, hash_fn=hash_fn)
+    rare = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") <= max_fp_docs).select("fp"))
+    culled = fps.join(rare, "fp")
+    pairs = (culled.select("fp", F.col("doc").alias("doc_a"))
+             .join(culled.select("fp", F.col("doc").alias("doc_b")), "fp")
+             .filter(F.col("doc_a") < F.col("doc_b")))
+    # fps is distinct (doc, fp), so count(1) per pair == distinct shared fps
+    return (pairs.groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))
+
+
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str = "text",
                     k: int = 3, min_len: int = 1) -> DataFrame:
     """Per-document top-k characteristic terms by smoothed TF-IDF
