@@ -388,6 +388,18 @@ def _q_winnow_overlap(spark, sf_dir):
                                min_shared=2, max_fp_docs=8)
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Exact-substring span removal (dedup.remove_duplicate_spans — the
+    Lee et al. 2022 ExactSubstr flavor): 30-char grams shared across >= 2
+    docs mark spans, overlapping marks merge into maximal islands, islands
+    are spliced out of every doc except the lowest-id keeper. The full
+    cleaned TEXT is value-compared, so the oracle replays gram hashing,
+    island merge, and the gap-splice rebuild end-to-end."""
+    d = _docs(spark, sf_dir, "doc_id", "text")
+    return dedup.remove_duplicate_spans(
+        d, "doc_id", k=30, min_docs=2, keep="first", hash_fn="portable")
+
+
 def _q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (top-2-gram char fraction, duplicate
     5-gram char fraction) — explode+groupBy shape, oracle-checked."""
@@ -1538,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_truncate": _q_interleaved_truncate,
         "curriculum_shards": _q_curriculum_shards,
         "winnow_overlap": _q_winnow_overlap,
+        "dedup_spans": _q_dedup_spans,
         "embed_project": _q_embed_project,
         "sample_epochs": _q_sample_epochs,
         # -- r3-evicted, back in the window --
@@ -1551,6 +1564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_star": _q_dedup_components_star,
         "dedup_best_keeper": _q_dedup_best_keeper,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+        # ann_ivf slipped to slot 51 when dedup_spans joined the window:
+        # r3 driver-green, semantics untouched in r4, and the IVF family
+        # stays driver-exercised via ann_topk/ann_ivf_trained in-window
         "ann_ivf": _q_ann_ivf,
         # ---- tail (beyond the driver's 50-query window): driver-green in
         # r2 AND r3, semantics untouched since; still oracle-checked in CI --
@@ -3660,6 +3676,67 @@ def oracle_sql() -> dict[str, str]:
                      i -> abs(v[i] - qvec[i] * scale))) / len(v), 6)
                  AS recon_mae
         FROM q"""
+    # ExactSubstr span removal: positional 30-grams of the RAW text, the
+    # distinct-(hash, doc) frequency pass with min-doc keeper, island merge
+    # via lag/sum windows, then the gap-splice rebuild (string_agg of the
+    # inter-island gaps + the tail). 0-based Spark positions are i-1 here.
+    out["dedup_spans"] = f"""
+        WITH d AS (
+          SELECT doc_id, substr(text, 1, 32768) AS t
+          FROM {_T} WHERE text IS NOT NULL
+        ),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substr(md5(substr(t, i, 30)), 1, 15))::BIGINT AS h
+          FROM d, unnest(range(1, greatest(len(t) - 28, 1))) AS u(i)
+        ),
+        freq AS (
+          SELECT h, min(doc_id) AS keeper
+          FROM (SELECT DISTINCT h, doc_id FROM g)
+          GROUP BY h HAVING count(*) >= 2
+        ),
+        m AS (
+          SELECT g.doc_id, g.pos FROM g JOIN freq USING (h)
+          WHERE g.doc_id <> freq.keeper
+        ),
+        isl0 AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos) + 30
+                      THEN 1 ELSE 0 END AS brk
+          FROM m
+        ),
+        isl AS (
+          SELECT doc_id, pos, sum(brk) OVER
+                   (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM isl0
+        ),
+        sp AS (
+          SELECT doc_id, min(pos) AS s, max(pos) + 29 AS e
+          FROM isl GROUP BY doc_id, grp
+        ),
+        pieces AS (
+          SELECT doc_id, s, e,
+                 lag(e, 1, -1) OVER
+                   (PARTITION BY doc_id ORDER BY s) AS pe
+          FROM sp
+        ),
+        rebuilt AS (
+          SELECT p.doc_id,
+                 string_agg(substr(dd.text, p.pe + 2, p.s - p.pe - 1),
+                            '' ORDER BY p.s)
+                   || substr(dd.text, max(p.e) + 2) AS clean,
+                 count(*) AS n_spans
+          FROM pieces p JOIN {_T} dd USING (doc_id)
+          GROUP BY p.doc_id, dd.text
+        )
+        SELECT doc.doc_id,
+               CASE WHEN r.clean IS NULL THEN doc.text ELSE r.clean END
+                 AS text,
+               coalesce(r.n_spans, 0)::INT AS n_dup_spans,
+               coalesce(len(doc.text) - len(r.clean), 0)::INT
+                 AS dup_chars_removed
+        FROM {_T} doc LEFT JOIN rebuilt r USING (doc_id)"""
     # MOSS report stage: the winnow CTE is text_winnow's oracle verbatim,
     # then the frequency cull (<= 8 docs per fp) and the fp-keyed self-join
     out["winnow_overlap"] = f"""

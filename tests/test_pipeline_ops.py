@@ -1254,3 +1254,71 @@ def test_project_embeddings_flavors_match_and_preserve_geometry(spark):
     assert inline.exceptAll(other).count() > 0
     with pytest.raises(ValueError, match="out_dim"):
         similarity.projection_signs(0, 4)
+
+
+def test_remove_duplicate_spans_keep_first_and_none(spark):
+    boiler = "SHARED-BOILERPLATE-PARAGRAPH-REPEATED-VERBATIM-EVERYWHERE"
+    df = spark.createDataFrame(
+        [(1, "unique alpha prose " + boiler + " unique omega prose"),
+         (2, boiler + " totally different original tail content here"),
+         (3, "no duplication in this document at all whatsoever xyz")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(
+        df, "doc_id", k=20).collect()}
+    # keep='first': doc 1 (lowest id containing the grams) keeps the span
+    assert boiler in out[1]["text"] and out[1]["n_dup_spans"] == 0
+    # doc 2 loses exactly the shared region, unique tail survives verbatim
+    assert boiler not in out[2]["text"]
+    assert "totally different original tail content here" in out[2]["text"]
+    assert out[2]["n_dup_spans"] == 1
+    # the char AFTER the boilerplate is a space in BOTH docs, so the maximal
+    # shared span is boiler + that space
+    assert out[2]["dup_chars_removed"] == len(boiler) + 1
+    # untouched doc passes through byte-for-byte
+    assert out[3]["text"] == df.collect()[2]["text"]
+    assert out[3]["n_dup_spans"] == 0 and out[3]["dup_chars_removed"] == 0
+    # keep='none': the span vanishes from BOTH copies
+    both = {r["doc_id"]: r["text"] for r in dedup.remove_duplicate_spans(
+        df, "doc_id", k=20, keep="none").collect()}
+    assert boiler not in both[1] and boiler not in both[2]
+    assert "unique alpha prose" in both[1] and "unique omega prose" in both[1]
+
+
+def test_duplicate_spans_merge_and_edges(spark):
+    shared = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"  # 36 chars, k=10
+    df = spark.createDataFrame(
+        [(1, shared), (2, "xx" + shared + "yy"),
+         (3, "short"), (4, None)],
+        "doc_id long, text string")
+    spans = {r["doc"]: (r["start"], r["end"]) for r in dedup.duplicate_spans(
+        df, "doc_id", k=10, keep="none").collect()}
+    # 27 overlapping marked grams merge into ONE maximal island per doc
+    assert spans[1] == (0, 35) and spans[2] == (2, 37)
+    assert 3 not in spans and 4 not in spans
+    # removal splices the island out at the right offsets
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(
+        df, "doc_id", k=10, keep="none").collect()}
+    assert out[1]["text"] == "" and out[2]["text"] == "xxyy"
+    assert out[2]["dup_chars_removed"] == 36
+    # NULL text and sub-k text pass through
+    assert out[3]["text"] == "short" and out[4]["text"] is None
+    assert out[4]["n_dup_spans"] == 0 and out[4]["dup_chars_removed"] == 0
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup.duplicate_spans(df, "doc_id", min_docs=1)
+    with pytest.raises(ValueError, match="keep"):
+        dedup.duplicate_spans(df, "doc_id", keep="last")
+    with pytest.raises(ValueError, match="k must"):
+        dedup.duplicate_spans(df, "doc_id", k=1)
+
+
+def test_remove_duplicate_spans_two_islands_one_doc(spark):
+    a = "FIRST-SHARED-CHUNK-OF-TEXT-HERE!"
+    b = "SECOND-SHARED-CHUNK-ELSEWHERE-OK"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, a + " middle unique glue text " + b)],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(
+        df, "doc_id", k=16, keep="none").collect()}
+    assert out[3]["n_dup_spans"] == 2
+    assert out[3]["text"] == " middle unique glue text "
+    assert out[3]["dup_chars_removed"] == len(a) + len(b)

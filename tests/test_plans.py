@@ -376,3 +376,13 @@ def test_winnow_overlap_culls_before_self_join(spark):
     # equi-join on fp (hash-joinable), never a cartesian pair blowup
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_remove_duplicate_spans_plan(spark):
+    from xema_spark import dedup
+
+    df = spark.createDataFrame([(1, "abcdefghijklmno")], ["doc_id", "text"])
+    plan = plan_of(dedup.remove_duplicate_spans(df, "doc_id", k=5))
+    # gram marking is an equi-join on the gram hash; splice is pure Columns
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1117,3 +1117,122 @@ def ingest_batch_sig(batch: DataFrame, store: DataFrame | None,
     survivors = batch.join(
         surv_sig.select(F.col("doc").alias(id_col)), id_col, "semi")
     return survivors, surv_sig
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span removal (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr flavor: duplicated
+# spans are cut out of the text, not whole documents dropped)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
+                    k: int = 30, min_docs: int = 2, keep: str = "first",
+                    hash_fn: str = "xxhash64",
+                    max_chars: int = 32768) -> DataFrame:
+    """Maximal duplicated char spans per document: every k-char gram of the
+    RAW text (0-based positions, so spans index into the original string)
+    that occurs in >= `min_docs` DISTINCT documents marks the interval
+    [pos, pos+k-1]; overlapping/touching marked intervals merge into maximal
+    islands. Returns (doc, start, end) — inclusive 0-based bounds.
+
+    keep='first' exempts, per duplicated gram, every occurrence in the
+    LOWEST doc id containing it (Lee et al. remove a shared substring from
+    all but one copy — doc-granular here so island merging stays exact);
+    keep='none' marks every occurrence. Distinct-docs (not total
+    occurrences) is the duplication test on purpose: within-doc repetition
+    is repetition_signals / paragraph_dedupe territory.
+
+    Scale shape: grams are ONE O(len) lookahead-regex scan (DOTALL — raw
+    text keeps its newlines) exploded to (doc, pos, hash) rows; the
+    frequency table is a distinct-(hash, doc) partial agg then ONE groupBy;
+    marking is an equi-join on the gram hash whose build side is one row
+    per hash, so a boilerplate gram fans out to its positions and nothing
+    else (AQE splits the hot hashes). Island merge is a per-doc window —
+    partitions are document-sized. 60-bit portable hashing makes a false
+    dup-mark ~2^-60 per gram pair; the 'portable' flavor lets DuckDB replay
+    the operator bit-for-bit."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    raw = F.substring(F.col(text_col), 1, max_chars)
+    grams = F.regexp_extract_all(raw, F.lit(f"(?s)(?=(.{{{k}}}))"), 1)
+    g = (df.filter(F.col(text_col).isNotNull())
+         .select(F.col(id_col).alias("doc"),
+                 F.posexplode(grams).alias("pos", "gram"))
+         .select("doc", "pos",
+                 (portable_hash60(F.col("gram")) if hash_fn == "portable"
+                  else F.xxhash64(F.col("gram"))).alias("h")))
+    freq = (g.select("h", "doc").distinct()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__nd"),
+                 F.min("doc").alias("__keeper"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("h", "__keeper"))
+    marked = g.join(freq, "h")
+    if keep == "first":
+        marked = marked.filter(F.col("doc") != F.col("__keeper"))
+    w = Window.partitionBy("doc").orderBy("pos")
+    # equal-length intervals sorted by pos: a new island starts when this
+    # gram no longer overlaps/touches the previous one's [pos, pos+k-1]
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + F.lit(k),
+                 F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (marked
+            .select("doc", "pos", F.sum(brk).over(run).alias("__isl"))
+            .groupBy("doc", "__isl")
+            .agg(F.min("pos").alias("start"),
+                 (F.max("pos") + F.lit(k - 1)).alias("end"))
+            .select("doc", "start", "end"))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str,
+                           text_col: str = "text", k: int = 30,
+                           min_docs: int = 2, keep: str = "first",
+                           hash_fn: str = "xxhash64",
+                           max_chars: int = 32768,
+                           out_col: str | None = None) -> DataFrame:
+    """Cut every duplicated span (see `duplicate_spans`) out of the text,
+    keeping everything else byte-for-byte: the content-level complement of
+    whole-doc dedup — boilerplate paragraphs vanish while each document's
+    unique prose survives. Adds `n_dup_spans` and `dup_chars_removed`;
+    the cleaned text replaces `text_col` unless `out_col` is given. Rows
+    whose text is NULL / shorter than k / unmarked pass through unchanged.
+
+    Scale shape: spans aggregate to ONE array row per affected doc
+    (islands are disjoint, so the array is bounded by len/k), joined back
+    on the id — docs without duplicated spans never leave the scan's
+    partition shape. The splice is a single JVM-side F.aggregate fold over
+    the sorted island array (substr concat of the gaps); no Python, no
+    window over the corpus. Assumes unique doc ids (duplicated ids would
+    merge their gram sets)."""
+    spans = duplicate_spans(df, id_col, text_col, k=k, min_docs=min_docs,
+                            keep=keep, hash_fn=hash_fn, max_chars=max_chars)
+    per_doc = (spans.groupBy(F.col("doc").alias("__doc"))
+               .agg(F.array_sort(
+                   F.collect_list(F.struct("start", "end"))).alias("__spans")))
+    txt = F.col(text_col)
+    init = F.struct(F.lit("").alias("t"), F.lit(0).alias("c"))
+    spliced = F.aggregate(
+        F.col("__spans"), init,
+        lambda acc, s: F.struct(
+            F.concat(acc["t"],
+                     txt.substr(acc["c"] + F.lit(1),
+                                s["start"] - acc["c"])).alias("t"),
+            (s["end"] + F.lit(1)).alias("c")),
+        lambda acc: F.concat(acc["t"],
+                             txt.substr(acc["c"] + F.lit(1),
+                                        F.length(txt) - acc["c"])))
+    cleaned = F.when(F.col("__spans").isNull(), txt).otherwise(spliced)
+    out = (df.join(per_doc, F.col(id_col) == F.col("__doc"), "left")
+           # explicit NULL guard: size(NULL) is -1 in non-ANSI sessions
+           .withColumn("n_dup_spans",
+                       F.when(F.col("__spans").isNull(), F.lit(0))
+                       .otherwise(F.size("__spans")))
+           .withColumn("dup_chars_removed",
+                       F.coalesce(F.length(txt) - F.length(cleaned),
+                                  F.lit(0))))
+    return (out.withColumn(out_col or text_col, cleaned)
+            .drop("__doc", "__spans"))
