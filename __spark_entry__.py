@@ -760,6 +760,46 @@ def _q_interleaved_normalize(spark, sf_dir):
     return interleaved.normalize_spans(gen_documents(spark, n), flat=True)
 
 
+def _q_interleaved_span_dedup(spark, sf_dir):
+    """Span-level cross-document dedup (interleaved.dedup_text_spans):
+    the documents table is reshaped into the input_hint span-sequence form
+    (three text chunks + one media span per doc), then text spans whose
+    normalized content occurs in >= 2 distinct docs are removed everywhere
+    except the lowest-id keeper; media spans and unique prose pass through
+    in order. The surviving spans are re-exploded with their NEW positions
+    so the rewritten arrays are value-compared element-by-element."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    nullstr = F.lit(None).cast("string")
+
+    def tspan(txt, off):
+        return F.struct(F.lit("text").alias("kind"), txt.alias("text"),
+                        nullstr.alias("media_ref"),
+                        F.lit(off).cast("int").alias("offset"))
+
+    mspan = F.struct(
+        F.lit("media").alias("kind"), nullstr.alias("text"),
+        F.format_string("asset-%06d",
+                        F.pmod(F.col("doc_id") * 31, F.lit(997)))
+        .alias("media_ref"),
+        F.lit(60).cast("int").alias("offset"))
+    docs = d.select("doc_id", F.array(
+        tspan(F.substring("text", 1, 60), 0),
+        mspan,
+        tspan(F.substring("text", 61, 60), 61),
+        tspan(F.substring("text", 121, 8192), 121),
+    ).alias("spans"))
+    out = interleaved.dedup_text_spans(docs, keep="first",
+                                       hash_fn="portable")
+    return (out.select("doc_id", "n_spans_dropped",
+                       F.posexplode("spans").alias("pos", "s"))
+            .select("doc_id", "n_spans_dropped", "pos",
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"),
+                    F.col("s.offset").alias("offset")))
+
+
 def _q_interleaved_span_filter(spark, sf_dir):
     """Span-level quality gate (interleaved.filter_text_spans): text spans
     must clear trimmed-length >= 20, >= 4 whitespace tokens and a substring
@@ -1551,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_shards": _q_curriculum_shards,
         "winnow_overlap": _q_winnow_overlap,
         "dedup_spans": _q_dedup_spans,
+        "interleaved_span_dedup": _q_interleaved_span_dedup,
         "embed_project": _q_embed_project,
         "sample_epochs": _q_sample_epochs,
         # -- r3-evicted, back in the window --
@@ -1560,7 +1601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         # -- changed this round (must re-stamp) --
         "v_fail_mode_early": _q_v_fail_mode_early,
-        "dedup_components": _q_dedup_components,
+        # dedup_components demoted to the tail when interleaved_span_dedup
+        # joined the window: driver-green r2 AND r3, semantics untouched;
+        # label-propagation CC stays driver-exercised via its drop-in
+        # equivalent dedup_components_star (same recursive-CTE oracle) and
+        # via pipeline_curate's transitive near-dup stage, both in-window
         "dedup_components_star": _q_dedup_components_star,
         "dedup_best_keeper": _q_dedup_best_keeper,
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -1568,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3 driver-green, semantics untouched in r4, and the IVF family
         # stays driver-exercised via ann_topk/ann_ivf_trained in-window
         "ann_ivf": _q_ann_ivf,
+        "dedup_components": _q_dedup_components,
         # ---- tail (beyond the driver's 50-query window): driver-green in
         # r2 AND r3, semantics untouched since; still oracle-checked in CI --
         # cast_pipeline + dedup_exact demoted when interleaved_span_filter/
@@ -3737,6 +3783,56 @@ def oracle_sql() -> dict[str, str]:
                coalesce(len(doc.text) - len(r.clean), 0)::INT
                  AS dup_chars_removed
         FROM {_T} doc LEFT JOIN rebuilt r USING (doc_id)"""
+    # span-level cross-doc dedup: the four synthetic spans per doc are
+    # re-derived row-wise, text-span keys normalize + hash exactly like
+    # bucket_hash31('portable'), the keeper is min(doc_id) per key, and
+    # survivors renumber via row_number so the rewritten arrays compare
+    # element-by-element
+    out["interleaved_span_dedup"] = f"""
+        WITH sp AS (
+          SELECT doc_id, 0 AS pos, 'text' AS kind,
+                 substr(text, 1, 60) AS stext,
+                 CAST(NULL AS VARCHAR) AS media_ref, 0 AS off FROM {_T}
+          UNION ALL
+          SELECT doc_id, 1, 'media', NULL,
+                 printf('asset-%06d', (doc_id * 31) % 997), 60 FROM {_T}
+          UNION ALL
+          SELECT doc_id, 2, 'text', substr(text, 61, 60), NULL, 61 FROM {_T}
+          UNION ALL
+          SELECT doc_id, 3, 'text', substr(text, 121, 8192), NULL, 121
+          FROM {_T}
+        ),
+        keys AS (
+          SELECT doc_id, pos,
+                 ('0x' || substr(md5(regexp_replace(lower(stext),
+                       '[^a-z0-9]+', '', 'g')), 1, 15))::BIGINT
+                   % 2147483647 AS h
+          FROM sp
+          WHERE kind = 'text' AND stext IS NOT NULL
+            AND len(regexp_replace(lower(stext), '[^a-z0-9]+', '', 'g')) >= 1
+        ),
+        freq AS (
+          SELECT h, min(doc_id) AS keeper
+          FROM (SELECT DISTINCT h, doc_id FROM keys)
+          GROUP BY h HAVING count(*) >= 2
+        ),
+        drops AS (
+          SELECT k.doc_id, k.pos FROM keys k JOIN freq USING (h)
+          WHERE k.doc_id <> freq.keeper
+        ),
+        surv AS (
+          SELECT s.*, (d.pos IS NOT NULL) AS dropped
+          FROM sp s LEFT JOIN drops d USING (doc_id, pos)
+        ),
+        nd AS (
+          SELECT doc_id, count(*) FILTER (dropped) AS ndrop
+          FROM surv GROUP BY doc_id
+        )
+        SELECT s.doc_id, nd.ndrop::INT AS n_spans_dropped,
+               (row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos)
+                - 1)::INT AS pos,
+               s.kind, s.stext AS text, s.media_ref, s.off AS offset
+        FROM surv s JOIN nd USING (doc_id) WHERE NOT dropped"""
     # MOSS report stage: the winnow CTE is text_winnow's oracle verbatim,
     # then the frequency cull (<= 8 docs per fp) and the fp-keyed self-join
     out["winnow_overlap"] = f"""

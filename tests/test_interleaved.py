@@ -352,3 +352,59 @@ def test_truncate_preserves_case_and_plan_no_shuffle(spark):
     assert got["n_tokens_kept"] == 2 and got["truncated"]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dedup_text_spans_keep_first_media_untouched(spark):
+    boiler = "Subscribe to our newsletter for updates!"
+    rows = [
+        ("d1", [("text", boiler, None, 0), ("media", None, "m1", 1),
+                ("text", "unique prose alpha", None, 2)]),
+        ("d2", [("text", "unique prose beta", None, 0),
+                ("text", "subscribe to our NEWSLETTER -- for updates", None, 1),
+                ("media", None, "m2", 2)]),
+        ("d3", [("text", "nothing shared here", None, 0)]),
+        ("d4", None),
+    ]
+    out = {r["doc_id"]: r for r in interleaved.dedup_text_spans(
+        _docs(spark, rows), keep="first").collect()}
+    # d1 is the lowest-id holder: keeps its copy, drops nothing
+    assert [s["text"] for s in out["d1"]["spans"]] == \
+        [boiler, None, "unique prose alpha"]
+    assert out["d1"]["n_spans_dropped"] == 0
+    # d2 loses the (normalized-equal) boilerplate span only; order kept
+    assert [s["kind"] for s in out["d2"]["spans"]] == ["text", "media"]
+    assert out["d2"]["spans"][0]["text"] == "unique prose beta"
+    assert out["d2"]["n_spans_dropped"] == 1
+    assert out["d3"]["n_spans_dropped"] == 0
+    assert out["d4"]["spans"] is None and out["d4"]["n_spans_dropped"] == 0
+    # keep='none': both copies vanish
+    none = {r["doc_id"]: r for r in interleaved.dedup_text_spans(
+        _docs(spark, rows), keep="none").collect()}
+    assert [s["text"] for s in none["d1"]["spans"]] == \
+        [None, "unique prose alpha"]
+    assert none["d2"]["n_spans_dropped"] == 1
+
+
+def test_dedup_text_spans_min_chars_and_errors(spark):
+    import pytest
+
+    rows = [
+        ("d1", [("text", "!!!", None, 0), ("text", "real shared body", None, 1)]),
+        ("d2", [("text", "???", None, 0), ("text", "Real SHARED body", None, 1)]),
+    ]
+    out = {r["doc_id"]: r for r in interleaved.dedup_text_spans(
+        _docs(spark, rows), keep="none").collect()}
+    # punctuation-only spans normalize to '' -> below min_chars, never dedup
+    assert [s["text"] for s in out["d1"]["spans"]] == ["!!!"]
+    assert [s["text"] for s in out["d2"]["spans"]] == ["???"]
+    assert out["d1"]["n_spans_dropped"] == 1
+    # exact (non-normalized) matching treats case variants as distinct
+    exact = {r["doc_id"]: r for r in interleaved.dedup_text_spans(
+        _docs(spark, rows), keep="none", normalize=False).collect()}
+    assert exact["d1"]["n_spans_dropped"] == 0
+    with pytest.raises(ValueError, match="min_docs"):
+        interleaved.dedup_text_spans(_docs(spark, rows), min_docs=1)
+    with pytest.raises(ValueError, match="keep"):
+        interleaved.dedup_text_spans(_docs(spark, rows), keep="both")
+    with pytest.raises(ValueError, match="min_chars"):
+        interleaved.dedup_text_spans(_docs(spark, rows), min_chars=0)

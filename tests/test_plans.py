@@ -386,3 +386,18 @@ def test_remove_duplicate_spans_plan(spark):
     # gram marking is an equi-join on the gram hash; splice is pure Columns
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_text_spans_plan(spark):
+    from pyspark.sql import types as T
+    from xema_spark import interleaved
+    from xema_spark.datagen import SPAN_TYPE
+
+    schema = T.StructType([T.StructField("doc_id", T.StringType()),
+                           T.StructField("spans", T.ArrayType(SPAN_TYPE))])
+    df = spark.createDataFrame(
+        [("d1", [("text", "hello world", None, 0)])], schema)
+    plan = plan_of(interleaved.dedup_text_spans(df))
+    # key marking is an equi-join on the span-key hash; rewrite is per-row
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -451,3 +451,72 @@ def span_kind_stats(df: DataFrame, id_col: str = "doc_id",
                 / F.greatest(F.col("n_text"), F.lit(1)).cast("double"), 6)
         .alias("media_text_ratio"),
     )
+
+
+def dedup_text_spans(df: DataFrame, id_col: str = "doc_id",
+                     spans_col: str = "spans", min_docs: int = 2,
+                     keep: str = "first", hash_fn: str = "xxhash64",
+                     normalize: bool = True,
+                     min_chars: int = 1) -> DataFrame:
+    """Cross-document dedup at SPAN granularity for the interleaved corpus:
+    a text span whose (optionally normalized) content occurs in >=
+    `min_docs` DISTINCT documents is removed from every document except —
+    with keep='first' — the lowest-id one, so exactly one copy of shared
+    boilerplate survives the corpus while media spans and each doc's unique
+    prose pass through untouched in their original order. keep='none'
+    removes every copy. The span-sequence invariant is preserved minus the
+    removed elements (offsets untouched — compose with `normalize_spans` to
+    re-densify). Spans whose dedup key is shorter than `min_chars` never
+    participate (an empty/punctuation-only span is not "boilerplate"),
+    nor do media or malformed-kind spans. Adds `n_spans_dropped`; NULL span
+    arrays pass through NULL. Assumes unique doc ids (duplicated ids would
+    merge their drop sets).
+
+    The char-level sibling is `dedup.remove_duplicate_spans` (unaligned
+    substrings); this one exploits that interleaved documents already
+    segment at span boundaries, so the whole operator is exact-match on
+    span keys. Scale shape: ONE posexplode (no shuffle, pipelined with the
+    scan) -> distinct-(hash, doc) partial agg -> ONE groupBy for the
+    frequency/keeper table -> equi-join on the span-key hash (build side
+    one row per key; AQE splits hot boilerplate keys) -> per-doc drop-index
+    array joined back on the id; the rewrite is a per-row F.filter over
+    the original array. No Python anywhere; 'portable' hashing makes the
+    operator DuckDB-replayable."""
+    from xema_spark.dedup import bucket_hash31
+    from xema_spark.text import normalize_text
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if min_chars < 1:
+        raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    s = F.col("__s")
+    key = normalize_text(s["text"]) if normalize else s["text"]
+    exploded = (df.select(F.col(id_col).alias("__doc"),
+                          F.posexplode(spans_col).alias("__pos", "__s"))
+                .filter((s["kind"] == "text") & s["text"].isNotNull())
+                .select("__doc", "__pos", key.alias("__key"))
+                .filter(F.length("__key") >= min_chars)
+                .select("__doc", "__pos",
+                        bucket_hash31(F.col("__key"), hash_fn).alias("__h")))
+    freq = (exploded.select("__h", "__doc").distinct()
+            .groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__nd"),
+                 F.min("__doc").alias("__keeper"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__h", "__keeper"))
+    drops = exploded.join(freq, "__h")
+    if keep == "first":
+        drops = drops.filter(F.col("__doc") != F.col("__keeper"))
+    per_doc = (drops.groupBy("__doc")
+               .agg(F.collect_list("__pos").alias("__drop")))
+    spans = F.col(spans_col)
+    kept = F.when(F.col("__drop").isNull(), spans).otherwise(
+        F.filter(spans, lambda x, i: ~F.array_contains(F.col("__drop"), i)))
+    n_dropped = F.when(F.col("__drop").isNull(), F.lit(0)) \
+        .otherwise(F.size("__drop")).cast("int")
+    return (df.join(per_doc, F.col(id_col) == F.col("__doc"), "left")
+            .withColumn("n_spans_dropped", n_dropped)
+            .withColumn(spans_col, kept)
+            .drop("__doc", "__drop"))
