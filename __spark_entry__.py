@@ -3805,8 +3805,7 @@ def oracle_sql() -> dict[str, str]:
         keys AS (
           SELECT doc_id, pos,
                  ('0x' || substr(md5(regexp_replace(lower(stext),
-                       '[^a-z0-9]+', '', 'g')), 1, 15))::BIGINT
-                   % 2147483647 AS h
+                       '[^a-z0-9]+', '', 'g')), 1, 15))::BIGINT AS h
           FROM sp
           WHERE kind = 'text' AND stext IS NOT NULL
             AND len(regexp_replace(lower(stext), '[^a-z0-9]+', '', 'g')) >= 1
@@ -3900,7 +3899,7 @@ def oracle_sql() -> dict[str, str]:
            OR (('0x' || substr(md5(doc_id::VARCHAR || '|' || epoch::VARCHAR
                                    || '|epochs-v1'), 1, 15))::BIGINT
                % 2147483647)
-              < ((eb - floor(eb)) * 2147483647.0)::BIGINT"""
+              < floor((eb - floor(eb)) * 2147483647.0)::BIGINT"""
     out["v_ref_inline"] = f"""
         SELECT doc_id,
                (text IS NOT NULL AND length(text) <= 300

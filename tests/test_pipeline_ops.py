@@ -1322,3 +1322,17 @@ def test_remove_duplicate_spans_two_islands_one_doc(spark):
     assert out[3]["n_dup_spans"] == 2
     assert out[3]["text"] == " middle unique glue text "
     assert out[3]["dup_chars_removed"] == len(a) + len(b)
+
+
+def test_project_embeddings_dim_guard(spark):
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, None)], "vec_id long, embedding array<float>")
+    # NULL vectors project to NULL instead of raising
+    ok = similarity.project_embeddings(
+        df.filter("vec_id = 2"), "embedding", in_dim=16, out_dim=4)
+    assert ok.collect()[0]["proj"] is None
+    # a non-NULL vector of the wrong length fails LOUDLY, not all-NULL
+    with pytest.raises(Exception, match="expected 16-d"):
+        similarity.project_embeddings(
+            df.filter("vec_id = 1"), "embedding",
+            in_dim=16, out_dim=4).collect()

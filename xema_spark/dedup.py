@@ -1125,6 +1125,23 @@ def ingest_batch_sig(batch: DataFrame, store: DataFrame | None,
 # spans are cut out of the text, not whole documents dropped)
 # ---------------------------------------------------------------------------
 
+def dup_keeper_table(occurrences: DataFrame, doc_col: str,
+                     hash_col: str, min_docs: int) -> DataFrame:
+    """(hash, __keeper) table shared by the span-dedup family
+    (`duplicate_spans`, `interleaved.dedup_text_spans`): distinct
+    (hash, doc) — a map-side partial distinct — then ONE groupBy keeping
+    hashes seen in >= min_docs DISTINCT docs, with the lowest doc id as the
+    keeper. Defining the keeper semantics once means a change to the rule
+    (counting, tie-break, hash width expectations) can't silently diverge
+    between the char-level and span-level operators."""
+    return (occurrences.select(hash_col, doc_col).distinct()
+            .groupBy(hash_col)
+            .agg(F.count(F.lit(1)).alias("__nd"),
+                 F.min(doc_col).alias("__keeper"))
+            .filter(F.col("__nd") >= min_docs)
+            .select(hash_col, "__keeper"))
+
+
 def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
                     k: int = 30, min_docs: int = 2, keep: str = "first",
                     hash_fn: str = "xxhash64",
@@ -1165,13 +1182,7 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
          .select("doc", "pos",
                  (portable_hash60(F.col("gram")) if hash_fn == "portable"
                   else F.xxhash64(F.col("gram"))).alias("h")))
-    freq = (g.select("h", "doc").distinct()
-            .groupBy("h")
-            .agg(F.count(F.lit(1)).alias("__nd"),
-                 F.min("doc").alias("__keeper"))
-            .filter(F.col("__nd") >= min_docs)
-            .select("h", "__keeper"))
-    marked = g.join(freq, "h")
+    marked = g.join(dup_keeper_table(g, "doc", "h", min_docs), "h")
     if keep == "first":
         marked = marked.filter(F.col("doc") != F.col("__keeper"))
     w = Window.partitionBy("doc").orderBy("pos")

@@ -480,9 +480,12 @@ def dedup_text_spans(df: DataFrame, id_col: str = "doc_id",
     frequency/keeper table -> equi-join on the span-key hash (build side
     one row per key; AQE splits hot boilerplate keys) -> per-doc drop-index
     array joined back on the id; the rewrite is a per-row F.filter over
-    the original array. No Python anywhere; 'portable' hashing makes the
-    operator DuckDB-replayable."""
-    from xema_spark.dedup import bucket_hash31
+    the original array. No Python anywhere; hashing is 60-bit portable /
+    64-bit xxhash (like `dedup.duplicate_spans` — a false dup-mark that
+    deletes an innocent span is ~2^-60 per key pair, NOT the 2^-31 a
+    bucket hash would give at corpus scale), and the 'portable' flavor
+    makes the operator DuckDB-replayable."""
+    from xema_spark.dedup import dup_keeper_table, portable_hash60
     from xema_spark.text import normalize_text
 
     if min_docs < 2:
@@ -491,6 +494,9 @@ def dedup_text_spans(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
     if min_chars < 1:
         raise ValueError(f"min_chars must be >= 1, got {min_chars}")
+    if hash_fn not in ("portable", "xxhash64"):
+        raise ValueError(
+            f"unknown hash_fn {hash_fn!r}: expected 'portable' or 'xxhash64'")
     s = F.col("__s")
     key = normalize_text(s["text"]) if normalize else s["text"]
     exploded = (df.select(F.col(id_col).alias("__doc"),
@@ -499,14 +505,11 @@ def dedup_text_spans(df: DataFrame, id_col: str = "doc_id",
                 .select("__doc", "__pos", key.alias("__key"))
                 .filter(F.length("__key") >= min_chars)
                 .select("__doc", "__pos",
-                        bucket_hash31(F.col("__key"), hash_fn).alias("__h")))
-    freq = (exploded.select("__h", "__doc").distinct()
-            .groupBy("__h")
-            .agg(F.count(F.lit(1)).alias("__nd"),
-                 F.min("__doc").alias("__keeper"))
-            .filter(F.col("__nd") >= min_docs)
-            .select("__h", "__keeper"))
-    drops = exploded.join(freq, "__h")
+                        (portable_hash60(F.col("__key"))
+                         if hash_fn == "portable"
+                         else F.xxhash64(F.col("__key"))).alias("__h")))
+    drops = exploded.join(
+        dup_keeper_table(exploded, "__doc", "__h", min_docs), "__h")
     if keep == "first":
         drops = drops.filter(F.col("__doc") != F.col("__keeper"))
     per_doc = (drops.groupBy("__doc")

@@ -509,24 +509,35 @@ def project_embeddings(df: DataFrame, vec_col: str = "embedding",
     array<array<double>> + F.transform — O(1) plan size either way, no
     shuffle, all JVM-side (zip_with/aggregate fold, no Python in the path).
     Elements round to 6 decimals so float32-input sums compare
-    cross-engine."""
+    cross-engine. A non-NULL vector whose length differs from `in_dim`
+    RAISES at execution (zip_with would otherwise NULL-pad and silently
+    poison the fold to an all-NULL projection); NULL vectors project to
+    NULL."""
     signs = projection_signs(out_dim, in_dim, seed)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vec = F.col(vec_col)
+    v = F.transform(vec, lambda x: x.cast("double"))
     inv = F.lit(1.0 / math.sqrt(float(out_dim)))
 
     def proj_one(row_col):
-        return F.round(
-            F.aggregate(F.zip_with(v, row_col, lambda x, s: x * s),
-                        F.lit(0.0), lambda acc, x: acc + x) * inv, 6)
+        return F.round(dot(v, row_col) * inv, 6)
+
+    def guarded(proj):
+        return (F.when(vec.isNull(), F.lit(None).cast("array<double>"))
+                .when(F.size(vec) == in_dim, proj)
+                .otherwise(F.raise_error(F.concat(
+                    F.lit(f"project_embeddings: expected {in_dim}-d "
+                          "vectors, got length "),
+                    F.size(vec).cast("string")))))
 
     if out_dim * in_dim <= inline_max_literals:
         out = F.array(*[proj_one(F.array(*[F.lit(s) for s in row]))
                         for row in signs])
-        return df.withColumn(out_col, out)
+        return df.withColumn(out_col, guarded(out))
     signs_df = df.sparkSession.createDataFrame(
         [(signs,)], "__signs array<array<double>>")
     return (df.join(F.broadcast(signs_df))
-            .withColumn(out_col, F.transform(F.col("__signs"), proj_one))
+            .withColumn(out_col,
+                        guarded(F.transform(F.col("__signs"), proj_one)))
             .drop("__signs"))
 
 
