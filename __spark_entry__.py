@@ -1422,6 +1422,19 @@ def _q_sample_epochs(spark, sf_dir):
         salt="epochs-v1", hash_fn="portable")
 
 
+def _q_sample_epoch_budgets(spark, sf_dir):
+    """Up-sampling mixture planner (sampling.epoch_budgets): per-source
+    char-MASS aggregate -> fractional epoch budgets realizing target
+    shares, the planning table materialize_epochs executes. One row per
+    observed source; shares/budgets rounded to 6 for the value compare."""
+    from xema_spark import sampling
+
+    d = _docs(spark, sf_dir, "doc_id", "source", "n_chars")
+    return sampling.epoch_budgets(
+        d, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        weight_col="n_chars")
+
+
 def _q_sample_mixture(spark, sf_dir):
     """Recipe-driven mixture sampling (sampling.mixture_sample): target
     SHARES + a target size are turned into per-stratum rates from the
@@ -1594,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_span_dedup": _q_interleaved_span_dedup,
         "embed_project": _q_embed_project,
         "sample_epochs": _q_sample_epochs,
+        "sample_epoch_budgets": _q_sample_epoch_budgets,
         # -- r3-evicted, back in the window --
         "referential_spans": _q_referential_spans,
         "sim_near_dups": _q_sim_near_dups,
@@ -1608,10 +1622,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via pipeline_curate's transitive near-dup stage, both in-window
         "dedup_components_star": _q_dedup_components_star,
         "dedup_best_keeper": _q_dedup_best_keeper,
+        # ---- tail boundary: dedup_minhash_pairs + ann_ivf slipped past
+        # slot 50 when dedup_spans/interleaved_span_dedup/
+        # sample_epoch_budgets joined the window: minhash is driver-green
+        # r2 AND r3 with semantics untouched in r4 (the LSH banding
+        # machinery stays driver-exercised via dedup_best_keeper and
+        # dedup_incremental_sig in-window), ann_ivf is r3-green with the
+        # IVF family covered by ann_topk/ann_ivf_trained in-window
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
-        # ann_ivf slipped to slot 51 when dedup_spans joined the window:
-        # r3 driver-green, semantics untouched in r4, and the IVF family
-        # stays driver-exercised via ann_topk/ann_ivf_trained in-window
         "ann_ivf": _q_ann_ivf,
         "dedup_components": _q_dedup_components,
         # ---- tail (beyond the driver's 50-query window): driver-green in
@@ -3881,6 +3899,25 @@ def oracle_sql() -> dict[str, str]:
                      i -> e.embedding[i]::DOUBLE * s.sgn[i])) / sqrt(8.0),
                      6) AS v
         FROM embeddings e, s"""
+    # up-sampling mixture planner: per-source char mass, observed share,
+    # and the capped epoch budget share*T/mass — all closed-form arithmetic
+    # over the tiny aggregate
+    out["sample_epoch_budgets"] = f"""
+        WITH m AS (
+          SELECT source, sum(n_chars)::DOUBLE AS mass
+          FROM {_T} GROUP BY source
+        ),
+        t AS (SELECT sum(mass) AS tot FROM m)
+        SELECT m.source, m.mass,
+               round(m.mass / t.tot, 6) AS current_share,
+               CASE m.source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                             WHEN 'src2' THEN 0.2 ELSE 0.0 END
+                 AS target_share,
+               round(least(100.0,
+                     CASE m.source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                   WHEN 'src2' THEN 0.2 ELSE 0.0 END
+                     * t.tot / m.mass), 6) AS epochs
+        FROM m, t"""
     # fractional-epoch upsampling: generate_series for the full epochs, the
     # same per-epoch md5 threshold for the partial one
     out["sample_epochs"] = f"""

@@ -227,3 +227,51 @@ def test_materialize_epochs_counts_and_nesting(spark):
     assert out.exceptAll(again).count() == 0
     with pytest.raises(ValueError, match="must be >= 0"):
         sampling.materialize_epochs(df, "doc_id", "src", {"a": -1.0})
+
+
+def test_epoch_budgets_hand_computed(spark):
+    rows = ([(i, "a", 10.0) for i in range(3)]
+            + [(100, "b", 10.0)]
+            + [(200 + i, "c", 15.0) for i in range(2)])
+    df = spark.createDataFrame(rows, ["doc_id", "src", "w"])
+    out = {r["src"]: r for r in sampling.epoch_budgets(
+        df, "src", {"a": 0.5, "b": 0.5}, weight_col="w").collect()}
+    # masses 30/10/30, T=70; budgets share*T/mass; c absent from recipe -> 0
+    assert out["a"]["mass"] == 30.0 and out["b"]["mass"] == 10.0
+    assert abs(out["a"]["epochs"] - round(0.5 * 70 / 30, 6)) < 1e-9
+    assert abs(out["b"]["epochs"] - round(0.5 * 70 / 10, 6)) < 1e-9
+    assert out["c"]["epochs"] == 0.0 and out["c"]["target_share"] == 0.0
+    assert abs(out["c"]["current_share"] - round(30 / 70, 6)) < 1e-9
+    # row-count mode (no weight_col): masses 3/1/2, T=6
+    cnt = {r["src"]: r["epochs"] for r in sampling.epoch_budgets(
+        df, "src", {"b": 1.0}).collect()}
+    assert abs(cnt["b"] - 6.0) < 1e-9 and cnt["a"] == 0.0
+    # the cap bounds a scarce-stratum blow-up and reports it honestly
+    capped = {r["src"]: r["epochs"] for r in sampling.epoch_budgets(
+        df, "src", {"b": 1.0}, max_epochs=2.5).collect()}
+    assert capped["b"] == 2.5
+    # pinned total_mass overrides the observed T for the budget only
+    pinned = {r["src"]: r for r in sampling.epoch_budgets(
+        df, "src", {"a": 1.0}, total_mass=140.0, weight_col="w").collect()}
+    assert abs(pinned["a"]["epochs"] - round(140 / 30, 6)) < 1e-9
+    assert abs(pinned["a"]["current_share"] - round(30 / 70, 6)) < 1e-9
+    import pytest
+    with pytest.raises(ValueError, match="max_epochs"):
+        sampling.epoch_budgets(df, "src", {"a": 1.0}, max_epochs=0)
+    with pytest.raises(ValueError, match="total_mass"):
+        sampling.epoch_budgets(df, "src", {"a": 1.0}, total_mass=-1)
+    with pytest.raises(ValueError, match="share"):
+        sampling.epoch_budgets(df, "src", {"a": -0.1})
+
+
+def test_materialize_mixture_realizes_shares(spark):
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        ["doc_id", "src"])
+    out = sampling.materialize_mixture(
+        df, "doc_id", "src", {"big": 0.5, "small": 0.5},
+        salt="t", hash_fn="portable")
+    per = {r["src"]: r["n"] for r in out.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # planned on T=1000: each stratum targets ~500 replicas
+    assert abs(per["big"] - 500) < 80 and abs(per["small"] - 500) < 80

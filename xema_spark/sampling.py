@@ -15,7 +15,7 @@ is the cheaper production default.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from xema_spark.dedup import _P31, bucket_hash31
 
@@ -355,3 +355,77 @@ def materialize_epochs(df: DataFrame, id_col: str, strata_col: str,
     h = bucket_hash31(key, hash_fn, salt=salt)
     thr = ((e_col - full.cast("double")) * F.lit(float(_P31))).cast("long")
     return out.filter((t < full) | (h < thr))
+
+
+def epoch_budgets(df: DataFrame, strata_col: str,
+                  target_shares: dict[str, float],
+                  total_mass: float | None = None,
+                  weight_col: str | None = None,
+                  max_epochs: float = 100.0) -> DataFrame:
+    """The UP-sampling planner that closes the mixture loop: given target
+    output shares (by row count, or by token/char MASS via `weight_col` —
+    the unit training mixes are actually specified in) derive the
+    fractional-epoch budget each stratum needs, epochs_s = min(max_epochs,
+    share_s * T / mass_s), where T defaults to the observed corpus mass
+    (corpus-size-neutral remix) or is pinned via `total_mass`. The output
+    feeds `materialize_epochs`; `mixture_rates` is the DOWN-sampling
+    sibling (rates capped at 1), this one replicates scarce strata above 1.
+    `max_epochs` bounds the blow-up a tiny stratum with a big share would
+    request — the cap is reported honestly in the budget, not silently
+    redistributed.
+
+    Returns ONE row per observed stratum: (strata_col, mass, current_share,
+    target_share, epochs), doubles rounded to 6 so the plan is
+    cross-engine comparable. Strata absent from the recipe get epochs 0.
+
+    Scale shape: ONE partial-aggregated groupBy over the corpus; the
+    total-mass window runs over the n_strata-row aggregate, never the
+    corpus. The budget table is a recipe artifact — log it next to the
+    salt."""
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    if total_mass is not None and total_mass <= 0:
+        raise ValueError(f"total_mass must be > 0, got {total_mass}")
+    for s, share in target_shares.items():
+        if share < 0:
+            raise ValueError(f"share for {s!r} must be >= 0, got {share}")
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
+    agg = df.groupBy(strata_col).agg(F.sum(w).alias("mass"))
+    everything = Window.partitionBy()
+    tot_obs = F.sum("mass").over(everything)
+    tot = F.lit(float(total_mass)) if total_mass is not None else tot_obs
+    share: Column = F.lit(0.0)
+    for s, p in target_shares.items():
+        share = F.when(F.col(strata_col) == s, F.lit(float(p))).otherwise(share)
+    return agg.select(
+        strata_col,
+        "mass",
+        F.round(F.col("mass") / tot_obs, 6).alias("current_share"),
+        share.alias("target_share"),
+        F.round(F.least(F.lit(float(max_epochs)),
+                        share * tot / F.col("mass")), 6).alias("epochs"))
+
+
+def materialize_mixture(df: DataFrame, id_col: str, strata_col: str,
+                        target_shares: dict[str, float],
+                        total_mass: float | None = None,
+                        weight_col: str | None = None,
+                        max_epochs: float = 100.0,
+                        salt: str = "epochs-v1",
+                        hash_fn: str = "xxhash64",
+                        epoch_col: str = "epoch") -> DataFrame:
+    """Plan + execute a replicated training mix in two jobs: `epoch_budgets`
+    (one tiny aggregate; only n_strata rows reach the driver, the same
+    contract as `mixture_sample`) feeds `materialize_epochs` (a pure
+    per-row generate+filter over the scan). Note the budgets are planned on
+    MASS but membership in the partial epoch is per-ROW — for docs of
+    uneven length the realized mass share converges by law of large numbers
+    within each stratum."""
+    budgets = {r[0]: float(r["epochs"])
+               for r in epoch_budgets(df, strata_col, target_shares,
+                                      total_mass, weight_col,
+                                      max_epochs).collect()}
+    return materialize_epochs(df, id_col, strata_col, budgets,
+                              salt=salt, hash_fn=hash_fn,
+                              epoch_col=epoch_col)
