@@ -1336,3 +1336,10 @@ def test_project_embeddings_dim_guard(spark):
         similarity.project_embeddings(
             df.filter("vec_id = 1"), "embedding",
             in_dim=16, out_dim=4).collect()
+    # a correct-length vector with a NULL ELEMENT fails LOUDLY too — the
+    # fold would otherwise NULL-poison every projected component silently
+    holey = spark.createDataFrame(
+        [(3, [0.1] * 7 + [None])], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="NULL elements"):
+        similarity.project_embeddings(
+            holey, "embedding", in_dim=8, out_dim=4).collect()

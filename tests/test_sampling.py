@@ -264,6 +264,31 @@ def test_epoch_budgets_hand_computed(spark):
         sampling.epoch_budgets(df, "src", {"a": -0.1})
 
 
+def test_epoch_budgets_zero_mass_stratum(spark):
+    # a stratum whose weights are all NULL/zero must get epochs 0.0, not a
+    # NULL that crashes materialize_mixture's float(None) (ADVICE r4)
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 10.0), (3, "z", None), (4, "z", 0.0)],
+        "doc_id long, src string, w double")
+    out = {r["src"]: r for r in sampling.epoch_budgets(
+        df, "src", {"a": 0.5, "z": 0.5}, weight_col="w").collect()}
+    assert out["z"]["mass"] == 0.0 and out["z"]["epochs"] == 0.0
+    assert out["z"]["current_share"] == 0.0
+    assert abs(out["a"]["epochs"] - round(0.5 * 20 / 20, 6)) < 1e-9
+    # the composed path survives (z contributes zero output rows; a gets a
+    # full epoch under share 1.0 so its row count is deterministic)
+    mixed = sampling.materialize_mixture(
+        df, "doc_id", "src", {"a": 1.0, "z": 1.0}, weight_col="w")
+    assert mixed.filter("src = 'z'").count() == 0
+    assert mixed.filter("src = 'a'").count() == 2
+    # ALL-zero-mass corpus: current_share divides a zero total — still 0.0
+    allz = spark.createDataFrame(
+        [(1, "z", 0.0)], "doc_id long, src string, w double")
+    row = sampling.epoch_budgets(
+        allz, "src", {"z": 1.0}, weight_col="w").collect()[0]
+    assert row["epochs"] == 0.0 and row["current_share"] == 0.0
+
+
 def test_materialize_mixture_realizes_shares(spark):
     df = spark.createDataFrame(
         [(i, "big" if i < 900 else "small") for i in range(1000)],

@@ -1151,6 +1151,10 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
     that occurs in >= `min_docs` DISTINCT documents marks the interval
     [pos, pos+k-1]; overlapping/touching marked intervals merge into maximal
     islands. Returns (doc, start, end) — inclusive 0-based bounds.
+    Only the first `max_chars` characters of each document are scanned:
+    duplicated content past the cap is invisible to the operator — raise
+    `max_chars` for long-document corpora (cost is the gram explode, O(len)
+    rows per doc).
 
     keep='first' exempts, per duplicated gram, every occurrence in the
     LOWEST doc id containing it (Lee et al. remove a shared substring from
@@ -1211,6 +1215,9 @@ def remove_duplicate_spans(df: DataFrame, id_col: str,
     unique prose survives. Adds `n_dup_spans` and `dup_chars_removed`;
     the cleaned text replaces `text_col` unless `out_col` is given. Rows
     whose text is NULL / shorter than k / unmarked pass through unchanged.
+    Span detection inherits `duplicate_spans`' `max_chars` scan cap:
+    duplicated content past the first `max_chars` characters survives the
+    splice untouched — raise the cap for long-document corpora.
 
     Scale shape: spans aggregate to ONE array row per affected doc
     (islands are disjoint, so the array is bounded by len/k), joined back

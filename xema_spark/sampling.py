@@ -377,6 +377,12 @@ def epoch_budgets(df: DataFrame, strata_col: str,
     Returns ONE row per observed stratum: (strata_col, mass, current_share,
     target_share, epochs), doubles rounded to 6 so the plan is
     cross-engine comparable. Strata absent from the recipe get epochs 0.
+    The converse — recipe strata absent from the corpus — produce NO row
+    (there is no mass to replicate), so the realized mix under-delivers
+    those shares; diff the budget table against the recipe keys if that
+    must be loud. A stratum observed with zero mass (weight_col all
+    zeros/NULLs) also gets epochs 0.0 rather than a NULL/divide blow-up:
+    you cannot up-sample nothing.
 
     Scale shape: ONE partial-aggregated groupBy over the corpus; the
     total-mass window runs over the n_strata-row aggregate, never the
@@ -391,20 +397,28 @@ def epoch_budgets(df: DataFrame, strata_col: str,
             raise ValueError(f"share for {s!r} must be >= 0, got {share}")
     w = (F.col(weight_col).cast("double") if weight_col
          else F.lit(1.0))
-    agg = df.groupBy(strata_col).agg(F.sum(w).alias("mass"))
+    # coalesce: sum() of an all-NULL weight column is NULL, not 0
+    agg = df.groupBy(strata_col).agg(
+        F.coalesce(F.sum(w), F.lit(0.0)).alias("mass"))
     everything = Window.partitionBy()
     tot_obs = F.sum("mass").over(everything)
     tot = F.lit(float(total_mass)) if total_mass is not None else tot_obs
     share: Column = F.lit(0.0)
     for s, p in target_shares.items():
         share = F.when(F.col(strata_col) == s, F.lit(float(p))).otherwise(share)
+    # zero-mass strata get 0.0 epochs (nothing to replicate) instead of a
+    # NULL (non-ANSI) or DivideByZero (ANSI) reaching materialize_mixture
+    epochs = F.when(
+        F.col("mass") > 0,
+        F.round(F.least(F.lit(float(max_epochs)),
+                        share * tot / F.col("mass")), 6)).otherwise(F.lit(0.0))
     return agg.select(
         strata_col,
         "mass",
-        F.round(F.col("mass") / tot_obs, 6).alias("current_share"),
+        F.coalesce(F.round(F.col("mass") / F.nullif(tot_obs, F.lit(0.0)), 6),
+                   F.lit(0.0)).alias("current_share"),
         share.alias("target_share"),
-        F.round(F.least(F.lit(float(max_epochs)),
-                        share * tot / F.col("mass")), 6).alias("epochs"))
+        epochs.alias("epochs"))
 
 
 def materialize_mixture(df: DataFrame, id_col: str, strata_col: str,
@@ -421,7 +435,12 @@ def materialize_mixture(df: DataFrame, id_col: str, strata_col: str,
     per-row generate+filter over the scan). Note the budgets are planned on
     MASS but membership in the partial epoch is per-ROW — for docs of
     uneven length the realized mass share converges by law of large numbers
-    within each stratum."""
+    within each stratum.
+
+    Recipe strata with NO corpus rows (or zero mass) contribute zero
+    output — the realized mix under-delivers those shares silently (see
+    `epoch_budgets`); validate the budget table against the recipe if the
+    corpus might be missing strata."""
     budgets = {r[0]: float(r["epochs"])
                for r in epoch_budgets(df, strata_col, target_shares,
                                       total_mass, weight_col,

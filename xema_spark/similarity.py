@@ -511,8 +511,10 @@ def project_embeddings(df: DataFrame, vec_col: str = "embedding",
     Elements round to 6 decimals so float32-input sums compare
     cross-engine. A non-NULL vector whose length differs from `in_dim`
     RAISES at execution (zip_with would otherwise NULL-pad and silently
-    poison the fold to an all-NULL projection); NULL vectors project to
-    NULL."""
+    poison the fold to an all-NULL projection), and so does a
+    correct-length vector containing a NULL ELEMENT (the same silent
+    NULL-poisoning, through the fold instead of the padding); NULL
+    vectors project to NULL."""
     signs = projection_signs(out_dim, in_dim, seed)
     vec = F.col(vec_col)
     v = F.transform(vec, lambda x: x.cast("double"))
@@ -523,6 +525,11 @@ def project_embeddings(df: DataFrame, vec_col: str = "embedding",
 
     def guarded(proj):
         return (F.when(vec.isNull(), F.lit(None).cast("array<double>"))
+                .when(F.exists(vec, lambda x: x.isNull()),
+                      F.raise_error(F.lit(
+                          "project_embeddings: vector contains NULL "
+                          "elements (the fold would silently NULL-poison "
+                          "every projected component)")))
                 .when(F.size(vec) == in_dim, proj)
                 .otherwise(F.raise_error(F.concat(
                     F.lit(f"project_embeddings: expected {in_dim}-d "

@@ -300,8 +300,9 @@ def winnow_overlap(df: "DataFrame", id_col: str, text_col: str = "text",
     fingerprints share verbatim k-char substrings (robust to edits outside
     the shared region), which catches partial/contained duplication that
     whole-document MinHash under-scores. Returns
-    (doc_a, doc_b, shared) — the count of distinct fingerprints the ordered
-    pair has in common, `shared >= min_shared` only.
+    (doc_a, doc_b, shared) — the count of distinct fingerprints each
+    UNORDERED pair (doc_a < doc_b, one row per pair) has in common,
+    `shared >= min_shared` only.
 
     Scale shape: fingerprints occurring in more than `max_fp_docs` documents
     are culled BEFORE the self-join (the frequency cull MOSS itself applies
