@@ -275,6 +275,48 @@ def _q_cast_pipeline(spark, sf_dir):
                       F.col("d_str").cast("string").alias("d_date"))
 
 
+def _q_cast_reshape(spark, sf_dir):
+    """Container-reshaping casts (castable.ex:190-349), chained end-to-end:
+    keyword pairs -> map (rows with doc_id % 97 == 0 carry a duplicated key
+    and fail the ambiguous-key guard to NULL), map -> struct (struct!
+    strictness, integer field cast, default fill-in), struct -> map ->
+    sorted keyword entries rendered to one deterministic string. Output is
+    scalar columns so DuckDB can replay the semantics row-for-row."""
+    from xema_spark.cast import cast_df
+
+    d = _docs(spark, sf_dir, "doc_id", "lang", "source", "n_chars")
+    poison = F.pmod("doc_id", F.lit(97)) == 0
+    k2 = F.when(poison, F.lit("lang")).otherwise(F.lit("source"))
+    pairs = F.array(
+        F.struct(F.lit("lang").alias("k"), F.col("lang").alias("v")),
+        F.struct(k2.alias("k"), F.col("source").alias("v")),
+        F.struct(F.lit("n").alias("k"),
+                 F.col("n_chars").cast("string").alias("v")))
+    base = d.select("doc_id", pairs.alias("kv"))
+    step1 = cast_df(base, {"type": "object", "properties": {
+        "kv": {"type": "map"}}})                       # pairs -> map
+    step2 = cast_df(step1, {"type": "object", "properties": {
+        "kv": {"type": "struct", "properties": {
+            "lang": {"type": "string"},
+            "source": {"type": "string", "default": "??"},
+            "n": {"type": "integer"}}}}})              # map -> struct
+    step3 = cast_df(step2.withColumn("kv2", F.col("kv")),
+                    {"type": "object", "properties": {
+                        "kv2": {"type": "map",
+                                "additional_properties": {"type": "string"}}}})
+    step4 = cast_df(step3, {"type": "object", "properties": {
+        "kv2": {"type": "keyword"}}})                  # map -> sorted pairs
+    rendered = F.array_join(
+        F.transform("kv2", lambda e: F.concat(
+            e["key"], F.lit("="), F.coalesce(e["value"], F.lit("?")))), ",")
+    return step4.select(
+        "doc_id",
+        F.col("kv.lang").alias("lang2"),
+        F.col("kv.source").alias("source2"),
+        F.col("kv.n").alias("n2"),
+        rendered.alias("rendered"))
+
+
 # ---------------------------------------------------------------------------
 # dataset-scope queries
 # ---------------------------------------------------------------------------
@@ -1564,6 +1606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- pinned flagship (north-rule headline, never rotate out) --
         "flagship_interleaved": _q_flagship_interleaved,
+        # -- new in r5 (must stamp): the last SURVEY §2.5 row --
+        "cast_reshape": _q_cast_reshape,
         # -- never driver-stamped before r4 (VERDICT r3 "What's missing" #1) --
         "pipeline_curate": _q_pipeline_curate,
         "stats_worst_partitions": _q_stats_worst_partitions,
@@ -2916,6 +2960,22 @@ def oracle_sql() -> dict[str, str]:
                    try_cast(printf('2024-%02d-%02d', event_id % 14,
                                    (event_id * 3) % 33) AS DATE)::VARCHAR AS d_date
             FROM events""",
+        # the reshape chain's observable semantics: poison rows (duplicated
+        # 'lang' key) fail the pairs->map ambiguous-key guard to NULL and
+        # stay NULL through every later stage; the struct stage defaults a
+        # NULL source to '??'; the keyword render sorts keys (lang, n,
+        # source) and stringifies n
+        "cast_reshape": f"""
+            SELECT doc_id,
+                   CASE WHEN doc_id % 97 = 0 THEN NULL ELSE lang END AS lang2,
+                   CASE WHEN doc_id % 97 = 0 THEN NULL
+                        ELSE coalesce(source, '??') END AS source2,
+                   CASE WHEN doc_id % 97 = 0 THEN NULL ELSE n_chars END AS n2,
+                   CASE WHEN doc_id % 97 = 0 THEN NULL
+                        ELSE 'lang=' || coalesce(lang, '?')
+                             || ',n=' || coalesce(n_chars::VARCHAR, '?')
+                             || ',source=' || coalesce(source, '??') END AS rendered
+            FROM {_T}""",
         "stats_documents": f"""
             SELECT col AS "column", n_rows, n_nulls, n_distinct, min_value, max_value
             FROM (

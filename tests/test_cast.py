@@ -259,3 +259,126 @@ def test_composite_defaults_do_not_crash(spark):
     empty = {"type": "object", "properties": {
         "tags": {"type": "array", "default": []}}}
     assert cast_df(df, empty).collect()[0]["tags"] == []
+
+
+# ---------------------------------------------------------------------------
+# container reshaping (castable.ex:190-349), the typed-representable subset
+# of test/xema/cast/{map,struct,tuple,keyword}_test.exs
+# ---------------------------------------------------------------------------
+
+def test_pairs_to_map_reshape(spark):
+    """Keyword-list (array<struct<k,v>>) -> map (castable.ex:215-224;
+    map_test.exs 'from a keyword list' / 'from an empty list'). Strictness:
+    NULL or duplicate keys fail the whole cast to NULL (the ambiguous-key
+    error, castable.ex:283-299) — never last-write-wins."""
+    df = spark.createDataFrame(
+        [(1, [("a", "1"), ("b", "2")]),
+         (2, [("a", "1"), ("a", "2")]),
+         (3, [(None, "1")]),
+         (4, []),
+         (5, None)],
+        "id long, kv array<struct<k string, v string>>")
+    rule = {"type": "object", "properties": {
+        "kv": {"type": "map", "additional_properties": {"type": "integer"}}}}
+    out = {r["id"]: r["kv"] for r in cast_df(df, rule).collect()}
+    assert out[1] == {"a": 1, "b": 2}          # values cast toward the schema
+    assert out[2] is None and out[3] is None   # ambiguous / NULL key
+    assert out[4] == {} and out[5] is None     # empty list -> empty map
+
+
+def test_map_to_struct_reshape(spark):
+    """map -> struct via properties (castable.ex:259-264 to_struct).
+    struct! semantics: unknown map keys fail the cast (KeyError analogue);
+    missing keys become NULL fields filled by declared defaults."""
+    df = spark.createDataFrame(
+        [(1, {"lang": "en", "n": "5"}),
+         (2, {"lang": "de"}),
+         (3, {"lang": "fr", "bogus": "x"}),
+         (4, None)],
+        "id long, m map<string,string>")
+    rule = {"type": "object", "properties": {
+        "m": {"type": "struct", "properties": {
+            "lang": {"type": "string"},
+            "n": {"type": "integer", "default": 0}}}}}
+    out = {r["id"]: r["m"] for r in cast_df(df, rule).collect()}
+    assert out[1].asDict() == {"lang": "en", "n": 5}
+    assert out[2].asDict() == {"lang": "de", "n": 0}
+    assert out[3] is None and out[4] is None
+
+
+def test_map_to_struct_via_registered_module(spark):
+    """`module` names a registered StructType (struct_test.exs; the Elixir
+    struct module made explicit — compiler.register_module is the same
+    registry the `module` validation keyword uses). Module field types are
+    authoritative: values try_cast toward them."""
+    from xema_spark.compiler import register_module
+    from pyspark.sql import types as T
+
+    register_module("CastPoint", T.StructType([
+        T.StructField("x", T.LongType()), T.StructField("y", T.LongType())]))
+    df = spark.createDataFrame(
+        [(1, {"x": "3", "y": "4"}), (2, {"x": "3", "z": "9"})],
+        "id long, m map<string,string>")
+    rule = {"type": "object", "properties": {
+        "m": {"type": "struct", "module": "CastPoint"}}}
+    out = {r["id"]: r["m"] for r in cast_df(df, rule).collect()}
+    assert out[1].asDict() == {"x": 3, "y": 4}
+    assert out[2] is None        # z is not a CastPoint field -> struct! error
+
+
+def test_struct_to_map_reshape(spark):
+    """struct -> map (castable.ex:261-279: an Elixir struct IS a map).
+    Mixed-type structs need an additional_properties value schema, else the
+    cast fails loudly at COMPILE time — silent stringification loses data."""
+    import pytest
+    from xema_spark.cast import CastError
+
+    df = spark.createDataFrame(
+        [(1, (3, 4)), (2, None)], "id long, s struct<x long, y long>")
+    rule = {"type": "object", "properties": {"s": {"type": "map"}}}
+    out = {r["id"]: r["s"] for r in cast_df(df, rule).collect()}
+    assert out[1] == {"x": 3, "y": 4} and out[2] is None
+
+    mixed = spark.createDataFrame([(1, ("a", 4))],
+                                  "id long, s struct<x string, y long>")
+    with pytest.raises(CastError, match="single common field type"):
+        cast_df(mixed, rule)
+    via_schema = {"type": "object", "properties": {
+        "s": {"type": "map", "additional_properties": {"type": "string"}}}}
+    assert cast_df(mixed, via_schema).collect()[0]["s"] == {"x": "a", "y": "4"}
+
+
+def test_map_to_keyword_and_tuple_alias(spark):
+    """map -> keyword = sorted entry pairs (castable.ex:281-301; insertion
+    order doesn't exist in Spark maps, so key order is the deterministic
+    substitute). tuple/list are at-rest aliases of array (tuple_test.exs
+    'from a list'): a tuple-typed rule leaves an array column untouched."""
+    df = spark.createDataFrame(
+        [(1, {"b": 2, "a": 1}, [10, 20])],
+        "id long, m map<string,long>, t array<long>")
+    rule = {"type": "object", "properties": {
+        "m": {"type": "keyword"}, "t": {"type": "tuple"}}}
+    row = cast_df(df, rule).collect()[0]
+    assert [(e["key"], e["value"]) for e in row["m"]] == [("a", 1), ("b", 2)]
+    assert row["t"] == [10, 20]
+
+
+def test_reshape_then_validate_roundtrip(spark):
+    """cast-then-validate through a reshape: the reshaped struct feeds the
+    normal properties/required validation pass (xema.ex:720-739)."""
+    df = spark.createDataFrame(
+        [(1, {"lang": "en", "n": "5"}),
+         (2, {"lang": "de", "n": "999"}),
+         (3, {"oops": "x"})],
+        "id long, m map<string,string>")
+    rule = {"type": "object",
+            "required": ["m"],   # a failed reshape -> NULL m -> required
+            "properties": {
+                "m": {"type": "struct",
+                      "properties": {"lang": {"type": "string"},
+                                     "n": {"type": "integer", "maximum": 100}},
+                      "required": ["lang"]}}}
+    out = {r["id"]: r for r in cast_and_validate(df, rule).collect()}
+    assert out[1]["valid"] is True
+    assert out[2]["valid"] is False          # n > maximum after the cast
+    assert out[3]["valid"] is False          # unknown key killed the cast

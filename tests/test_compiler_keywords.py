@@ -272,5 +272,9 @@ class TestMetaValidation:
     def test_normalization(self):
         n = normalize_rule({"type": "list", "minItems": 1,
                             "items": {"type": "map", "additionalProperties": False}})
+        # container spellings whose Spark representation differs (map vs
+        # struct vs keyword vs tuple) survive as the xema_type annotation —
+        # cast reshaping dispatches on it; "list" needs none (array == list)
         assert n == {"type": "array", "min_items": 1,
-                     "items": {"type": "object", "additional_properties": False}}
+                     "items": {"type": "object", "xema_type": "map",
+                               "additional_properties": False}}

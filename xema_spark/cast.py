@@ -12,9 +12,11 @@ cast (xema.ex:1021-1069).
 Supported coercions (castable.ex:45-188):
   string -> integer / number / boolean("true"/"false") / date / timestamp / decimal
   integer -> number / string;  number -> string;  boolean -> string
-plus `default` fill-in via coalesce. Elixir-specific targets (atom, keyword,
-tuple, struct module) are at-rest aliases only (SURVEY.md §1.2) and are not
-distinct here.
+plus `default` fill-in via coalesce, plus container RESHAPING
+(castable.ex:190-349): map->struct (rule type "struct", struct! strictness),
+struct->map and array-of-pairs->map (rule type "map", ambiguous/NULL keys
+fail), map->sorted entries (rule type "keyword"). tuple<->list are at-rest
+aliases of array (SURVEY.md §1.2), identity; atom stays a string alias.
 """
 
 from __future__ import annotations
@@ -49,6 +51,150 @@ def _default_col(d, dtype: T.DataType | None) -> Column | None:
         if all(isinstance(x, (str, int, float, bool)) for x in d):
             arr = F.array(*[F.lit(x) for x in d])
             return arr.cast(dtype) if isinstance(dtype, T.ArrayType) else arr
+    return None
+
+
+_SPARK_OF_TYPE = {"integer": "bigint", "number": "double",
+                  "string": "string", "boolean": "boolean"}
+
+
+def _declared_spark_type(sub) -> str | None:
+    """Spark type string a scalar property rule declares, or None."""
+    if not isinstance(sub, dict):
+        return None
+    t = sub.get("type")
+    t = t[0] if isinstance(t, list) and t else t
+    return _SPARK_OF_TYPE.get(t) if isinstance(t, str) else None
+
+
+def _map_to_struct(col: Column, dtype: T.MapType, rule: Rule) -> Column | None:
+    """map<string,V> -> struct (castable.ex:259-264 via to_struct/struct!).
+    The target field set comes from a registered `module` (authoritative,
+    field types included — the Elixir struct module) or, without one, from
+    the rule's `properties` (field types derived from each property's
+    declared scalar type; the reference no-ops a module-less map->struct,
+    castable.ex:258 — deriving from properties is the engine's useful
+    extension). struct! semantics kept: a map key that is NOT a target
+    field fails the cast (KeyError analogue -> NULL); missing keys become
+    NULL fields (filled by `default`s where declared, validation's
+    `required` catches the rest)."""
+    from xema_spark.compiler import _MODULES
+
+    props = rule.get("properties", {})
+    module = rule.get("module")
+    target = _MODULES.get(module) if isinstance(module, str) else None
+    if target is not None:
+        names = [f.name for f in target.fields]
+        types: dict[str, T.DataType] = {f.name: f.dataType for f in target.fields}
+    elif props:
+        names = list(props.keys())
+        types = {}
+    else:
+        return None
+    fields = []
+    for name in names:
+        v = F.try_element_at(col, F.lit(name))
+        sub = props.get(name)
+        if isinstance(sub, dict):
+            v = cast_column(v, dtype.valueType, sub)
+            if "default" in sub:
+                dlit = _default_col(sub["default"], types.get(name))
+                if dlit is not None:
+                    v = F.coalesce(v, dlit)
+        st = types.get(name)
+        if st is not None:
+            v = v.try_cast(st)
+        else:
+            dt = _declared_spark_type(sub)
+            if dt is not None:
+                v = v.try_cast(dt)
+        fields.append(v.alias(name))
+    declared = F.array(*[F.lit(n) for n in names])
+    unknown = F.size(F.array_except(F.map_keys(col), declared)) > 0
+    return (F.when(col.isNull(), F.lit(None))
+            .when(unknown, F.lit(None))
+            .otherwise(F.struct(*fields)))
+
+
+def _struct_to_map(col: Column, dtype: T.StructType, rule: Rule) -> Column:
+    """struct -> map<string, V> (the columnar face of castable.ex:261-279
+    Map casts — an Elixir struct IS a map, dropping the tag). V comes from
+    an `additional_properties` value schema when given (each field cast
+    toward it), else the fields' single common Spark type; mixed-type
+    structs without a value schema fail LOUDLY at compile (CastError) —
+    silently stringifying would lose data."""
+    sub = rule.get("additional_properties")
+    sub = sub if isinstance(sub, dict) else None
+    vt = _declared_spark_type(sub) if sub else None
+    if vt is None:
+        kinds = {f.dataType.simpleString() for f in dtype.fields}
+        if len(kinds) != 1:
+            raise CastError(
+                "struct->map cast needs a single common field type or an "
+                f"additional_properties value schema; got {sorted(kinds)}")
+    vals = []
+    for f in dtype.fields:
+        v = col.getField(f.name)
+        if sub is not None:
+            v = cast_column(v, f.dataType, sub)
+        if vt is not None:
+            v = v.try_cast(vt)
+        vals.append(v)
+    m = F.map_from_arrays(
+        F.array(*[F.lit(f.name) for f in dtype.fields]), F.array(*vals))
+    return F.when(col.isNull(), F.lit(None)).otherwise(m)
+
+
+def _pairs_to_map(col: Column, dtype: T.ArrayType, rule: Rule) -> Column:
+    """array<struct<k,v>> (keyword list at rest) -> map (castable.ex:215-224
+    List -> :map). check_keyword is the element schema here (pairs by
+    construction); the reference's strictness guards carry over as NULL
+    failures: a NULL key, or two pairs sharing a key (the ambiguous-key
+    error, castable.ex:283-299), fails the whole cast — never a silent
+    last-write-wins merge. An empty list casts to an empty map
+    (castable.ex:196-198)."""
+    et: T.StructType = dtype.elementType  # type: ignore[assignment]
+    kf, vf = et.fields[0].name, et.fields[1].name
+    sub = rule.get("additional_properties")
+    sub = sub if isinstance(sub, dict) else None
+
+    def entry(x):
+        v = x.getField(vf)
+        if sub is not None:
+            v = cast_column(v, et.fields[1].dataType, sub)
+        return F.struct(x.getField(kf).alias("key"), v.alias("value"))
+
+    keys = F.transform(col, lambda x: x.getField(kf))
+    ok = ((F.size(F.array_distinct(keys)) == F.size(keys))
+          & ~F.exists(keys, lambda k: k.isNull()))
+    return (F.when(col.isNull(), F.lit(None))
+            .when(ok, F.map_from_entries(F.transform(col, entry)))
+            .otherwise(F.lit(None)))
+
+
+def _reshape_column(col: Column, dtype: T.DataType, rule: Rule) -> Column | None:
+    """Cross-representation container cast, or None when (source type,
+    target spelling) is not a reshape pair. tuple<->list are at-rest
+    aliases of array (SURVEY §1.2) — identity, handled by falling through.
+    Maps with non-string keys don't reshape (field names are strings)."""
+    target = rule.get("xema_type") if isinstance(rule, dict) else None
+    if target is None:
+        return None
+    if target == "struct" and isinstance(dtype, T.MapType) \
+            and isinstance(dtype.keyType, T.StringType):
+        return _map_to_struct(col, dtype, rule)
+    if target == "map":
+        if isinstance(dtype, T.StructType):
+            return _struct_to_map(col, dtype, rule)
+        if isinstance(dtype, T.ArrayType) \
+                and isinstance(dtype.elementType, T.StructType) \
+                and len(dtype.elementType.fields) == 2:
+            return _pairs_to_map(col, dtype, rule)
+    if target == "keyword" and isinstance(dtype, T.MapType):
+        # map -> keyword list-of-pairs (castable.ex:281-301). Spark maps
+        # are unordered; sort by key so the result is deterministic
+        # cross-engine (the reference's insertion order doesn't exist here)
+        return F.array_sort(F.map_entries(col))
     return None
 
 
@@ -91,6 +237,15 @@ def cast_column(col: Column, dtype: T.DataType, rule: Rule) -> Column:
     if "decimal" in rule and isinstance(dtype, (T.StringType, T.NumericType)):
         d = rule["decimal"]
         return col.try_cast(f"decimal({d['precision']},{d['scale']})")
+    # container RESHAPING (castable.ex:190-349): the Castable protocol's
+    # cross-representation casts, dispatched on (source Spark type, target
+    # spelling). The target spelling is the rule's pre-canonicalization
+    # `type` ("map"/"struct"/"keyword"/"tuple"), preserved by normalize_rule
+    # as the `xema_type` annotation. All failures surface as NULL (caught by
+    # the validation pass), mirroring the scalar casts' ANSI-safe contract.
+    reshaped = _reshape_column(col, dtype, rule)
+    if reshaped is not None:
+        return reshaped
     # nested reshaping (castable.ex:190-349 walks children first): structs
     # rebuild field-by-field with each property's cast applied; map values
     # cast through transform_values; array items through transform — all

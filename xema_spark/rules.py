@@ -65,7 +65,17 @@ _TYPE_ALIASES = {
     "atom": "string",
     "any": "any",
     "nil": "null",
+    "struct": "object",
+    "tuple": "array",
 }
+
+# Container spellings whose Spark representations DIFFER even though they
+# canonicalize to the same JSON type — the reference's Castable protocol
+# dispatches cast direction on these (castable.ex:190-349: list->map,
+# map->struct, map->keyword, ...). normalize_rule records the raw spelling
+# as the `xema_type` annotation so cast_column can pick the reshape; the
+# validator ignores it (annotation-only).
+_RESHAPE_SPELLINGS = {"map", "keyword", "struct", "tuple"}
 _VALID_TYPES = {"string", "integer", "number", "boolean", "array", "object", "null", "any"}
 
 # Keywords whose value is a single subschema
@@ -83,6 +93,7 @@ _SUBSCHEMA_MAP_KEYS = {"properties", "pattern_properties", "definitions"}
 _ANNOTATION_KEYS = {
     "title", "description", "comment", "examples", "default", "id", "schema",
     "content_encoding", "content_media_type", "read_only", "write_only", "data",
+    "xema_type",
 }
 
 
@@ -104,6 +115,11 @@ def normalize_rule(rule: Rule) -> Rule:
     for k, v in rule.items():
         k = _KEY_RENAMES.get(k, k)
         if k == "type":
+            # keep the container spelling (map vs struct vs keyword vs
+            # tuple) that canonicalization erases — cast reshaping needs it
+            if isinstance(v, str) and v in _RESHAPE_SPELLINGS \
+                    and "xema_type" not in rule:
+                out.setdefault("xema_type", v)
             v = _canon_type(v)
         elif k in _SUBSCHEMA_KEYS:
             v = normalize_rule(v) if isinstance(v, (dict, bool)) else v
