@@ -83,6 +83,25 @@ def test_referential(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def test_salt_spreads_byte_identical_duplicate_rows(spark):
+    # A hot key whose fact rows are ALSO byte-identical must still spread
+    # over all salt buckets: a column-hash salt would map every duplicate to
+    # one bucket (one reducer), defeating the skew mitigation. _row_salt is
+    # derived from a per-row unique component, so the spread is unconditional.
+    n, buckets = 4096, 8
+    hot = spark.range(n).select(F.lit("asset-HOT").alias("media_ref"))
+    spread = (hot.withColumn("__salt", stats._row_salt(buckets))
+                 .groupBy("__salt").count().collect())
+    assert len(spread) == buckets
+    assert all(abs(r["count"] - n / buckets) < n / buckets for r in spread)
+    # and the salted anti-join result is still exactly the dangling rows
+    assets = spark.createDataFrame([("asset-0",)], ["media_ref"])
+    out = stats.referential_violations(hot, "media_ref", assets, "media_ref",
+                                       broadcast_dim=False, salt_buckets=buckets)
+    assert out.count() == n
+    assert out.columns == ["media_ref"]
+
+
 def test_column_stats_and_drift(spark):
     docs = gen_documents(spark, N)
     flat = docs.select(F.explode("spans").alias("s")).select("s.*")

@@ -77,6 +77,19 @@ def uniqueness_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
               .filter(F.col("n_dups") > 1))
 
 
+def _row_salt(salt_buckets: int):
+    """Per-row salt that is unique-row-key-free: monotonically_increasing_id
+    keeps a per-partition ordinal in its low bits, so pmod cycles 0..N-1
+    round-robin within every scan partition — byte-identical duplicate rows
+    still land on DIFFERENT salts. A column-hash salt (the previous
+    implementation) re-concentrates a hot key whose rows are also
+    byte-identical onto one reducer; this makes the N-way spread
+    unconditional. The salt value never affects the join RESULT (each fact
+    row matches the dim copy carrying its own salt), so task-retry
+    non-determinism of the id is harmless."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+
+
 def referential_violations(
     fact: DataFrame,
     fk_col: str,
@@ -94,8 +107,7 @@ def referential_violations(
     if broadcast_dim:
         return fact_nn.join(F.broadcast(dim), fact_nn[fk_col] == dim[key_col], "left_anti")
     if salt_buckets > 0:
-        salted_fact = fact_nn.withColumn(
-            "__salt", F.pmod(F.xxhash64(*fact_nn.columns), F.lit(salt_buckets)))
+        salted_fact = fact_nn.withColumn("__salt", _row_salt(salt_buckets))
         salted_dim = dim.select(key_col).distinct().withColumn(
             "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
         return (salted_fact.join(
