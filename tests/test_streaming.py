@@ -493,3 +493,81 @@ def test_commit_ingest_batch_replay_idempotent(spark, tmp_path):
     assert commit_ingest_batch(b1, 1, store_dir, surv_dir) is True
     assert spark.read.parquet(store_dir).count() == 1  # nothing admitted
     assert spark.read.parquet(surv_dir).count() == 1
+
+
+def test_compact_signature_store(spark, tmp_path):
+    import os
+
+    from xema_spark import dedup
+    from xema_spark.streaming import commit_ingest_batch
+
+    store_dir = str(tmp_path / "cp_store")
+    surv_dir = str(tmp_path / "cp_surv")
+    texts = {
+        1: "first document about canals bridges and bicycles rolling "
+           "through a flat country under a wide grey sky",
+        2: "second document describing orchards apples pears plums and "
+           "the bees that visit them in the early spring weeks",
+        3: "third document about trains stations rails signals and the "
+           "timetable pinned by the waiting room door",
+    }
+    for bid, did in enumerate([1, 2, 3]):
+        b = spark.createDataFrame([(did, texts[did])], ["doc_id", "text"])
+        assert commit_ingest_batch(b, bid, store_dir, surv_dir) is True
+    pre = spark.read.parquet(store_dir)
+    assert pre.select("ingest_batch").distinct().count() == 3
+    # flags a future batch would compute, before compaction
+    probe = spark.createDataFrame(
+        [(9, texts[2]), (10, "a wholly new document on glaciers moraine "
+                             "and the slow grinding of valley ice")],
+        ["doc_id", "text"])
+    psig = dedup.signature_store(probe, "doc_id")
+
+    def flags(df):
+        return sorted(
+            (r["doc_id"], r["exact_dup"], r["near_dup"])
+            for r in dedup.incremental_flags_sig(
+                psig, df.drop("ingest_batch"), "doc_id").collect())
+
+    before = flags(pre)
+    # compact batches < 2 (batch 2 = last committed, may still replay)
+    rep = dedup.compact_signature_store(spark, store_dir, 2)
+    assert rep == {"compacted_partitions": 2, "rows": 2, "docs": 2}
+    parts = sorted(d for d in os.listdir(store_dir)
+                   if d.startswith("ingest_batch="))
+    assert parts == ["ingest_batch=-2", "ingest_batch=2"]
+    post = spark.read.parquet(store_dir)
+    assert post.count() == 3  # one row per doc, doc set unchanged
+    assert sorted(r["doc"] for r in post.collect()) == [1, 2, 3]
+    assert flags(post) == before  # ingestion semantics unchanged
+    # replay-idempotent: same watermark converges to the same layout
+    dedup.compact_signature_store(spark, store_dir, 2)
+    assert sorted(d for d in os.listdir(store_dir)
+                  if d.startswith("ingest_batch=")) == parts
+    assert spark.read.parquet(store_dir).count() == 3
+    # crash window: compacted partition written but sources not yet
+    # deleted -> duplicate doc rows; flags still agree, and a re-run of
+    # the SAME compaction converges
+    dup_src = spark.read.parquet(f"{store_dir}/ingest_batch=-2")
+    dup_src.write.mode("overwrite").parquet(f"{store_dir}/ingest_batch=0")
+    mid = spark.read.parquet(store_dir)
+    assert mid.count() == 5  # docs 1,2 duplicated across -2 and 0
+    assert flags(mid) == before
+    dedup.compact_signature_store(spark, store_dir, 2)
+    assert sorted(d for d in os.listdir(store_dir)
+                  if d.startswith("ingest_batch=")) == parts
+    # the replay probe for the still-live batch 2 keeps working
+    b2 = spark.createDataFrame([(3, texts[3])], ["doc_id", "text"])
+    assert commit_ingest_batch(b2, 2, store_dir, surv_dir) is False
+    # a successive compaction folds the prior negative partition in
+    assert commit_ingest_batch(
+        spark.createDataFrame(
+            [(4, "fourth document about tidepools barnacles anemones and "
+                 "the patient creatures of the rocky shore")],
+            ["doc_id", "text"]), 3, store_dir, surv_dir) is True
+    dedup.compact_signature_store(spark, store_dir, 3)
+    assert sorted(d for d in os.listdir(store_dir)
+                  if d.startswith("ingest_batch=")) == \
+        ["ingest_batch=-3", "ingest_batch=3"]
+    final = spark.read.parquet(store_dir)
+    assert sorted(r["doc"] for r in final.collect()) == [1, 2, 3, 4]

@@ -1119,6 +1119,75 @@ def ingest_batch_sig(batch: DataFrame, store: DataFrame | None,
     return survivors, surv_sig
 
 
+def compact_signature_store(spark, store_dir: str, watermark: int) -> dict:
+    """Rewrite every store partition with ingest_batch < `watermark` into a
+    single partition, one row per doc — so a year of micro-batch ingestion
+    (one small hive partition per batch, commit_ingest_batch) doesn't make
+    every future batch list and footer-read tens of thousands of dead-small
+    files. Returns {"compacted_partitions", "rows", "docs"}.
+
+    Protocol (crash-safe, replay-idempotent):
+    - The compacted partition is tagged `ingest_batch = -watermark`.
+      Negative ids are invisible to commit_ingest_batch's replay probe
+      (`== batch_id`, always positive) and always included by its prior
+      read (`< batch_id`), so ingestion semantics are unchanged.
+    - Write order: the compacted partition is written FIRST (direct-path
+      overwrite — parquet job commit is atomic, a crashed write leaves the
+      store intact); source partitions are deleted AFTER. A crash between
+      the two leaves duplicate doc rows, which the flag computations
+      tolerate (exact path is distinct-ed; near path max-aggregates), and
+      a re-run with the same watermark reads its own previous output
+      (-watermark < watermark), recomputes the identical bytes, and
+      finishes the deletes — convergent, never a data-loss window.
+    - One row per doc: min_by(ingest_batch) keeps the EARLIEST batch's row,
+      matching the keeper-is-minimum convention everywhere else; crash-path
+      duplicates are byte-identical so the choice is cosmetic there.
+
+    Contract: `watermark` must be <= the oldest batch id that could still
+    replay — under a checkpointed stream, the last committed batch id (a
+    replayed batch probes `== batch_id` for its own rows; compacting them
+    away would make the replay re-append). Batches >= watermark are left
+    untouched. Successive compactions fold prior negative partitions in
+    (-w_old < watermark) and delete them."""
+    from pyspark.errors import AnalysisException
+
+    from xema_spark.runner import is_missing_path
+
+    try:
+        store = spark.read.parquet(store_dir)
+    except AnalysisException as e:
+        if not is_missing_path(e):
+            raise
+        return {"compacted_partitions": 0, "rows": 0, "docs": 0}
+    src = store.filter(F.col("ingest_batch") < watermark)
+    data_cols = [c for c in store.columns if c != "ingest_batch"]
+    compacted = (src.groupBy("doc")
+                 .agg(F.min_by(F.struct(*data_cols), "ingest_batch")
+                      .alias("__r"))
+                 .select("__r.*"))
+    n_docs = compacted.count()
+    if n_docs == 0:
+        return {"compacted_partitions": 0, "rows": 0, "docs": 0}
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(hconf)
+    target = -watermark
+    (compacted.write.mode("overwrite")
+     .parquet(f"{store_dir}/ingest_batch={target}"))
+    n_dropped = 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("ingest_batch="):
+            continue
+        val = int(name.split("=", 1)[1])
+        if val < watermark and val != target:
+            fs.delete(st.getPath(), True)
+            n_dropped += 1
+    return {"compacted_partitions": n_dropped, "rows": n_docs,
+            "docs": n_docs}
+
+
 # ---------------------------------------------------------------------------
 # exact-substring span removal (Lee et al. 2022, "Deduplicating Training
 # Data Makes Language Models Better" — the ExactSubstr flavor: duplicated
