@@ -1597,183 +1597,40 @@ def _q_multimodal_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver stamps a CORRECTNESS row for only the FIRST
-    # 50 entries each round. Policy (VERDICT r3 directive #1): the flagship
-    # stays pinned at slot 1 permanently; queries that have never had (or
-    # lost) a driver row come next; the tail (>50) holds keyword/cast
-    # micro-queries that were driver-green in BOTH r2 and r3 and whose
-    # semantics are unchanged — they stay oracle-checked every round by
+    # 50 entries each round.  Round-5 policy (VERDICT r4 directive #1, the
+    # final rotation): the flagship stays pinned at slot 1 permanently; the
+    # new-in-r5 cast_reshape comes second; slots 3-50 hold EVERY remaining
+    # query that did NOT get a driver stamp in round 4 (the r2/r3-stamped
+    # keyword/cast/text micro-queries and the minhash/ivf/CC family), so the
+    # union of the r4 and r5 driver windows covers all 99 registry entries
+    # with no stamp older than one round.  The tail (slots 51-99) is exactly
+    # the r4-stamped set: every one is one round fresh, and all 99 stay
+    # value-checked against DuckDB every CI run by
     # tests/test_entry_oracle.py regardless of the driver window.
+    #
+    # r5 code changes vs this window: cast_reshape is the only NEW query
+    # (in-window, slot 2).  The four r5-touched-but-r4-stamped queries stay
+    # in the tail deliberately - their r5 changes are guards/internals that
+    # leave valid-input results bit-identical, per the r4 verdict's own
+    # done-criteria ("referential_spans_salted stays green",
+    # "dedup_incremental_sig unchanged"): sample_epoch_budgets (zero-mass
+    # strata now raise), embed_project (NULL-element vectors now raise),
+    # referential_spans_salted (salt now derives from the per-row unique
+    # key), dedup_incremental_sig (compaction is a separate maintenance op).
+    # All four re-verified green in the r5 pytest oracle-parity run.
     return {
         # -- pinned flagship (north-rule headline, never rotate out) --
         "flagship_interleaved": _q_flagship_interleaved,
         # -- new in r5 (must stamp): the last SURVEY §2.5 row --
         "cast_reshape": _q_cast_reshape,
-        # -- never driver-stamped before r4 (VERDICT r3 "What's missing" #1) --
-        "pipeline_curate": _q_pipeline_curate,
-        "stats_worst_partitions": _q_stats_worst_partitions,
-        "violations_sample": _q_violations_sample,
-        "drift_group_quantiles": _q_drift_group_quantiles,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf_trained": _q_ann_ivf_trained,
-        # -- new in r4 --
-        "drift_run_report": _q_drift_run_report,
-        "dedup_decontaminate": _q_dedup_decontaminate,
-        "sample_stratified": _q_sample_stratified,
-        "text_top_tokens": _q_text_top_tokens,
-        "sample_mixture": _q_sample_mixture,
-        "sample_dsir": _q_sample_dsir,
-        "sample_split": _q_sample_split,
-        "pack_docs": _q_pack_docs,
-        "dedup_paragraphs": _q_dedup_paragraphs,
-        "text_tfidf": _q_text_tfidf,
-        "embed_quantize": _q_embed_quantize,
-        "shard_assign": _q_shard_assign,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_incremental_sig": _q_dedup_incremental_sig,
-        "sample_source_caps": _q_sample_source_caps,
-        "decontaminate_semantic": _q_decontaminate_semantic,
-        "dedup_semantic": _q_dedup_semantic,
-        "prototype_filter": _q_prototype_filter,
-        "text_lm_score": _q_text_lm_score,
-        "text_bm25": _q_text_bm25,
-        "interleaved_render": _q_interleaved_render,
-        "interleaved_normalize": _q_interleaved_normalize,
-        "pack_interleaved": _q_pack_interleaved,
-        "pack_report": _q_pack_report,
-        "asset_hot_refs": _q_asset_hot_refs,
-        "referential_spans_salted": _q_referential_spans_salted,
-        "interleaved_span_filter": _q_interleaved_span_filter,
-        "asset_canonicalize": _q_asset_canonicalize,
-        "interleaved_truncate": _q_interleaved_truncate,
-        "curriculum_shards": _q_curriculum_shards,
-        "winnow_overlap": _q_winnow_overlap,
-        "dedup_spans": _q_dedup_spans,
-        "interleaved_span_dedup": _q_interleaved_span_dedup,
-        "embed_project": _q_embed_project,
-        "sample_epochs": _q_sample_epochs,
-        "sample_epoch_budgets": _q_sample_epoch_budgets,
-        # -- r3-evicted, back in the window --
-        "referential_spans": _q_referential_spans,
-        "sim_near_dups": _q_sim_near_dups,
-        "multimodal_meta": _q_multimodal_meta,
-        "multimodal_features": _q_multimodal_features,
-        # -- changed this round (must re-stamp) --
-        "v_fail_mode_early": _q_v_fail_mode_early,
-        # dedup_components demoted to the tail when interleaved_span_dedup
-        # joined the window: driver-green r2 AND r3, semantics untouched;
-        # label-propagation CC stays driver-exercised via its drop-in
-        # equivalent dedup_components_star (same recursive-CTE oracle) and
-        # via pipeline_curate's transitive near-dup stage, both in-window
-        "dedup_components_star": _q_dedup_components_star,
-        "dedup_best_keeper": _q_dedup_best_keeper,
-        # ---- tail boundary: dedup_minhash_pairs + ann_ivf slipped past
-        # slot 50 when dedup_spans/interleaved_span_dedup/
-        # sample_epoch_budgets joined the window: minhash is driver-green
-        # r2 AND r3 with semantics untouched in r4 (the LSH banding
-        # machinery stays driver-exercised via dedup_best_keeper and
-        # dedup_incremental_sig in-window), ann_ivf is r3-green with the
-        # IVF family covered by ann_topk/ann_ivf_trained in-window
+        # -- slots 3-50: everything without an r4 stamp (newest stamp r2/r3) --
         "dedup_minhash_pairs": _q_dedup_minhash_pairs,
         "ann_ivf": _q_ann_ivf,
         "dedup_components": _q_dedup_components,
-        # ---- tail (beyond the driver's 50-query window): driver-green in
-        # r2 AND r3, semantics untouched since; still oracle-checked in CI --
-        # cast_pipeline + dedup_exact demoted when interleaved_span_filter/
-        # asset_canonicalize joined the window: both r1+r2+r3 green,
-        # semantics untouched; cast coverage stays in-window via the
-        # flagship's typed corpus + v_fail_mode_early's annotation path,
-        # exact-dup machinery via dedup_incremental / dedup_best_keeper /
-        # pipeline_curate (whose exact-dedupe stage IS dedup_exact)
         "cast_pipeline": _q_cast_pipeline,
         "dedup_exact": _q_dedup_exact,
-        # sim_knn_threshold demoted when interleaved_truncate joined the
-        # window: r2+r3 green, semantics untouched; cosine coverage stays
-        # in-window via sim_near_dups + ann_ivf + ann_topk + dedup_semantic
         "sim_knn_threshold": _q_sim_knn_threshold,
-        # stats_documents demoted when curriculum_shards joined the window:
-        # r1+r2+r3 green, semantics untouched; column-stats coverage stays
-        # in-window via stats_worst_partitions + drift_run_report +
-        # drift_group_quantiles (the same stats machinery)
         "stats_documents": _q_stats_documents,
-        # (drift_quantile + dedup_jaccard_consecutive demoted in r4 so
-        # v_ref_inline — green in r3 only — lands at slot 50 exactly; drift
-        # coverage stays in-window via drift_run_report /
-        # drift_group_quantiles / drift_hist_nchars, and jaccard
-        # verification stays in-window inside the dedup_minhash_pairs chain.
-        # v_enum_lang + v_range_nchars demoted when sample_mixture/pack_docs
-        # joined the window: both r2+r3 green, and enum/range keyword
-        # coverage stays in-window via v_fail_mode_early + v_multi_rule.
-        # sim_cosine_pairs / moments_quantity / text_fingerprint demoted
-        # when dedup_paragraphs/text_tfidf/embed_quantize joined: all three
-        # r2+r3 green; cosine coverage stays in-window via sim_near_dups +
-        # sim_knn_threshold + ann_*, numeric moments via stats_documents,
-        # fingerprints via dedup_exact + text_winnow. v_json_dynamic demoted
-        # for shard_assign: the pandas-UDF validator hook stays in-window
-        # via v_custom_validator. v_tuple_items / v_multi_rule demoted when
-        # dedup_incremental/text_lm_score joined: both r2+r3 green; array
-        # keyword coverage stays in-window via v_map_keywords +
-        # v_fail_mode_early, rule composition via flagship + pipeline_curate.
-        # v_strlen_pattern demoted when dedup_incremental_sig joined the
-        # window: r1+r2+r3 green, and string-keyword coverage stays
-        # in-window via v_fail_mode_early (min_length) + v_map_keywords
-        # (pattern machinery) + the flagship rule. quantiles_nchars demoted
-        # when sample_source_caps joined: r1+r2+r3 green, and quantile
-        # coverage stays in-window via drift_group_quantiles (exact
-        # per-group quantiles) + stats_documents (percentile sketches))
-        # violations_explode demoted when decontaminate_semantic joined:
-        # r1+r2+r3 green, and the violation-explosion surface stays
-        # in-window via violations_sample + v_ref_inline (both read
-        # exploded violation rows)
-        # referential_users demoted when dedup_best_keeper joined:
-        # r1+r2+r3 green, referential coverage stays in-window via
-        # referential_spans (same broadcast-anti-join machinery)
-        # v_required_dependencies demoted when sample_dsir joined: r2+r3
-        # green, semantics untouched since r2; required/dependencies
-        # coverage stays in-window via v_fail_mode_early (a failing
-        # `required` shadowing the properties group IS its assertion) and
-        # v_map_keywords (the shared property-presence machinery)
-        # drift_hist_nchars demoted when dedup_semantic joined: r2+r3
-        # green, semantics untouched; drift coverage stays in-window via
-        # drift_run_report (the full cross-run gate) and
-        # drift_group_quantiles (exact per-group quantiles)
-        # uniqueness_users demoted when prototype_filter joined: r1+r2+r3
-        # green, semantics untouched; duplicate-key detection coverage
-        # stays in-window via dedup_exact (the same hash-groupBy dup
-        # machinery) and stats_documents (distinct counts)
-        # text_langid demoted when sample_split joined: r2+r3 green,
-        # semantics untouched; language-ID coverage stays in-window via
-        # pipeline_curate (its language gate runs lang_id_table) and
-        # sample_mixture (lang-keyed strata)
-        # text_repetition demoted when text_bm25 joined: r2+r3 green,
-        # semantics untouched; the repetition gates stay in-window inside
-        # pipeline_curate (its top_ngram_frac/dup_ngram_frac filters run
-        # repetition_signals on survivors)
-        # text_token_stats + text_quality demoted when interleaved_render/
-        # interleaved_normalize joined: both r2+r3 green; token coverage
-        # stays in-window via text_top_tokens + text_lm_score + pack_docs,
-        # quality-ratio coverage via pipeline_curate's fused quality gate
-        # text_winnow + text_pii + ann_ivf_bcast demoted when
-        # pack_interleaved/asset_hot_refs/referential_spans_salted joined:
-        # all three r2+r3 (winnow/pii) or r3 (ivf_bcast) driver-green, so
-        # union(r3, r4) coverage is preserved; fingerprint coverage stays
-        # in-window via dedup_exact + the minhash chain, regex-scrub
-        # machinery via the flagship's pattern keywords, and the broadcast
-        # centroid plan shape via ann_ivf + ann_ivf_trained (same
-        # _centroid_scorer; bcast is a plan variant sharing ann_ivf's
-        # oracle, still asserted by tests/test_plans.py every run)
-        # dedup_simhash_pairs demoted when pack_report joined: r2+r3
-        # driver-green, semantics untouched; Hamming-band near-dup
-        # coverage stays in-window via the minhash chain (same LSH
-        # banding machinery) and dedup_best_keeper (simhash-adjacent
-        # signature dedup), and the operator stays oracle-checked in CI
-        # v_custom_validator / v_map_keywords / v_ref_inline demoted when
-        # winnow_overlap/embed_project/sample_epochs joined the window: all
-        # three are r3 driver-green with semantics untouched in r4, so
-        # union(r3, r4) coverage is preserved; the pandas-UDF hook surface
-        # stays driver-exercised in-window via multimodal_features
-        # (mapInPandas) and in the r2/r3 stamps of v_json_dynamic, the
-        # open-map keyword machinery via the flagship's property checks,
-        # and $ref inlining stays oracle-checked in CI every round
         "v_custom_validator": _q_v_custom_validator,
         "v_map_keywords": _q_v_map_keywords,
         "v_ref_inline": _q_v_ref_inline,
@@ -1815,6 +1672,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cast_decimal": _q_cast_decimal,
         "cast_delete": _q_cast_delete,
         "cast_custom": _q_cast_custom,
+        # ---- tail (beyond the driver's 50-query window): the exact set of
+        # r4-driver-stamped queries (CORRECTNESS_r04.json, all green) - one
+        # round fresh, still oracle-checked in CI every run ----
+        "pipeline_curate": _q_pipeline_curate,
+        "stats_worst_partitions": _q_stats_worst_partitions,
+        "violations_sample": _q_violations_sample,
+        "drift_group_quantiles": _q_drift_group_quantiles,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf_trained": _q_ann_ivf_trained,
+        "drift_run_report": _q_drift_run_report,
+        "dedup_decontaminate": _q_dedup_decontaminate,
+        "sample_stratified": _q_sample_stratified,
+        "text_top_tokens": _q_text_top_tokens,
+        "sample_mixture": _q_sample_mixture,
+        "sample_dsir": _q_sample_dsir,
+        "sample_split": _q_sample_split,
+        "pack_docs": _q_pack_docs,
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "text_tfidf": _q_text_tfidf,
+        "embed_quantize": _q_embed_quantize,
+        "shard_assign": _q_shard_assign,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_sig": _q_dedup_incremental_sig,
+        "sample_source_caps": _q_sample_source_caps,
+        "decontaminate_semantic": _q_decontaminate_semantic,
+        "dedup_semantic": _q_dedup_semantic,
+        "prototype_filter": _q_prototype_filter,
+        "text_lm_score": _q_text_lm_score,
+        "text_bm25": _q_text_bm25,
+        "interleaved_render": _q_interleaved_render,
+        "interleaved_normalize": _q_interleaved_normalize,
+        "pack_interleaved": _q_pack_interleaved,
+        "pack_report": _q_pack_report,
+        "asset_hot_refs": _q_asset_hot_refs,
+        "referential_spans_salted": _q_referential_spans_salted,
+        "interleaved_span_filter": _q_interleaved_span_filter,
+        "asset_canonicalize": _q_asset_canonicalize,
+        "interleaved_truncate": _q_interleaved_truncate,
+        "curriculum_shards": _q_curriculum_shards,
+        "winnow_overlap": _q_winnow_overlap,
+        "dedup_spans": _q_dedup_spans,
+        "interleaved_span_dedup": _q_interleaved_span_dedup,
+        "embed_project": _q_embed_project,
+        "sample_epochs": _q_sample_epochs,
+        "sample_epoch_budgets": _q_sample_epoch_budgets,
+        "referential_spans": _q_referential_spans,
+        "sim_near_dups": _q_sim_near_dups,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_features": _q_multimodal_features,
+        "v_fail_mode_early": _q_v_fail_mode_early,
+        "dedup_components_star": _q_dedup_components_star,
+        "dedup_best_keeper": _q_dedup_best_keeper,
     }
 
 
