@@ -47,6 +47,15 @@ SCALE_REPS = int(os.environ.get("XEMA_BENCH_SCALE_REPS", "6"))
 # turns Spark stage barriers into straggler measurements. 8,32 supported.
 SCALE_LEVELS = tuple(int(x) for x in
                      os.environ.get("XEMA_BENCH_SCALE_LEVELS", "2,8").split(","))
+# Revision of the END-TO-END job shape (run_validation's action structure).
+# Bump whenever the number/composition of post-scan actions changes, because
+# e2e WALL minima may only pool within one revision — mixing a faster
+# revision's reps at one level with a slower revision's minima at the other
+# would fabricate an efficiency figure no single job ever produced. SCAN
+# minima still pool across revisions: the single input pass is byte-
+# identical across them. rev 1 = separate uniqueness + referential actions;
+# rev 2 = the two probes fused into one unionByName collect (r5).
+JOB_REV = 2
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -105,6 +114,11 @@ def scale_worker_loop(cpus: int, n_docs: int) -> None:
             print(json.dumps({
                 "elapsed_sec": round(elapsed, 3),
                 "scan_elapsed_sec": round(m["scan_elapsed_sec"], 3),
+                # post-scan phase attribution (r5): lets BENCH/SCALING.md
+                # split the e2e-minus-scan residual into named constants
+                "commit_elapsed_sec": m.get("commit_elapsed_sec"),
+                "violations_elapsed_sec": m.get("violations_elapsed_sec"),
+                "probe_elapsed_sec": m.get("probe_elapsed_sec"),
                 "n_violations": m["n_violations"],
                 "dangling_refs": m.get("dangling_refs"),
             }), flush=True)
@@ -390,6 +404,7 @@ def append_history(levels: list[dict], control: dict,
     rec = {
         "ts": round(time.time(), 1),
         "n_docs": SCALE_N,
+        "job_rev": JOB_REV,
         "partitions": FIXED_PARTITIONS,
         "levels": [{k: lvl[k] for k in
                     ("cpus", "all_runs_sec", "all_scan_sec", "rep_health")}
@@ -467,7 +482,11 @@ def _minima_for(recs: list[dict], n_docs: int, partitions: int,
     # accepts any comma list) pools under its own shape but yields no figure
     if len(levels) != 2:
         return None
+    # SCAN pools across job revisions (the input pass is identical in all of
+    # them); WALL pools only within one revision — see JOB_REV. Records
+    # written before the field existed are rev 1.
     per: dict[int, dict[str, list[float]]] = {}
+    wall_by_rev: dict[int, dict[int, list[float]]] = {}
     n_runs = 0
     for r in recs:
         if r.get("n_docs") != n_docs or r.get("partitions") != partitions:
@@ -476,13 +495,22 @@ def _minima_for(recs: list[dict], n_docs: int, partitions: int,
         if rl is None or sorted(lvl["cpus"] for lvl in rl) != sorted(levels):
             continue
         n_runs += 1
+        rev = r.get("job_rev", 1)
         for lvl in rl:
             d = per.setdefault(lvl["cpus"], {"scan": [], "wall": []})
             d["scan"].extend(lvl["all_scan_sec"])
-            d["wall"].extend(lvl["all_runs_sec"])
+            wall_by_rev.setdefault(rev, {}).setdefault(
+                lvl["cpus"], []).extend(lvl["all_runs_sec"])
     if sorted(per) != sorted(levels) or not all(
-            per[c]["scan"] and per[c]["wall"] for c in levels):
+            per[c]["scan"] for c in levels):
         return None
+    # the NEWEST revision with wall reps at BOTH levels carries the e2e
+    # figure; older revisions stay in history but cannot pin a level
+    wall_rev = max((rev for rev, d in wall_by_rev.items()
+                    if all(d.get(c) for c in levels)), default=None)
+    if wall_rev is None:
+        return None
+    wall = wall_by_rev[wall_rev]
     lo, hi = levels
     factor = hi / lo
     return {
@@ -490,12 +518,14 @@ def _minima_for(recs: list[dict], n_docs: int, partitions: int,
         "levels": list(levels),
         "n_runs": n_runs,
         "n_reps": {str(c): len(per[c]["scan"]) for c in levels},
+        "job_rev": wall_rev,
+        "n_reps_wall": {str(c): len(wall[c]) for c in levels},
         "min_scan_sec": {str(c): round(min(per[c]["scan"]), 3) for c in levels},
-        "min_wall_sec": {str(c): round(min(per[c]["wall"]), 3) for c in levels},
+        "min_wall_sec": {str(c): round(min(wall[c]), 3) for c in levels},
         "efficiency_scan": round(
             (min(per[lo]["scan"]) / min(per[hi]["scan"])) / factor, 3),
         "efficiency_wall": round(
-            (min(per[lo]["wall"]) / min(per[hi]["wall"])) / factor, 3),
+            (min(wall[lo]) / min(wall[hi])) / factor, 3),
     }
 
 
@@ -723,7 +753,11 @@ def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
          f"level, raw data in BENCH/history.jsonl): per-level minimum scan "
          f"{minima['min_scan_sec']} s -> efficiency "
          f"**{minima['efficiency_scan']:.3f}**; minimum end-to-end "
-         f"{minima['min_wall_sec']} s -> {minima['efficiency_wall']:.3f}. "
+         f"{minima['min_wall_sec']} s -> {minima['efficiency_wall']:.3f} "
+         f"(job rev {minima['job_rev']}, {minima['n_reps_wall']} e2e reps — "
+         f"scan minima pool across job revisions because the input pass is "
+         f"identical in all of them; e2e wall minima pool only within the "
+         f"newest revision measured at both levels, see bench.py JOB_REV). "
          f"The job is deterministic and host steal is strictly additive, so "
          f"the per-level minimum over many runs converges to the true "
          f"runtime — one calm rep anywhere in history pins a level, which "
@@ -739,16 +773,20 @@ def write_baseline_md(levels: list[dict], efficiency: float, scan_eff: float,
         "this table is recomputed from the FULL history at every bench run, "
         "per job shape. The e2e column is the north_rule's end-to-end "
         "throughput-scaling figure; larger inputs amortize the fixed "
-        "per-action latency, which is why e2e efficiency rises with n_docs.",
+        "per-action latency, which is why e2e efficiency rises with n_docs. "
+        "The last column names the job revision (bench.py JOB_REV) whose "
+        "reps carry the e2e figure: wall minima never mix revisions, scan "
+        "minima (identical pass in every revision) pool across all of them.",
         "",
-        "| n_docs | partitions | cores lo->hi | runs | reps/level | min scan (s) | scan eff | min e2e (s) | e2e eff |",
-        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+        "| n_docs | partitions | cores lo->hi | runs | reps/level | min scan (s) | scan eff | min e2e (s) | e2e eff | e2e rev (reps) |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
         *[
             (lambda m: f"| {m['n_docs']:,} | {m['partitions']} "
              f"| {m['levels'][0]}->{m['levels'][1]} | {m['n_runs']} "
              f"| {m['n_reps']} | {m['min_scan_sec']} "
              f"| **{m['efficiency_scan']:.3f}** | {m['min_wall_sec']} "
-             f"| **{m['efficiency_wall']:.3f}** |")(m)
+             f"| **{m['efficiency_wall']:.3f}** "
+             f"| r{m['job_rev']} {m['n_reps_wall']} |")(m)
             for m in history_minima_all_shapes()
         ],
         "",

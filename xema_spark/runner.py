@@ -247,6 +247,7 @@ def run_validation(
         # a zero-task write whose Observation would never fire (obs.get
         # asserts on an unmaterialized observation)
         scan_elapsed, scan_obs, summary_rows = 0.0, {}, []
+        commit_elapsed = 0.0
     else:
         obs = Observation(f"xema_scan_{run_id}")
         (enriched.observe(obs,
@@ -265,13 +266,16 @@ def run_validation(
         # makes this run's buckets visible to read_verdicts. The
         # (<= n_buckets)-row summary is materialized once and also feeds the
         # global totals below, so no read-back aggregation job is needed.
+        t1 = time.time()
         summary_rows = commit_lineage(spark, output_dir, run_id, scan_elapsed)
+        commit_elapsed = time.time() - t1
 
     # Everything below reads the COMMITTED view (prior runs + this run).
-    # Three consumers (violations, duplicate metric, referential check) scan
+    # Two consumers (violations write, fused quality-metric probe) scan
     # it — cache the compact table once instead of re-reading parquet per
     # consumer (it is ~1% of input size by construction, so this is exactly
     # the table a production job would keep hot).
+    t1 = time.time()
     verdicts = read_verdicts(spark, output_dir).persist()
 
     # Exploded violation rows (overwritten from the compact table — cheap).
@@ -279,6 +283,7 @@ def run_validation(
              .select("doc_id", "bucket", F.explode("violations").alias("v"))
              .select("doc_id", "bucket", "v.path", "v.keyword", "v.message"))
     viols.write.mode("overwrite").parquet(violation_dir)
+    violations_elapsed = time.time() - t1
 
     metrics: dict = {
         "run_id": run_id,
@@ -308,15 +313,36 @@ def run_validation(
         n_viol += prior[2] or 0
     metrics.update(n_rows=n_rows, n_valid=n_valid, n_violations=n_viol)
 
-    dup = (verdicts.groupBy("doc_id").count().filter("count > 1")
-           .agg(F.count(F.lit(1)).alias("k"), F.sum("count").alias("r")).head())
-    metrics.update(duplicate_doc_ids=dup["k"] or 0,
-                   duplicate_rows=int(dup["r"] or 0))
-
+    # Uniqueness + referential probes over the cached compact table, FUSED
+    # into ONE Spark action: both reduce to a single scalar row, so a
+    # unionByName + collect computes them in one job instead of two. At the
+    # 10^12-doc shape this is noise, but every extra action carries fixed
+    # scheduler/plan-build latency that is identical at every parallelism
+    # level, and at bench scale that constant pollutes the N->4N end-to-end
+    # scaling figure (BENCH/BASELINE.md e2e gate) — fewer actions = less
+    # level-independent constant in the numerator and denominator.
+    t1 = time.time()
+    probe = (verdicts.groupBy("doc_id").count().filter("count > 1")
+             .agg(F.lit("uniqueness").alias("metric"),
+                  F.count(F.lit(1)).alias("k"),
+                  F.sum("count").alias("r")))
     if assets is not None:
         refs = verdicts.select("doc_id", F.explode("media_refs").alias("media_ref"))
-        dangling = refs.join(F.broadcast(assets.select("media_ref")), "media_ref", "left_anti")
-        metrics["dangling_refs"] = dangling.count()
+        dangling = (refs.join(F.broadcast(assets.select("media_ref")),
+                              "media_ref", "left_anti")
+                    .agg(F.lit("referential").alias("metric"),
+                         F.count(F.lit(1)).alias("k"),
+                         F.lit(None).cast("long").alias("r")))
+        probe = probe.unionByName(dangling)
+    probe_rows = {r["metric"]: r for r in probe.collect()}
+    dup = probe_rows["uniqueness"]
+    metrics.update(duplicate_doc_ids=dup["k"] or 0,
+                   duplicate_rows=int(dup["r"] or 0))
+    if assets is not None:
+        metrics["dangling_refs"] = probe_rows["referential"]["k"]
+    metrics["probe_elapsed_sec"] = round(time.time() - t1, 3)
+    metrics["commit_elapsed_sec"] = round(commit_elapsed, 3)
+    metrics["violations_elapsed_sec"] = round(violations_elapsed, 3)
 
     if profile_cols:
         from xema_spark import stats as _stats
