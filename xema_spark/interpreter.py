@@ -340,28 +340,235 @@ def _valid(rule: Rule, v: Any, root: Rule, depth: int,
     return True
 
 
+# --------------------------------------------------------------------------
+# vectorized fast path for validate_json_df
+#
+# _valid interprets the rule dict per VALUE: every row re-resolves keyword
+# keys, re-enters the recursion, and (worst) re-compiles pattern regexes.
+# For the hottest keywords the work per row is a single comparison, so the
+# interpretation overhead dominates. _vector_plan compiles the top level of
+# a normalized rule ONCE into a list of closures, each evaluating one
+# keyword over the whole decoded Arrow batch; rows failing any closure are
+# definitively invalid (every top-level keyword in _valid is an independent
+# AND term), and when the closures cover every constraining keyword —
+# recursively through single-level `properties` sub-rules — the batch never
+# enters the per-value walk at all. Measured on the sf0.1 v_json_dynamic
+# input: see SCALING.md.
+# --------------------------------------------------------------------------
+
+#: top-level keywords with a vector closure below
+_VECTOR_KEYS = frozenset({
+    "type", "enum", "const", "minimum", "maximum", "exclusive_minimum",
+    "exclusive_maximum", "min_length", "max_length", "pattern", "required",
+    "properties"})
+#: keys that constrain nothing by themselves — their presence must not
+#: disable the fully-covered fast exit
+_ANNOTATION_KEYS = frozenset({
+    "$schema", "id", "title", "description", "default", "examples",
+    "definitions", "comment"})
+
+
+def _type_pred(types: tuple) -> Any:
+    """Per-value predicate replicating _type_ok over a type union, with the
+    isinstance fast path (bool is an int subclass, so every numeric check
+    excludes it explicitly, matching _type_of)."""
+    def one(tn: str):
+        if tn == "any":
+            return lambda v: True
+        if tn == "string":
+            return lambda v: isinstance(v, str)
+        if tn == "object":
+            return lambda v: isinstance(v, dict)
+        if tn == "array":
+            return lambda v: isinstance(v, (list, tuple))
+        if tn == "boolean":
+            return lambda v: isinstance(v, bool)
+        if tn == "null":
+            return lambda v: v is None
+        if tn == "integer":
+            # int-like floats count (validator.ex:250)
+            return lambda v: (isinstance(v, int) and not isinstance(v, bool)) \
+                or (isinstance(v, float) and v.is_integer())
+        if tn == "number":
+            return lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)
+        return lambda v, _t=tn: _type_of(v) == _t
+    preds = [one(tn) for tn in types]
+    if len(preds) == 1:
+        return preds[0]
+    return lambda v: any(p(v) for p in preds)
+
+
+def _vector_plan(nrule: Any) -> tuple[list, bool] | None:
+    """(checks, fully_covered) for the top level of a NORMALIZED rule, or
+    None when nothing there is vectorizable. Each check maps the decoded
+    batch (a list of Python values) to a list of per-row PASS booleans; the
+    caller ANDs them. Contract: each closure reproduces _valid's semantics
+    for its keyword exactly, and closures may only be combined
+    conjunctively — which matches _valid, where every top-level keyword is
+    an independent AND term. `ref` early-returns in _valid ignoring sibling
+    keys and `validator` needs the pandas hook, so `ref` disables the plan
+    and `validator` just blocks full coverage (it stays in the walk)."""
+    if not isinstance(nrule, dict) or "ref" in nrule:
+        return None
+    keys = set(nrule)
+    if not (keys & _VECTOR_KEYS):
+        return None
+    checks: list = []
+    handled: set = set()
+
+    if "type" in nrule:
+        t = nrule["type"]
+        pred = _type_pred(tuple(t) if isinstance(t, list) else (t,))
+        checks.append(lambda vals, _p=pred: [_p(v) for v in vals])
+        handled.add("type")
+
+    if "const" in nrule:
+        cv = nrule["const"]
+        checks.append(lambda vals, _c=cv: [_eq(v, _c) for v in vals])
+        handled.add("const")
+    if "enum" in nrule:
+        ev = list(nrule["enum"])
+        checks.append(
+            lambda vals, _e=ev: [any(_eq(v, e) for e in _e) for v in vals])
+        handled.add("enum")
+
+    # numeric ranges apply only to numeric instances (non-numbers pass);
+    # draft-4 boolean exclusive_* flips the paired bound, draft-6 numeric
+    # exclusive_* is its own bound — byte-for-byte the _valid logic
+    ex_min, ex_max = nrule.get("exclusive_minimum"), nrule.get("exclusive_maximum")
+    if "minimum" in nrule:
+        m, strict = nrule["minimum"], ex_min is True
+        checks.append(lambda vals, _m=m, _s=strict: [
+            not _is_num(v) or ((v > _m) if _s else (v >= _m)) for v in vals])
+        handled.add("minimum")
+    if "maximum" in nrule:
+        m, strict = nrule["maximum"], ex_max is True
+        checks.append(lambda vals, _m=m, _s=strict: [
+            not _is_num(v) or ((v < _m) if _s else (v <= _m)) for v in vals])
+        handled.add("maximum")
+    if _is_num(ex_min):
+        checks.append(lambda vals, _m=ex_min: [
+            not _is_num(v) or v > _m for v in vals])
+    if _is_num(ex_max):
+        checks.append(lambda vals, _m=ex_max: [
+            not _is_num(v) or v < _m for v in vals])
+    # bool forms act via minimum/maximum; numeric forms were just emitted
+    handled.update({"exclusive_minimum", "exclusive_maximum"} & keys)
+
+    # string keywords apply only to string instances
+    if "min_length" in nrule:
+        n = nrule["min_length"]
+        checks.append(lambda vals, _n=n: [
+            not isinstance(v, str) or len(v) >= _n for v in vals])
+        handled.add("min_length")
+    if "max_length" in nrule:
+        n = nrule["max_length"]
+        checks.append(lambda vals, _n=n: [
+            not isinstance(v, str) or len(v) <= _n for v in vals])
+        handled.add("max_length")
+    if "pattern" in nrule:
+        cre = re.compile(nrule["pattern"])  # compiled ONCE per batch plan
+        checks.append(lambda vals, _c=cre: [
+            not isinstance(v, str) or _c.search(v) is not None for v in vals])
+        handled.add("pattern")
+
+    if "required" in nrule:
+        req = tuple(nrule["required"])
+        checks.append(lambda vals, _r=req: [
+            not isinstance(v, dict) or all(k in v for k in _r) for v in vals])
+        handled.add("required")
+
+    # single-level (recursively, whole-subtree) vectorizable `properties`:
+    # each named sub-rule plans independently; a present property value
+    # must pass the sub-plan, an absent one passes (matching _valid). The
+    # keyword counts as handled only when EVERY sub-rule is itself fully
+    # covered — partial sub-plans still run as prefilters.
+    if "properties" in nrule and isinstance(nrule["properties"], dict):
+        all_full = True
+        for name, sub in nrule["properties"].items():
+            sp = _vector_plan(sub) if isinstance(sub, dict) else (
+                ([], True) if sub is True else None)
+            if sp is None:
+                all_full = False
+                continue
+            sub_checks, sub_full = sp
+            all_full = all_full and sub_full
+
+            def prop_check(vals, _n=name, _cs=tuple(sub_checks)):
+                res = [True] * len(vals)
+                idx = [i for i, v in enumerate(vals)
+                       if isinstance(v, dict) and _n in v]
+                if idx:
+                    sub_vals = [vals[i][_n] for i in idx]
+                    for c in _cs:
+                        for i, r in zip(idx, c(sub_vals)):
+                            if not r:
+                                res[i] = False
+                return res
+
+            checks.append(prop_check)
+        if all_full:
+            handled.add("properties")
+
+    if not checks:
+        return None
+    fully_covered = not (keys - handled - _ANNOTATION_KEYS)
+    return checks, fully_covered
+
+
 def validate_json_df(df, json_col: str, rule: Rule, valid_col: str = "valid"):
     """Dynamic-shape escape hatch: validate a JSON string column with full
-    draft-7-subset semantics via an Arrow-vectorized pandas UDF (batched; the
-    interpreter runs per value inside the batch — this is the slow path and
-    exists for payloads with no static schema)."""
+    draft-7-subset semantics via an Arrow-vectorized pandas UDF. The hot
+    keywords (type / enum / const / ranges / lengths / pattern / required /
+    scalar `properties`) run as batch-level closures compiled once from the
+    rule (_vector_plan); only rows that survive them — and only under rules
+    with residual non-vectorizable keywords — enter the per-value recursive
+    walk. This is still the slow path relative to the Column compiler and
+    exists for payloads with no static schema."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType
 
     nrule = normalize_rule(rule)
+    plan = _vector_plan(nrule) if isinstance(nrule, dict) else None
 
     def batch(s):  # no type hints: pandas is function-local, so pyspark's
         # hint resolution would fail on the stringified 'pd.Series'
-        out = []
+        vals, status = [], []  # status: None=SQL null, False=bad JSON
         for x in s:
             if x is None:
-                out.append(None)
+                vals.append(None)
+                status.append(None)
                 continue
             try:
-                out.append(validate_value(nrule, json.loads(x)))
-            except (json.JSONDecodeError, RecursionError):
+                vals.append(json.loads(x))
+                status.append(True)
+            except json.JSONDecodeError:
+                vals.append(None)
+                status.append(False)
+
+        if plan is not None:
+            checks, full = plan
+            ok = [st is True for st in status]
+            for c in checks:
+                ok = [a and b for a, b in zip(ok, c(vals))]
+        else:
+            checks, full = [], False
+            ok = [st is True for st in status]
+
+        out = []
+        for i, st in enumerate(status):
+            if st is None:
+                out.append(None)
+            elif st is False or not ok[i]:
                 out.append(False)
+            elif full:
+                out.append(True)
+            else:
+                try:  # nrule is pre-normalized: call the walk directly
+                    out.append(_valid(nrule, vals[i], nrule, 0, None, ""))
+                except RecursionError:
+                    out.append(False)
         return pd.Series(out, dtype="boolean")
 
     udf = F.pandas_udf(batch, BooleanType())
