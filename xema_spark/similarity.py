@@ -94,12 +94,22 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = 16) -> Column:
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-             n_planes: int = 16, bands: int = 4,
+             n_planes: int = 48, bands: int = 12,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
     """Approximate top-k: corpus and queries are bucketed by LSH band keys;
     only colliding (band, key) pairs are scored. Recall grows with bands
-    (OR-construction); cost is the bucket-join instead of the cross join."""
+    (OR-construction); cost is the bucket-join instead of the cross join.
+
+    Defaults (raised in r5, measured on the sf0.1 embeddings — 2k x dim-64
+    near-uniform vectors, recall@10 vs brute_force_topk in SCALING.md):
+    48 planes / 12 bands keeps the per-band selectivity at r=4 bits
+    (16 keys per band, so expected bucket size stays N/16 — the quantity
+    that controls cost at scale) while tripling the OR-constructions vs the
+    old 16/4 default, lifting measured recall 0.503 -> 0.852. Lowering r
+    instead (e.g. 16 planes / 8 bands = 0.980 recall here) is a trap: 2-bit
+    bands make every bucket N/4 of the corpus, which is near-all-pairs at
+    production N."""
     r = n_planes // bands
 
     def band_keys(vec: Column) -> Column:
@@ -228,7 +238,7 @@ def _centroid_scorer(session, cents: list[tuple[int, list[float]]],
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             n_cells: int = 16, n_probe: int = 4,
+             n_cells: int = 16, n_probe: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
              inline_max_literals: int = 4096,
@@ -238,6 +248,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     smallest ids by default, or pass centroids=train_ivf_centroids(...) for
     Lloyd-refined cells — then each query scans only its n_probe nearest
     cells instead of the full corpus.
+
+    The n_probe default was raised 4 -> 8 in r5: measured recall@10 vs
+    brute_force_topk on the sf0.1 embeddings (2k near-uniform dim-64
+    vectors, SCALING.md) was 0.560 at n_probe=4 and 0.789 at n_probe=8
+    (0.825 with trained centroids — the recommended scale path). Uniform
+    synthetic vectors are IVF's worst case (neighbors spread evenly across
+    cells, recall ~= scan fraction); clustered real embeddings do better at
+    the same probe fraction.
 
     Scale shape: centroids are collected once (n_cells rows). When
     n_cells*dim <= inline_max_literals they are inlined as plan literals, so
