@@ -128,17 +128,28 @@ def enrich_verdicts(docs: DataFrame, compiled, n_buckets: int) -> DataFrame:
 
 
 def commit_lineage(spark: SparkSession, output_dir: str, run_id: str,
-                   scan_elapsed: float) -> list:
+                   scan_elapsed: float, this_run: DataFrame | None = None) -> list:
     """Aggregate THIS run's verdict rows into per-bucket summary rows and
     append them to the lineage sidecar — the COMMIT that makes the run's
     (run_id, bucket) pairs visible to read_verdicts. Returns the summary
     rows (<= n_buckets of them) so callers can derive totals without a
-    read-back job."""
+    read-back job. Pass `this_run` (a frame already scoped to this run's
+    rows, e.g. persisted) to aggregate from it instead of re-reading the
+    verdict table — run_validation shares one cached read between the
+    commit summary and the downstream consumers."""
     verdict_dir = os.path.join(output_dir, "verdicts")
     lineage_dir = os.path.join(output_dir, "lineage")
     try:
-        this_run = spark.read.parquet(verdict_dir) \
-            .filter(F.col("run_id") == run_id)
+        if this_run is None:
+            this_run = spark.read.parquet(verdict_dir) \
+                .filter(F.col("run_id") == run_id)
+        new_summary = (this_run.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("valid").cast("long")).alias("n_valid"),
+            F.sum(F.size("violations").cast("long")).alias("n_violations"),
+            F.sum("n_bytes").alias("n_bytes"),
+        ))
+        summary_rows = new_summary.collect()
     except AnalysisException as e:
         # zero-row run (empty corpus / empty micro-batch): the write left
         # only _SUCCESS (or nothing), there is nothing to commit and nothing
@@ -149,13 +160,6 @@ def commit_lineage(spark: SparkSession, output_dir: str, run_id: str,
         if is_missing_path(e):
             return []
         raise
-    new_summary = (this_run.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("valid").cast("long")).alias("n_valid"),
-        F.sum(F.size("violations").cast("long")).alias("n_violations"),
-        F.sum("n_bytes").alias("n_bytes"),
-    ))
-    summary_rows = new_summary.collect()
     lineage = spark.createDataFrame(summary_rows, new_summary.schema).select(
         "bucket", "n_rows", "n_valid", "n_violations", "n_bytes",
         F.lit(run_id).alias("run_id"),
@@ -266,8 +270,17 @@ def run_validation(
         # makes this run's buckets visible to read_verdicts. The
         # (<= n_buckets)-row summary is materialized once and also feeds the
         # global totals below, so no read-back aggregation job is needed.
+        # ONE read of this run's just-written partition feeds the commit
+        # summary AND (cached) every downstream consumer — the committed
+        # view re-read only covers OTHER runs' rows, whose run_id partition
+        # filter prunes to zero files on a fresh output_dir. This run's own
+        # rows may be consumed pre-commit: if the lineage append below
+        # fails, run_validation raises and nothing was published anyway.
         t1 = time.time()
-        summary_rows = commit_lineage(spark, output_dir, run_id, scan_elapsed)
+        this_run = (spark.read.parquet(verdict_dir)
+                    .filter(F.col("run_id") == run_id).persist())
+        summary_rows = commit_lineage(spark, output_dir, run_id, scan_elapsed,
+                                      this_run=this_run)
         commit_elapsed = time.time() - t1
 
     # Everything below reads the COMMITTED view (prior runs + this run).
@@ -276,7 +289,12 @@ def run_validation(
     # consumer (it is ~1% of input size by construction, so this is exactly
     # the table a production job would keep hot).
     t1 = time.time()
-    verdicts = read_verdicts(spark, output_dir).persist()
+    if fully_resumed:
+        cached = verdicts = read_verdicts(spark, output_dir).persist()
+    else:
+        cached = this_run
+        verdicts = this_run.unionByName(
+            read_verdicts(spark, output_dir).filter(F.col("run_id") != run_id))
 
     # Exploded violation rows (overwritten from the compact table — cheap).
     viols = (verdicts.filter(F.size("violations") > 0)
@@ -359,7 +377,7 @@ def run_validation(
             metrics["drifted_metrics"] = report.filter("drifted").count()
             metrics["drift_baseline_run"] = drift_baseline_run
 
-    verdicts.unpersist()
+    cached.unpersist()
     with open(os.path.join(output_dir, f"metrics_{run_id}.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     if fail_on_drift and metrics.get("drifted_metrics", 0) > 0:
