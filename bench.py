@@ -652,7 +652,8 @@ def _larger_n_gate_line() -> str:
         f"vs local[{hi}] over {best['n_runs']} run(s): per-level minima "
         f"scan {best['min_scan_sec'][str(lo)]} s -> "
         f"{best['min_scan_sec'][str(hi)]} s = scan efficiency "
-        f"**{best['efficiency_scan']:.3f}**, end-to-end "
+        f"**{best['efficiency_scan']:.3f}**, end-to-end (job rev "
+        f"{best['job_rev']}, {best['n_reps_wall']} wall reps) "
         f"{best['min_wall_sec'][str(lo)]} s -> "
         f"{best['min_wall_sec'][str(hi)]} s ({thru / 1000:.0f}k docs/s) = "
         + (verdict % best["efficiency_wall"]) +
