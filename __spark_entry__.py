@@ -37,15 +37,38 @@ from xema_spark.text import _STOPWORDS  # noqa: E402
 _T = "documents"
 
 
-def _docs(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+# Below this input size a LIGHT query (pure projection / single partial-
+# aggregated pass) skips the fan-out repartition: the whole corpus is one
+# sub-second map task, and the Exchange + its AQE stage barrier cost more
+# than the parallelism buys (guide §2.4 — remove shuffles outright; §1.2 —
+# partitioning derived from input size, not a constant). Heavy operators
+# (per-row shingling/md5 chains) always repartition.
+_LIGHT_REPART_BYTES = 8 << 20
+
+
+def _docs(spark: SparkSession, sf_dir: str, *cols: str,
+          heavy: bool = True) -> DataFrame:
     # the sf documents table arrives as ONE small parquet file -> one input
     # partition; repartition so per-row-heavy operators use every core (a
     # 100TB table arrives in thousands of splits and would skip this).
     # Column pruning happens BEFORE the repartition so the parallelize
     # shuffle moves only the columns the query needs, not the full payload.
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # heavy=False marks queries whose per-row work is trivial: they keep
+    # the scan's own partitioning unless the input outgrows the size gate
+    # (scale-adaptive — a larger driver-generated SF repartitions again).
+    path = f"{sf_dir}/documents.parquet"
+    df = spark.read.parquet(path)
     if cols:
         df = df.select(*cols)
+    if not heavy:
+        try:
+            nbytes = os.path.getsize(path) if os.path.isfile(path) else sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path) if f.endswith(".parquet"))
+        except OSError:
+            nbytes = _LIGHT_REPART_BYTES + 1  # non-local path: keep fan-out
+        if nbytes <= _LIGHT_REPART_BYTES:
+            return df
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
@@ -112,7 +135,7 @@ def _q_v_strlen_pattern(spark, sf_dir):
         "text": {"type": "string", "minLength": 100, "maxLength": 400, "pattern": "spark"},
         "source": {"type": "string", "pattern": "^src[0-9]+$"},
     }}
-    d = validate_df(_docs(spark, sf_dir, "doc_id", "text", "source"), rule)
+    d = validate_df(_docs(spark, sf_dir, "doc_id", "text", "source", heavy=False), rule)
     return d.select("doc_id", "valid")
 
 
@@ -121,7 +144,7 @@ def _q_v_array_items(spark, sf_dir):
         "toks": {"type": "array", "minItems": 5, "maxItems": 200,
                  "items": {"type": "string", "minLength": 1}},
     }}
-    base = _docs(spark, sf_dir, "doc_id", "text").select(
+    base = _docs(spark, sf_dir, "doc_id", "text", heavy=False).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks"))
     return validate_df(base, rule).select("doc_id", "valid")
 
@@ -322,7 +345,7 @@ def _q_cast_reshape(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_stats_documents(spark, sf_dir):
-    return stats.column_stats(_docs(spark, sf_dir, "lang", "source", "n_chars"),
+    return stats.column_stats(_docs(spark, sf_dir, "lang", "source", "n_chars", heavy=False),
                               ["lang", "source", "n_chars"],
                               exact_distinct=True)
 
@@ -371,7 +394,7 @@ def _q_drift_hist_nchars(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _q_dedup_exact(spark, sf_dir):
-    d = _docs(spark, sf_dir, "doc_id", "text")
+    d = _docs(spark, sf_dir, "doc_id", "text", heavy=False)
     with_dups = d.unionByName(d.filter(F.col("doc_id") < 20))
     return dedup.exact_dup_groups(with_dups)
 
@@ -390,7 +413,7 @@ def _q_dedup_decontaminate(spark, sf_dir):
 
 
 def _q_text_token_stats(spark, sf_dir):
-    d = _docs(spark, sf_dir, "doc_id", "text")
+    d = _docs(spark, sf_dir, "doc_id", "text", heavy=False)
     return d.select(
         "doc_id",
         text.token_count(F.col("text")).alias("n_tokens"),
@@ -399,7 +422,8 @@ def _q_text_token_stats(spark, sf_dir):
 
 
 def _q_text_quality(spark, sf_dir):
-    q = text.quality_features(_docs(spark, sf_dir, "doc_id", "text"))
+    q = text.quality_features(_docs(spark, sf_dir, "doc_id", "text",
+                                    heavy=False))
     return q.select("doc_id", "q_alpha_ratio", "q_punct_ratio", "q_digit_ratio")
 
 
@@ -409,7 +433,8 @@ def _q_text_fingerprint(spark, sf_dir):
 
 
 def _q_text_langid(spark, sf_dir):
-    return text.lang_id_table(_docs(spark, sf_dir, "doc_id", "text"), "doc_id")
+    return text.lang_id_table(_docs(spark, sf_dir, "doc_id", "text",
+                                    heavy=False), "doc_id")
 
 
 def _q_text_winnow(spark, sf_dir):

@@ -95,7 +95,10 @@ def test_validate_json_df_end_to_end(spark):
     rule = {"type": "object", "required": ["k"],
             "properties": {"k": {"type": "integer", "minimum": 0,
                                  "maximum": 75}}}
-    payloads = [json.dumps(v) for v in VALUES] + [None, "{not json", ""]
+    # deep nesting: json.loads raises RecursionError on this payload — the
+    # decode try must treat it as bad JSON (valid=False), not crash the task
+    deep = "[" * 200_000 + "]" * 200_000
+    payloads = [json.dumps(v) for v in VALUES] + [None, "{not json", "", deep]
     df = spark.createDataFrame([(i, p) for i, p in enumerate(payloads)],
                                "i int, js string")
     got = {r["i"]: r["valid"]
@@ -106,7 +109,7 @@ def test_validate_json_df_end_to_end(spark):
         else:
             try:
                 exp = validate_value(rule, json.loads(p))
-            except json.JSONDecodeError:
+            except (json.JSONDecodeError, RecursionError):
                 exp = False
             assert got[i] == exp, (i, p)
 

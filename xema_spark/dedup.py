@@ -272,9 +272,10 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
     typically orders of magnitude fewer than the corpus, and projections
     feeding a join run on every probe row — without the restriction both
     join sides would re-shingle the full corpus."""
+    # no .distinct() on the id union: a left-semi join ignores right-side
+    # duplicates, so the distinct was one pure-overhead Exchange (guide §2.4)
     ids = (pairs.select(F.col("doc_a").alias("__id"))
-           .unionByName(pairs.select(F.col("doc_b").alias("__id")))
-           .distinct())
+           .unionByName(pairs.select(F.col("doc_b").alias("__id"))))
     sh = (df.select(F.col(id_col).alias("__id"), F.col(text_col))
           .join(ids, "__id", "semi")
           .select("__id", shingles(F.col(text_col), n, max_shingles).alias("__sh")))
@@ -287,13 +288,79 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str,
             .filter(F.col("jaccard") >= threshold))
 
 
+#: Pair-count bound under which connected components resolve DRIVER-SIDE
+#: (one bounded collect + union-find) instead of iteratively on the cluster.
+#: Near-dup pair sets are LSH-collision-sized — orders of magnitude smaller
+#: than the corpus — so even at the 100 TB shape they are usually a few
+#: hundred MB of ids; 2M pairs collect to ~100-200 MB on the driver (well
+#: under driver.maxResultSize). Past the bound the distributed algorithms
+#: take over unchanged. Rationale (guide §1.2/§5): each distributed round
+#: is 2-4 Spark jobs of fixed scheduler latency, and the label/star loops
+#: need several rounds plus one extra to detect the fixed point — a bounded
+#: driver-side aggregate (like the centroid draws and strata counts
+#: elsewhere) replaces ~10-30 jobs with one.
+CC_DRIVER_BOUND = 2_000_000
+
+
+def _driver_components(pairs: DataFrame, a_col: str, b_col: str,
+                       bound: int) -> DataFrame | None:
+    """Bounded driver-side union-find: None when the pair set exceeds
+    `bound` (caller falls back to the distributed algorithm). Labels every
+    node with the minimum id reachable from it — identical output contract
+    to the label/star variants (ids compare in Spark's binary string order;
+    ASCII ids and numeric ids order identically in Python)."""
+    rows = pairs.select(a_col, b_col).limit(bound + 1).collect()
+    if len(rows) > bound:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for node in parent:
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    out = [(n, comp_min[find(n)]) for n in parent]
+    spark = pairs.sparkSession
+    from pyspark.sql import types as T
+
+    id_type = pairs.schema[a_col].dataType
+    schema = T.StructType([T.StructField("doc", id_type),
+                           T.StructField("component", id_type)])
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b", max_iter: int = 50,
-                         algorithm: str = "label") -> DataFrame:
+                         algorithm: str = "auto",
+                         driver_bound: int = CC_DRIVER_BOUND) -> DataFrame:
     """Transitive near-dup grouping: label every vertex of the pair graph
     with the minimum id reachable from it. Returns (doc, component).
 
-    algorithm='label' (default, oracle-checked): min-label propagation,
+    algorithm='auto' (default): pair sets within `driver_bound` rows are
+    collected once and solved with union-find on the driver (pair graphs
+    are LSH-collision-sized, not corpus-sized — a bounded driver aggregate
+    like the centroid/strata collects elsewhere), replacing the 10-30
+    fixed-latency jobs of the iterative variants with one; larger graphs
+    fall through to 'star' (O(log n) rounds) automatically.
+
+    algorithm='label' (oracle-checked): min-label propagation,
     driver-coordinated — each round is one join + partial-aggregated groupBy
     over the PAIR set (which is orders of magnitude smaller than the corpus
     — only docs that collided in LSH), converging in O(component diameter)
@@ -309,6 +376,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     a separate per-round count action, so a k-round run launches k jobs,
     not 2k. localCheckpoint truncates the growing lineage so round N
     doesn't replay rounds 1..N-1."""
+    if algorithm == "auto":
+        fast = _driver_components(pairs, a_col, b_col, driver_bound)
+        if fast is not None:
+            return fast
+        return connected_components_star(pairs, a_col, b_col, max_iter)
     if algorithm == "star":
         return connected_components_star(pairs, a_col, b_col, max_iter)
     from pyspark.sql import Observation
@@ -423,10 +495,11 @@ def connected_components_star(pairs: DataFrame, a_col: str = "doc_a",
 
 def near_dup_losers(dups: DataFrame, id_col: str = "doc_id",
                     transitive: bool = True,
-                    algorithm: str = "star") -> DataFrame:
+                    algorithm: str = "auto") -> DataFrame:
     """Doc ids to DROP given a verified near-dup pair frame (doc_a, doc_b):
-    transitive=True groups pairs into connected components (star variant by
-    default — O(log n) rounds on chains) and keeps each component's minimum
+    transitive=True groups pairs into connected components ('auto' by
+    default — bounded driver-side union-find, star fallback on graphs past
+    the bound) and keeps each component's minimum
     id; transitive=False is per-pair pruning (drop the greater id of every
     verified pair — cheaper, no iterative rounds, but splits A~B~C when
     A!~C). The ONE place this policy lives — minhash_dedupe and
@@ -442,7 +515,7 @@ def near_dup_losers(dups: DataFrame, id_col: str = "doc_id",
 def near_dup_losers_by(dups: DataFrame, scores: DataFrame,
                        id_col: str = "doc_id", score_col: str = "score",
                        transitive: bool = True,
-                       algorithm: str = "star") -> DataFrame:
+                       algorithm: str = "auto") -> DataFrame:
     """near_dup_losers with a QUALITY-AWARE keeper: each duplicate group
     keeps its BEST-scoring member (ties -> smallest id) instead of the
     smallest id — the policy a curation pipeline actually wants (keep the

@@ -543,7 +543,10 @@ def validate_json_df(df, json_col: str, rule: Rule, valid_col: str = "valid"):
             try:
                 vals.append(json.loads(x))
                 status.append(True)
-            except json.JSONDecodeError:
+            except (json.JSONDecodeError, RecursionError):
+                # RecursionError: json.loads recurses on deeply nested
+                # payloads — in the untrusted-payload escape hatch that must
+                # be a verdict (invalid), never a task crash
                 vals.append(None)
                 status.append(False)
 

@@ -123,21 +123,29 @@ def lang_id_table(df: DataFrame, id_col: str, text_col: str = "text",
     counting aggregate per language (partial aggregation collapses each doc
     map-side), then argmax. Equivalent to lang_id() but the token stream is
     materialized exactly once instead of being re-evaluated per language by
-    the interpreted higher-order functions."""
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    the interpreted higher-order functions. One output row per distinct id
+    (ids are assumed unique, the usual corpus contract)."""
+    # explode_outer keeps zero-token docs as one NULL-token row, so every
+    # doc gets its output row from the ONE groupBy — no second scan of df
+    # and no join-back (two fewer Exchanges than the explode+left-join
+    # formulation; guide §2.4). count("__t") ignores the NULL placeholder,
+    # so __n is still the token count and 0 for empty docs.
+    toks = df.select(F.col(id_col),
+                     F.explode_outer(tokens(F.col(text_col))).alias("__t"))
+    aggs = [F.count("__t").alias("__n")]
     for lang, words in _STOPWORDS.items():
-        aggs.append(F.sum(F.col("__t").isin(words).cast("long")).alias(f"__h_{lang}"))
+        aggs.append(F.count(F.when(F.col("__t").isin(words), True))
+                    .alias(f"__h_{lang}"))
     per = toks.groupBy(id_col).agg(*aggs)
-    scores = {lang: F.col(f"__h_{lang}") / F.col("__n") for lang in _STOPWORDS}
+    # greatest(__n, 1) keeps the division ANSI-safe for zero-token docs;
+    # the __n == 0 branch below decides those rows before scores matter
+    denom = F.greatest(F.col("__n"), F.lit(1))
+    scores = {lang: F.col(f"__h_{lang}") / denom for lang in _STOPWORDS}
     m = F.greatest(*scores.values())
-    pick = F.when(m <= min_score, F.lit("und"))
+    pick = F.when((F.col("__n") == 0) | (m <= min_score), F.lit("und"))
     for lang in _STOPWORDS:  # first max wins, same tie-break as lang_id()
         pick = pick.when(scores[lang] == m, F.lit(lang))
-    scored = per.select(id_col, pick.alias(out_col))
-    # docs with zero tokens were dropped by the explode -> 'und'
-    return (df.select(id_col).join(scored, id_col, "left")
-            .select(id_col, F.coalesce(out_col, F.lit("und")).alias(out_col)))
+    return per.select(id_col, pick.alias(out_col))
 
 
 def top_tokens(df: DataFrame, text_col: str = "text", k: int = 50,
@@ -182,45 +190,51 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text",
     at 1.0): overlap-exact accounting needs per-position interval math that
     buys no extra filtering power.
 
-    Scale shape: n-grams are EXPLODED to (doc, gram) rows and reduced by
-    groupBy — map-side partial aggregation, partitions bounded by doc size,
-    never a per-row higher-order recomputation (the minhash lesson). The
+    Scale shape: BOTH n-gram families explode in ONE pass as (doc, tag,
+    gram) rows — tag 0 = top_n-grams, tag 1 = dup_n-grams, so the two
+    masses share one groupBy(doc, tag, gram) count and one groupBy(doc)
+    rollup (two Exchanges + one join-back total, versus four Exchanges +
+    two joins when each family aggregated separately — guide §2.4; the
+    per-(doc, gram) counts and the final masses are bit-identical). The
     most-frequent gram is max(struct(cnt, len, gram)) — one aggregate, a
-    deterministic (cnt, len, gram) tie-break, no window."""
+    deterministic (cnt, len, gram) tie-break, no window. Map-side partial
+    aggregation bounds partitions by doc size, never a per-row
+    higher-order recomputation (the minhash lesson)."""
     toks = tokens(F.col(text_col))
     n_tokens = F.size(toks)
 
-    def grams(n: int) -> Column:
+    def grams(n: int, tag: int) -> Column:
         return F.when(
             n_tokens >= n,
             F.transform(F.sequence(F.lit(1), n_tokens - (n - 1)),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-        ).otherwise(F.array().cast("array<string>"))
+                        lambda i: F.struct(
+                            F.lit(tag).alias("tag"),
+                            F.concat_ws(" ", F.slice(toks, i, n))
+                            .alias("gram"))),
+        ).otherwise(F.array().cast(
+            "array<struct<tag:int,gram:string>>"))
 
     base = df.select(F.col(id_col).alias("doc"),
                      F.coalesce(F.length(text_col), F.lit(0)).alias("n_chars"),
-                     grams(top_n).alias("g_top"), grams(dup_n).alias("g_dup"))
-
-    def char_mass(gcol: str, dup_only: bool) -> DataFrame:
-        cnt = (base.select("doc", F.explode(gcol).alias("gram"))
-               .groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("cnt")))
-        if dup_only:
-            agg = F.sum(F.when(F.col("cnt") > 1,
-                               F.col("cnt") * F.length("gram"))
-                        .otherwise(F.lit(0)))
-        else:
-            m = F.max(F.struct(F.col("cnt"), F.length("gram").alias("glen"),
-                               F.col("gram")))
-            agg = (m.getField("cnt") * m.getField("glen"))
-        return cnt.groupBy("doc").agg(agg.cast("long").alias("mass"))
-
-    top = char_mass("g_top", dup_only=False).withColumnRenamed("mass", "top_mass")
-    dup = char_mass("g_dup", dup_only=True).withColumnRenamed("mass", "dup_mass")
+                     F.concat(grams(top_n, 0), grams(dup_n, 1)).alias("_g"))
+    cnt = (base.select("doc", F.explode("_g").alias("g"))
+           .groupBy("doc", F.col("g.tag").alias("tag"),
+                    F.col("g.gram").alias("gram"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    m = F.max(F.when(F.col("tag") == 0,
+                     F.struct(F.col("cnt"), F.length("gram").alias("glen"),
+                              F.col("gram"))))
+    per = (cnt.groupBy("doc").agg(
+        (m.getField("cnt") * m.getField("glen")).cast("long")
+        .alias("top_mass"),
+        F.sum(F.when((F.col("tag") == 1) & (F.col("cnt") > 1),
+                     F.col("cnt") * F.length("gram"))
+              .otherwise(F.lit(0))).cast("long").alias("dup_mass")))
     frac = lambda mass: F.round(
         F.least(F.lit(1.0), F.coalesce(mass, F.lit(0)).cast("double")
                 / F.greatest(F.col("n_chars"), F.lit(1))), 6)
     return (base.select("doc", "n_chars")
-            .join(top, "doc", "left").join(dup, "doc", "left")
+            .join(per, "doc", "left")
             .select(F.col("doc").alias(id_col),
                     frac(F.col("top_mass")).alias("top_ngram_frac"),
                     frac(F.col("dup_mass")).alias("dup_ngram_frac")))
