@@ -59,6 +59,30 @@ class TestText:
         assert r[2]["dup_ngram_frac"] == 0.0
         assert r[3]["top_ngram_frac"] == 0.0 and r[3]["dup_ngram_frac"] == 0.0
 
+    def test_lang_repetition_table_matches_composition(self, spark):
+        """The fused single-pass operator must agree row-for-row with
+        lang_id_table JOIN repetition_signals (curate's hot path relies on
+        the equivalence)."""
+        df = spark.createDataFrame([
+            (1, "the cat sat on the mat and it was happy the cat sat"),
+            (2, "der hund ist nicht mit der katze auf dem sofa"),
+            (3, "spam ham " * 10),
+            (4, "x"),
+            (5, ""),
+            (6, None),
+        ], "doc_id int, text string")
+        fused = {r["doc_id"]: (r["lang"], r["top_ngram_frac"],
+                               r["dup_ngram_frac"])
+                 for r in text.lang_repetition_table(df, "doc_id").collect()}
+        lang = {r["doc_id"]: r["lang"]
+                for r in text.lang_id_table(df, "doc_id",
+                                            out_col="lang").collect()}
+        rep = {r["doc_id"]: (r["top_ngram_frac"], r["dup_ngram_frac"])
+               for r in text.repetition_signals(df, "doc_id").collect()}
+        assert set(fused) == set(lang) == set(rep)
+        for d in fused:
+            assert fused[d] == (lang[d], *rep[d]), d
+
     def test_pii_scrub(self, spark):
         df = spark.createDataFrame([
             (1, "mail me at bob@example.com or at 10.1.2.3 ssn 123-45-6789"),

@@ -97,37 +97,55 @@ def curate(
     else:
         base = df.select(id_col, text_col, *carry)
 
-    # quality ratios + language id. Two shapes for the language stage:
-    # - 'fused': per-row HOF argmax in the same projection (zero shuffle,
-    #   but each language score re-filters the token array through the
-    #   interpreted higher-order functions);
-    # - 'table': explode->one-groupBy lang_id_table + join back (token
-    #   stream materialized once, at the price of a corpus-sized shuffle).
+    # quality ratios + language id + repetition signals. Two shapes for the
+    # token-level stages:
+    # - 'fused': per-row HOF language argmax in the same projection (zero
+    #   shuffle, but each language score re-filters the token array through
+    #   the interpreted higher-order functions), repetition joined after;
+    # - 'table' (default): tokens AND both repetition n-gram families
+    #   explode in ONE tagged pass through text.lang_repetition_table —
+    #   two Exchanges + one id-keyed join for the whole lang+repetition
+    #   block, versus the five Exchanges + three joins of composing
+    #   lang_id_table and repetition_signals separately (guide §2.4).
+    #   Per-doc values are corpus-independent, so computing repetition
+    #   before the quality/language filter instead of after it changes no
+    #   surviving row — the conjunction of per-row gates is order-free
+    #   (pinned by the pipeline_curate oracle).
     # Measured on the curate path (SCALING.md "curate language stage"):
     # 'table' wins ~2x at both 5k and 100k docs — the 5-language HOF
     # re-evaluation costs more than the token shuffle, the same lesson as
     # minhash/simhash — so it is the default; 'fused' remains for
     # shuffle-constrained deployments.
-    if lang_strategy == "table":
-        q = T.quality_features(base, text_col).join(
-            T.lang_id_table(base, id_col, text_col, out_col="lang"), id_col)
-    else:
-        q = T.quality_features(base, text_col).withColumn("lang", T.lang_id(F.col(text_col)))
     keep = F.col("q_alpha_ratio") >= F.lit(float(min_alpha_ratio))
     if langs:
         keep = keep & F.col("lang").isin(*langs)
-    q = q.filter(keep).select(id_col, text_col, "lang", "q_alpha_ratio",
-                              *carry)
+    rep_keep = ((F.col("top_ngram_frac") <= F.lit(float(max_top_ngram_frac)))
+                & (F.col("dup_ngram_frac") <= F.lit(float(max_dup_ngram_frac))))
+    if lang_strategy == "table":
+        q = (T.quality_features(base, text_col)
+             .join(T.lang_repetition_table(base, id_col, text_col), id_col)
+             .filter(keep & rep_keep)
+             .select(id_col, text_col, "lang", "q_alpha_ratio",
+                     "top_ngram_frac", "dup_ngram_frac", *carry))
+    else:
+        q = (T.quality_features(base, text_col)
+             .withColumn("lang", T.lang_id(F.col(text_col)))
+             .filter(keep)
+             .select(id_col, text_col, "lang", "q_alpha_ratio", *carry))
+        rep = T.repetition_signals(q.select(id_col, text_col), id_col,
+                                   text_col)
+        q = q.join(rep, id_col).filter(rep_keep)
 
-    # repetition signals on survivors only (the explode/groupBy stage)
-    rep = T.repetition_signals(q.select(id_col, text_col), id_col, text_col)
-    q = (q.join(rep, id_col)
-         .filter((F.col("top_ngram_frac") <= F.lit(float(max_top_ngram_frac)))
-                 & (F.col("dup_ngram_frac") <= F.lit(float(max_dup_ngram_frac)))))
-
-    if cache_survivors and (benchmark is not None
-                            or near_dup_threshold is not None
-                            or paragraph_dedup):
+    # When the ONLY multi-reference consumer is the near-dup stage, the
+    # boundary can sit AFTER the (single-reference) exact-dedupe window
+    # instead of before it: one checkpoint then covers the near-dup stage's
+    # four references AND the final anti-join, and the upstream gate tree
+    # is materialized exactly once (guide §1.2 — fewer fixed-latency jobs).
+    defer_ckpt = (cache_survivors and benchmark is None
+                  and not paragraph_dedup and near_dup_threshold is not None)
+    if cache_survivors and not defer_ckpt and (benchmark is not None
+                                               or near_dup_threshold is not None
+                                               or paragraph_dedup):
         # stage boundary BEFORE any stage that references the survivor frame
         # more than once: the decontamination gate uses it twice (anti-join
         # left side + contaminated-id derivation) and the near-dup stage
@@ -185,6 +203,8 @@ def curate(
         q = dedup.dedupe_exact(q, id_col, text_col)
 
     if near_dup_threshold is not None:
+        if defer_ckpt:
+            q = q.localCheckpoint(eager=True)
         pairs = dedup.lsh_candidate_pairs(
             q, id_col, text_col, hash_fn=hash_fn, max_shingles=max_shingles)
         dups = dedup.ngram_jaccard(

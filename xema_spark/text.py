@@ -193,9 +193,9 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text",
     Scale shape: BOTH n-gram families explode in ONE pass as (doc, tag,
     gram) rows — tag 0 = top_n-grams, tag 1 = dup_n-grams, so the two
     masses share one groupBy(doc, tag, gram) count and one groupBy(doc)
-    rollup (two Exchanges + one join-back total, versus four Exchanges +
-    two joins when each family aggregated separately — guide §2.4; the
-    per-(doc, gram) counts and the final masses are bit-identical). The
+    rollup (two Exchanges total, versus four Exchanges + two joins when
+    each family aggregated separately — guide §2.4; the per-(doc, gram)
+    counts and the final masses are bit-identical). The
     most-frequent gram is max(struct(cnt, len, gram)) — one aggregate, a
     deterministic (cnt, len, gram) tie-break, no window. Map-side partial
     aggregation bounds partitions by doc size, never a per-row
@@ -214,17 +214,20 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text",
         ).otherwise(F.array().cast(
             "array<struct<tag:int,gram:string>>"))
 
+    # explode_outer + n_chars carried through the grouping keys (n_chars is
+    # functionally determined by doc): zero-gram docs keep their output row
+    # without a join-back, so the operator is one scan and two Exchanges
     base = df.select(F.col(id_col).alias("doc"),
                      F.coalesce(F.length(text_col), F.lit(0)).alias("n_chars"),
                      F.concat(grams(top_n, 0), grams(dup_n, 1)).alias("_g"))
-    cnt = (base.select("doc", F.explode("_g").alias("g"))
-           .groupBy("doc", F.col("g.tag").alias("tag"),
+    cnt = (base.select("doc", "n_chars", F.explode_outer("_g").alias("g"))
+           .groupBy("doc", "n_chars", F.col("g.tag").alias("tag"),
                     F.col("g.gram").alias("gram"))
            .agg(F.count(F.lit(1)).alias("cnt")))
     m = F.max(F.when(F.col("tag") == 0,
                      F.struct(F.col("cnt"), F.length("gram").alias("glen"),
                               F.col("gram"))))
-    per = (cnt.groupBy("doc").agg(
+    per = (cnt.groupBy("doc", "n_chars").agg(
         (m.getField("cnt") * m.getField("glen")).cast("long")
         .alias("top_mass"),
         F.sum(F.when((F.col("tag") == 1) & (F.col("cnt") > 1),
@@ -233,11 +236,88 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str = "text",
     frac = lambda mass: F.round(
         F.least(F.lit(1.0), F.coalesce(mass, F.lit(0)).cast("double")
                 / F.greatest(F.col("n_chars"), F.lit(1))), 6)
-    return (base.select("doc", "n_chars")
-            .join(per, "doc", "left")
-            .select(F.col("doc").alias(id_col),
-                    frac(F.col("top_mass")).alias("top_ngram_frac"),
-                    frac(F.col("dup_mass")).alias("dup_ngram_frac")))
+    return per.select(F.col("doc").alias(id_col),
+                      frac(F.col("top_mass")).alias("top_ngram_frac"),
+                      frac(F.col("dup_mass")).alias("dup_ngram_frac"))
+
+
+def lang_repetition_table(df: DataFrame, id_col: str, text_col: str = "text",
+                          top_n: int = 2, dup_n: int = 5,
+                          lang_col: str = "lang",
+                          min_score: float = 0.05) -> DataFrame:
+    """lang_id_table + repetition_signals fused into ONE explode + two
+    groupBys: tokens (tag 0), top_n-grams (tag 1) and dup_n-grams (tag 2)
+    explode together as (doc, tag, item) rows, one groupBy(doc, tag, item)
+    counts them, one groupBy(doc) rolls up the language argmax AND both
+    repetition masses. Returns one row per doc:
+    (id_col, lang_col, top_ngram_frac, dup_ngram_frac).
+
+    Shares the exact score/tie-break/rounding formulas with the two
+    standalone operators (pinned by tests), so a pipeline that gates on
+    language and repetition — pipeline.curate's hot path — pays two
+    Exchanges and one join-back instead of the five Exchanges and three
+    joins of composing them separately (guide §2.4). Per-language hits
+    aggregate as sum(cnt · isin) over the counted distinct tokens, which
+    equals the per-token count. One output row per distinct id (unique-id
+    corpus contract, as lang_id_table)."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+
+    def grams(n: int, tag: int) -> Column:
+        return F.when(
+            n_tokens >= n,
+            F.transform(F.sequence(F.lit(1), n_tokens - (n - 1)),
+                        lambda i: F.struct(
+                            F.lit(tag).alias("tag"),
+                            F.concat_ws(" ", F.slice(toks, i, n))
+                            .alias("item"))),
+        ).otherwise(F.array().cast("array<struct<tag:int,item:string>>"))
+
+    tok_structs = F.transform(
+        toks, lambda t: F.struct(F.lit(0).alias("tag"), t.alias("item")))
+    # n_chars is functionally determined by doc, so carrying it through the
+    # grouping keys adds no cardinality and removes the join-back a separate
+    # (doc, n_chars) frame would need — the operator is exactly two
+    # Exchanges and one scan
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("n_chars"),
+        F.concat(tok_structs, grams(top_n, 1), grams(dup_n, 2)).alias("_g"))
+    cnt = (base.select("doc", "n_chars", F.explode_outer("_g").alias("g"))
+           .groupBy("doc", "n_chars", F.col("g.tag").alias("tag"),
+                    F.col("g.item").alias("item"))
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    is_tok = F.col("tag") == 0
+    aggs = [F.sum(F.when(is_tok, F.col("cnt"))).alias("__n")]
+    for lang, words in _STOPWORDS.items():
+        aggs.append(F.sum(F.when(is_tok & F.col("item").isin(words),
+                                 F.col("cnt"))).alias(f"__h_{lang}"))
+    m_top = F.max(F.when(F.col("tag") == 1,
+                         F.struct(F.col("cnt"), F.length("item").alias("glen"),
+                                  F.col("item"))))
+    aggs.append((m_top.getField("cnt") * m_top.getField("glen")).cast("long")
+                .alias("top_mass"))
+    aggs.append(F.sum(F.when((F.col("tag") == 2) & (F.col("cnt") > 1),
+                             F.col("cnt") * F.length("item"))
+                      .otherwise(F.lit(0))).cast("long").alias("dup_mass"))
+    per = cnt.groupBy("doc", "n_chars").agg(*aggs)
+    # language pick: identical formulas/tie-break to lang_id_table. A
+    # zero-token doc survives the explode_outer as one NULL-item row whose
+    # token sums are NULL -> coalesce to 0 -> 'und', masses 0.
+    n_tok = F.coalesce(F.col("__n"), F.lit(0))
+    denom = F.greatest(n_tok, F.lit(1))
+    scores = {lang: F.coalesce(F.col(f"__h_{lang}"), F.lit(0)) / denom
+              for lang in _STOPWORDS}
+    m = F.greatest(*scores.values())
+    pick = F.when((n_tok == 0) | (m <= min_score), F.lit("und"))
+    for lang in _STOPWORDS:
+        pick = pick.when(scores[lang] == m, F.lit(lang))
+    frac = lambda mass: F.round(
+        F.least(F.lit(1.0), F.coalesce(mass, F.lit(0)).cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1))), 6)
+    return per.select(F.col("doc").alias(id_col), pick.alias(lang_col),
+                      frac(F.col("top_mass")).alias("top_ngram_frac"),
+                      frac(F.col("dup_mass")).alias("dup_ngram_frac"))
 
 
 # PII patterns kept to regex constructs with identical semantics in Java
