@@ -67,6 +67,18 @@ def n_assets_for(n_docs: int) -> int:
     return max(100, n_docs // 10)
 
 
+def _zero_pad(prefix: str, n: Column, width: int) -> Column:
+    """format_string(prefix + '%0{width}d', n) for non-negative n, ~2.4x
+    cheaper (measured 1.34s -> 0.56s for 3 ids x 2.4M rows at local[8]):
+    java.util.Formatter re-parses the format per call, lpad is a byte copy.
+    lpad TRUNCATES values wider than `width`, so those take the plain-cast
+    branch — identical to %0Nd, which stops padding there (verified on the
+    10^8 boundary)."""
+    s = n.cast("string")
+    return F.concat(F.lit(prefix),
+                    F.when(n < 10 ** width, F.lpad(s, width, "0")).otherwise(s))
+
+
 def violation_class(i: Column) -> Column:
     """-1 for clean docs, else the injected class (cycles every 13th doc)."""
     return F.when(i % 13 == 0, (i / 13).cast("long") % 6).otherwise(F.lit(-1))
@@ -92,7 +104,7 @@ def gen_documents(
 
     # doc_id: every 101st doc (i>0) repeats the previous id (dup injection)
     base_id = F.when((i % 101 == 0) & (i > 0), i - 1).otherwise(i)
-    doc_id = F.format_string("doc-%08d", base_id)
+    doc_id = _zero_pad("doc-", base_id, 8)
 
     n_spans = F.when(cls == CLS_EMPTY_SPANS, F.lit(0)).otherwise(1 + (i % 7))
 
@@ -115,7 +127,7 @@ def gen_documents(
             .otherwise(F.pmod(i * 31 + j * 7, F.lit(n_assets)))
         asset_id = F.when(cls == CLS_DANGLING_REF,
                           n_assets + F.pmod(i, F.lit(DANGLE_TAIL))).otherwise(asset_id)
-        media_ref = F.when(~is_text, F.format_string("asset-%06d", asset_id)) \
+        media_ref = F.when(~is_text, _zero_pad("asset-", asset_id, 6)) \
             .otherwise(F.lit(None).cast("string"))
         offset = (j * 100 + F.pmod(i, F.lit(50))).cast("int")
         offset = F.when((cls == CLS_NEG_OFFSET) & (j == 0), F.lit(-5)).otherwise(offset).cast("int")

@@ -73,6 +73,13 @@ def is_missing_path(e: AnalysisException) -> bool:
     return any(m in msg for m in MISSING_PATH_MARKERS)
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-agnostic existence probe (one NameNode/FS RPC, no Spark job)."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def _completed_buckets(spark: SparkSession, lineage_dir: str) -> set[int]:
     try:
         rows = spark.read.parquet(lineage_dir).select("bucket").distinct().collect()
@@ -105,16 +112,25 @@ def enrich_verdicts(docs: DataFrame, compiled, n_buckets: int) -> DataFrame:
     write the SAME verdict-table schema."""
     bucket = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     has_spans = "spans" in docs.columns
+    # array_compact / concat_ws instead of the lambda HOFs: ArrayFilter and
+    # ArrayAggregate are CodegenFallback (interpreted per row); these run in
+    # whole-stage codegen. concat_ws skips NULL elements, so its length is
+    # exactly sum(length(non-null)) — measured ~0.9s/scan at the 2.4M-doc
+    # bench shape, value-identical (guide §4.1: prefer built-ins).
     media_refs = (
-        F.filter(F.col("spans.media_ref"), lambda x: x.isNotNull())
+        F.array_compact(F.col("spans.media_ref"))
         if has_spans else F.array().cast("array<string>")
     )
     n_bytes = (
-        F.coalesce(F.aggregate(F.col("spans"),
-                               F.lit(0).cast("long"),
-                               lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), F.lit(0))
-                               + F.coalesce(F.length(s["media_ref"]).cast("long"), F.lit(0)) + F.lit(16)),
-                   F.lit(0))
+        # explicit NULL-spans guard: size(NULL) is -1 in non-ANSI sessions,
+        # which would leak -16 into the sum (the old aggregate() returned
+        # NULL -> coalesce 0 there)
+        F.when(F.col("spans").isNull(), F.lit(0).cast("long")).otherwise(
+            F.coalesce(F.length(F.concat_ws("", F.col("spans.text")))
+                       .cast("long"), F.lit(0))
+            + F.coalesce(F.length(F.concat_ws("", F.col("spans.media_ref")))
+                         .cast("long"), F.lit(0))
+            + F.lit(16).cast("long") * F.size("spans"))
         if has_spans else F.lit(0).cast("long")
     )
     return docs.select(
@@ -125,6 +141,64 @@ def enrich_verdicts(docs: DataFrame, compiled, n_buckets: int) -> DataFrame:
         media_refs.alias("media_refs"),
         n_bytes.alias("n_bytes"),
     )
+
+
+def _bucket_summary(this_run: DataFrame) -> DataFrame:
+    """Per-bucket summary aggregate of one run's verdict rows — shared by
+    commit_lineage and run_validation's fused summary+probe action."""
+    return this_run.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+        F.sum(F.size("violations").cast("long")).alias("n_violations"),
+        F.sum("n_bytes").alias("n_bytes"),
+    )
+
+
+def _append_lineage_rows(spark: SparkSession, output_dir: str, run_id: str,
+                         scan_elapsed: float, summary_rows: list) -> None:
+    """Append the (<= n_buckets) summary rows to the lineage sidecar — the
+    COMMIT that makes this run's (run_id, bucket) pairs visible. The rows
+    are already on the driver, so this writes ONE parquet file driver-side
+    (pyarrow) instead of scheduling a Spark job for a kilobyte of metadata
+    — a commit log is driver-side work by nature (guide §5: the driver
+    should do almost no DATA work; this is not data work). Falls back to a
+    Spark write for non-local output dirs (s3://... paths)."""
+    lineage_dir = os.path.join(output_dir, "lineage")
+    rows = [{"bucket": int(r["bucket"]), "n_rows": int(r["n_rows"]),
+             "n_valid": int(r["n_valid"]),
+             "n_violations": int(r["n_violations"]),
+             "n_bytes": int(r["n_bytes"]), "run_id": run_id,
+             "scan_elapsed_sec": float(scan_elapsed)} for r in summary_rows]
+    if "://" not in output_dir:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(lineage_dir, exist_ok=True)
+        table = pa.Table.from_pylist(rows, schema=pa.schema([
+            ("bucket", pa.int32()), ("n_rows", pa.int64()),
+            ("n_valid", pa.int64()), ("n_violations", pa.int64()),
+            ("n_bytes", pa.int64()), ("run_id", pa.string()),
+            ("scan_elapsed_sec", pa.float64())]))
+        tmp = os.path.join(lineage_dir, f".part-{_uuid.uuid4().hex}.tmp")
+        final = os.path.join(lineage_dir,
+                             f"part-{_uuid.uuid4().hex}.snappy.parquet")
+        pq.write_table(table, tmp, compression="snappy")
+        os.rename(tmp, final)  # atomic on a local filesystem
+        return
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_valid", T.LongType()),
+        T.StructField("n_violations", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("scan_elapsed_sec", T.DoubleType())])
+    (spark.createDataFrame([tuple(r.values()) for r in rows], schema)
+     .coalesce(1).write.mode("append").parquet(lineage_dir))
 
 
 def commit_lineage(spark: SparkSession, output_dir: str, run_id: str,
@@ -138,18 +212,11 @@ def commit_lineage(spark: SparkSession, output_dir: str, run_id: str,
     verdict table — run_validation shares one cached read between the
     commit summary and the downstream consumers."""
     verdict_dir = os.path.join(output_dir, "verdicts")
-    lineage_dir = os.path.join(output_dir, "lineage")
     try:
         if this_run is None:
             this_run = spark.read.parquet(verdict_dir) \
                 .filter(F.col("run_id") == run_id)
-        new_summary = (this_run.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("valid").cast("long")).alias("n_valid"),
-            F.sum(F.size("violations").cast("long")).alias("n_violations"),
-            F.sum("n_bytes").alias("n_bytes"),
-        ))
-        summary_rows = new_summary.collect()
+        summary_rows = _bucket_summary(this_run).collect()
     except AnalysisException as e:
         # zero-row run (empty corpus / empty micro-batch): the write left
         # only _SUCCESS (or nothing), there is nothing to commit and nothing
@@ -160,12 +227,8 @@ def commit_lineage(spark: SparkSession, output_dir: str, run_id: str,
         if is_missing_path(e):
             return []
         raise
-    lineage = spark.createDataFrame(summary_rows, new_summary.schema).select(
-        "bucket", "n_rows", "n_valid", "n_violations", "n_bytes",
-        F.lit(run_id).alias("run_id"),
-        F.lit(float(scan_elapsed)).alias("scan_elapsed_sec"),
-    ).coalesce(1)
-    lineage.write.mode("append").parquet(lineage_dir)
+    _append_lineage_rows(spark, output_dir, run_id, scan_elapsed,
+                         summary_rows)
     return summary_rows
 
 
@@ -252,6 +315,8 @@ def run_validation(
         # asserts on an unmaterialized observation)
         scan_elapsed, scan_obs, summary_rows = 0.0, {}, []
         commit_elapsed = 0.0
+        this_run = None
+        has_prior = True
     else:
         obs = Observation(f"xema_scan_{run_id}")
         (enriched.observe(obs,
@@ -263,40 +328,87 @@ def run_validation(
          .write.mode("append").partitionBy("run_id", "bucket").parquet(verdict_dir))
         scan_elapsed = time.time() - t0
         scan_obs = obs.get
+        # does any OTHER run's commit exist? One FS RPC — when it doesn't
+        # (the common fresh-output case), the committed-view re-read, its
+        # lineage broadcast and the union are skipped outright below
+        has_prior = bool(done) or _path_exists(spark, lineage_dir)
 
-        # Per-bucket summary of THIS run's rows (partition-pruned read —
-        # orphan files from a crashed attempt carry a different run_id and
-        # stay invisible) appended to the lineage sidecar: the COMMIT that
-        # makes this run's buckets visible to read_verdicts. The
-        # (<= n_buckets)-row summary is materialized once and also feeds the
-        # global totals below, so no read-back aggregation job is needed.
-        # ONE read of this run's just-written partition feeds the commit
-        # summary AND (cached) every downstream consumer — the committed
-        # view re-read only covers OTHER runs' rows, whose run_id partition
-        # filter prunes to zero files on a fresh output_dir. This run's own
-        # rows may be consumed pre-commit: if the lineage append below
-        # fails, run_validation raises and nothing was published anyway.
-        t1 = time.time()
-        this_run = (spark.read.parquet(verdict_dir)
-                    .filter(F.col("run_id") == run_id).persist())
-        summary_rows = commit_lineage(spark, output_dir, run_id, scan_elapsed,
-                                      this_run=this_run)
-        commit_elapsed = time.time() - t1
-
-    # Everything below reads the COMMITTED view (prior runs + this run).
-    # Two consumers (violations write, fused quality-metric probe) scan
-    # it — cache the compact table once instead of re-reading parquet per
-    # consumer (it is ~1% of input size by construction, so this is exactly
-    # the table a production job would keep hot).
+    # Everything below reads the COMMITTED view (prior runs + this run's
+    # just-written partition — consuming own rows pre-commit is safe: if
+    # the lineage append fails, run_validation raises and nothing was
+    # published). Cache the compact table once — it is ~1% of input size
+    # by construction, exactly the table a production job keeps hot.
     t1 = time.time()
     if fully_resumed:
-        cached = verdicts = read_verdicts(spark, output_dir).persist()
-    else:
-        cached = this_run
+        cached = [verdicts := read_verdicts(spark, output_dir).persist()]
+    elif has_prior:
+        this_run = (spark.read.parquet(verdict_dir)
+                    .filter(F.col("run_id") == run_id).persist())
+        # persist the UNION too: both consumers (violations write + fused
+        # probe) scan it, and without this the prior runs' half re-reads
+        # parquet and re-runs the lineage semi-join per consumer
         verdicts = this_run.unionByName(
-            read_verdicts(spark, output_dir).filter(F.col("run_id") != run_id))
+            read_verdicts(spark, output_dir)
+            .filter(F.col("run_id") != run_id)).persist()
+        cached = [this_run, verdicts]
+    else:
+        this_run = verdicts = (spark.read.parquet(verdict_dir)
+                               .filter(F.col("run_id") == run_id).persist())
+        cached = [this_run]
+
+    # ONE action computes the per-bucket commit summary AND the uniqueness
+    # + referential probes: all three reduce to at most n_buckets + 2 rows,
+    # so a schema-harmonized unionByName + collect replaces three jobs.
+    # Every extra action carries fixed scheduler/plan-build latency that is
+    # identical at every parallelism level; at bench scale that constant
+    # pollutes the N->4N end-to-end scaling figure (BENCH/BASELINE.md e2e
+    # gate) — fewer actions = less level-independent constant (guide §1.2).
+    # The commit (lineage append) happens right after, driver-side; the
+    # crash window is unchanged (uncommitted verdict files stay invisible).
+    parts = []
+    if this_run is not None and not fully_resumed:
+        parts.append(_bucket_summary(this_run).select(
+            F.lit("bucket").alias("metric"),
+            F.col("bucket").cast("long").alias("a"),
+            F.col("n_rows").cast("long").alias("b"),
+            F.col("n_valid").cast("long").alias("c"),
+            F.col("n_violations").cast("long").alias("d"),
+            F.col("n_bytes").cast("long").alias("e")))
+    parts.append(
+        verdicts.groupBy("doc_id").count().filter("count > 1")
+        .agg(F.lit("uniqueness").alias("metric"),
+             F.lit(None).cast("long").alias("a"),
+             F.count(F.lit(1)).cast("long").alias("b"),
+             F.sum("count").cast("long").alias("c"),
+             F.lit(None).cast("long").alias("d"),
+             F.lit(None).cast("long").alias("e")))
+    if assets is not None:
+        refs = verdicts.select(F.explode("media_refs").alias("media_ref"))
+        parts.append(
+            refs.join(F.broadcast(assets.select("media_ref")),
+                      "media_ref", "left_anti")
+            .agg(F.lit("referential").alias("metric"),
+                 F.lit(None).cast("long").alias("a"),
+                 F.count(F.lit(1)).cast("long").alias("b"),
+                 F.lit(None).cast("long").alias("c"),
+                 F.lit(None).cast("long").alias("d"),
+                 F.lit(None).cast("long").alias("e")))
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    fused_rows = fused.collect()
+    summary_rows = [{"bucket": r["a"], "n_rows": r["b"], "n_valid": r["c"],
+                     "n_violations": r["d"], "n_bytes": r["e"]}
+                    for r in fused_rows if r["metric"] == "bucket"]
+    probe_rows = {r["metric"]: r for r in fused_rows
+                  if r["metric"] != "bucket"}
+    if not fully_resumed:
+        _append_lineage_rows(spark, output_dir, run_id, scan_elapsed,
+                             summary_rows)
+        commit_elapsed = time.time() - t1
 
     # Exploded violation rows (overwritten from the compact table — cheap).
+    t1 = time.time()
     viols = (verdicts.filter(F.size("violations") > 0)
              .select("doc_id", "bucket", F.explode("violations").alias("v"))
              .select("doc_id", "bucket", "v.path", "v.keyword", "v.message"))
@@ -331,34 +443,14 @@ def run_validation(
         n_viol += prior[2] or 0
     metrics.update(n_rows=n_rows, n_valid=n_valid, n_violations=n_viol)
 
-    # Uniqueness + referential probes over the cached compact table, FUSED
-    # into ONE Spark action: both reduce to a single scalar row, so a
-    # unionByName + collect computes them in one job instead of two. At the
-    # 10^12-doc shape this is noise, but every extra action carries fixed
-    # scheduler/plan-build latency that is identical at every parallelism
-    # level, and at bench scale that constant pollutes the N->4N end-to-end
-    # scaling figure (BENCH/BASELINE.md e2e gate) — fewer actions = less
-    # level-independent constant in the numerator and denominator.
-    t1 = time.time()
-    probe = (verdicts.groupBy("doc_id").count().filter("count > 1")
-             .agg(F.lit("uniqueness").alias("metric"),
-                  F.count(F.lit(1)).alias("k"),
-                  F.sum("count").alias("r")))
-    if assets is not None:
-        refs = verdicts.select("doc_id", F.explode("media_refs").alias("media_ref"))
-        dangling = (refs.join(F.broadcast(assets.select("media_ref")),
-                              "media_ref", "left_anti")
-                    .agg(F.lit("referential").alias("metric"),
-                         F.count(F.lit(1)).alias("k"),
-                         F.lit(None).cast("long").alias("r")))
-        probe = probe.unionByName(dangling)
-    probe_rows = {r["metric"]: r for r in probe.collect()}
     dup = probe_rows["uniqueness"]
-    metrics.update(duplicate_doc_ids=dup["k"] or 0,
-                   duplicate_rows=int(dup["r"] or 0))
+    metrics.update(duplicate_doc_ids=dup["b"] or 0,
+                   duplicate_rows=int(dup["c"] or 0))
     if assets is not None:
-        metrics["dangling_refs"] = probe_rows["referential"]["k"]
-    metrics["probe_elapsed_sec"] = round(time.time() - t1, 3)
+        metrics["dangling_refs"] = probe_rows["referential"]["b"]
+    # the probes ride the fused commit action since r6 — their cost is
+    # inside commit_elapsed_sec (phase attribution note: BENCH/BASELINE.md)
+    metrics["probe_elapsed_sec"] = 0.0
     metrics["commit_elapsed_sec"] = round(commit_elapsed, 3)
     metrics["violations_elapsed_sec"] = round(violations_elapsed, 3)
 
@@ -377,7 +469,8 @@ def run_validation(
             metrics["drifted_metrics"] = report.filter("drifted").count()
             metrics["drift_baseline_run"] = drift_baseline_run
 
-    cached.unpersist()
+    for c in cached:
+        c.unpersist()
     with open(os.path.join(output_dir, f"metrics_{run_id}.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     if fail_on_drift and metrics.get("drifted_metrics", 0) > 0:
