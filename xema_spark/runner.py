@@ -324,7 +324,14 @@ def run_validation(
                           F.sum(F.col("valid").cast("long")).alias("valid"),
                           F.sum(F.size("violations").cast("long")).alias("violations"))
          .withColumn("run_id", F.lit(run_id))
-         .repartition(n_buckets, "bucket")
+         # 4x partitions for n_buckets distinct keys: hashing k keys into
+         # exactly k partitions leaves ~e^-1 of them empty and the hottest
+         # task carrying 3-4 buckets (measured maxload 4 at 64->64 vs 2 at
+         # 64->256) — the write stage tail is the straggler (guide §2.5,
+         # too few distinct values per partition). Each bucket still hashes
+         # to exactly ONE task, so the one-file-per-bucket layout and the
+         # resume contract are unchanged; empty tasks are free.
+         .repartition(4 * n_buckets, "bucket")
          .write.mode("append").partitionBy("run_id", "bucket").parquet(verdict_dir))
         scan_elapsed = time.time() - t0
         scan_obs = obs.get
