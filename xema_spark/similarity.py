@@ -112,8 +112,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     production N."""
     r = n_planes // bands
 
-    def band_keys(vec: Column) -> Column:
-        sig = lsh_signature(vec, dim, n_planes)
+    def band_keys(sig: Column) -> Column:
         # band offsets are compile-time constants (literal shifts) — unrolled
         return F.array(*[
             F.struct(
@@ -124,10 +123,22 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
             for b in range(bands)
         ])
 
-    c = corpus.select(id_col, vec_col, F.explode(band_keys(F.col(vec_col))).alias("bk")) \
-        .select(id_col, vec_col, "bk.band", "bk.key")
-    q = queries.select(q_id_col, q_vec_col, F.explode(band_keys(F.col(q_vec_col))).alias("bk")) \
-        .select(q_id_col, q_vec_col, "bk.band", "bk.key")
+    # signature staged ONCE per row through a projection: inlining the
+    # lsh_signature expression into every band struct would re-run its
+    # n_planes interpreted-HOF dot folds per band (HOFs are CodegenFallback
+    # — no CSE), i.e. 12x the signature cost at the 48/12 default
+    c = (corpus.select(id_col, vec_col,
+                       lsh_signature(F.col(vec_col), dim, n_planes)
+                       .alias("__sig"))
+         .select(id_col, vec_col,
+                 F.explode(band_keys(F.col("__sig"))).alias("bk"))
+         .select(id_col, vec_col, "bk.band", "bk.key"))
+    q = (queries.select(q_id_col, q_vec_col,
+                        lsh_signature(F.col(q_vec_col), dim, n_planes)
+                        .alias("__sig"))
+         .select(q_id_col, q_vec_col,
+                 F.explode(band_keys(F.col("__sig"))).alias("bk"))
+         .select(q_id_col, q_vec_col, "bk.band", "bk.key"))
     cand = c.join(F.broadcast(q), ["band", "key"]).select(
         q_id_col, id_col,
         F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"),
@@ -301,18 +312,28 @@ def cosine_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
     self-join + exact cosine verification; max_bucket caps degenerate buckets
     (same rationale as dedup.lsh_candidate_pairs)."""
     r = n_planes // bands
-    sig = lsh_signature(F.col(vec_col), dim, n_planes)
-    banded = df.select(
+    # signature staged through a projection ONCE: referencing the
+    # lsh_signature expression inside each of the `bands` structs would
+    # re-run its n_planes interpreted-HOF dot folds per band (HOFs are
+    # CodegenFallback — no common-subexpression elimination). Per-vector
+    # norm staged the same way so pair verification needs one fold (the
+    # dot), not three — same float ops in the same order, so round-6
+    # cosines are bit-identical (the semantic_dedupe pattern).
+    staged = df.select(
         F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("__sig"),
+        norm(F.col(vec_col)).alias("__n"))
+    banded = staged.select(
+        "doc", "vec", "__n",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).cast("int").alias("band"),
-                F.shiftrightunsigned(sig, b * r)
+                F.shiftrightunsigned(F.col("__sig"), b * r)
                 .bitwiseAND(F.lit((1 << r) - 1)).alias("key"),
             )
             for b in range(bands)
         ])).alias("bk"),
-    ).select("doc", "vec", "bk.band", "bk.key")
+    ).select("doc", "vec", "__n", "bk.band", "bk.key")
     # cap degenerate buckets BEFORE the pair explosion (a bucket of B docs
     # yields B^2 pairs): collect each bucket once, drop singletons and
     # hot buckets, then unroll ordered pairs — same guard as
@@ -320,11 +341,14 @@ def cosine_near_dups(df: DataFrame, dim: int, threshold: float = 0.95,
     from xema_spark.dedup import _ordered_pairs
 
     grouped = (banded.groupBy("band", "key")
-               .agg(F.collect_list(F.struct(F.col("doc"), F.col("vec"))).alias("ds"))
+               .agg(F.collect_list(F.struct(F.col("doc"), F.col("vec"),
+                                            F.col("__n"))).alias("ds"))
                .filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket)))
     pairs = (grouped.select(F.explode(_ordered_pairs(F.col("ds"))).alias("p"))
              .select(F.col("p.a.doc").alias("doc_a"), F.col("p.b.doc").alias("doc_b"),
-                     F.round(cosine(F.col("p.a.vec"), F.col("p.b.vec")), 6).alias("cos"))
+                     F.round(cosine_from_norms(
+                         F.col("p.a.vec"), F.col("p.b.vec"),
+                         F.col("p.a.__n"), F.col("p.b.__n")), 6).alias("cos"))
              .filter(F.col("cos") >= threshold)
              .dropDuplicates(["doc_a", "doc_b"]))
     return pairs
