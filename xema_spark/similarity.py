@@ -72,6 +72,16 @@ def threshold_neighbor_counts(corpus: DataFrame, queries: DataFrame,
             .groupBy(q_id_col).agg(F.count(F.lit(1)).alias("n_similar")))
 
 
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side replica of norm(): left-to-right sum of squares then
+    sqrt — the identical IEEE-double op sequence, so staging a centroid's
+    norm as a literal cannot drift from the Column fold."""
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _plane(dim: int, p: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane p (no RNG state:
     splitmix64-style hash of (p, d))."""
@@ -225,26 +235,38 @@ def _centroid_scorer(session, cents: list[tuple[int, list[float]]],
     array<struct<cid,vec>> + F.transform — same math, O(1) plan size
     (see ivf_topk's docstring for the full rationale)."""
     dim = len(cents[0][1])
+    # Per-ROW norm staged once and per-CENTROID norms precomputed (Python
+    # fold in the same left-to-right IEEE order as similarity.norm, so the
+    # doubles are bit-identical): cosine() inlined per centroid would
+    # re-run the interpreted norm fold n_cells times per row — HOFs are
+    # CodegenFallback, so nothing eliminates the common subexpression.
+    # Each cell then costs ONE dot fold (cosine_from_norms).
     if len(cents) * dim <= inline_max_literals:
         def with_scores(df: DataFrame, vec: Column) -> DataFrame:
-            return df.withColumn("__scores", F.array(*[
-                F.struct(F.round(cosine(vec, F.array(*[F.lit(x) for x in cvec])), 6).alias("cos"),
+            staged = df.withColumn("__vn", norm(vec))
+            return staged.withColumn("__scores", F.array(*[
+                F.struct(F.round(cosine_from_norms(
+                    vec, F.array(*[F.lit(x) for x in cvec]),
+                    F.col("__vn"), F.lit(_py_norm(cvec))), 6).alias("cos"),
                          F.lit(cid).alias("cid"))
                 for cid, cvec in cents
-            ]))
+            ])).drop("__vn")
     else:
         cent_df = session.createDataFrame(
-            [([(cid, cvec) for cid, cvec in cents],)],
-            "__cents array<struct<cid:int,vec:array<double>>>")
+            [([(cid, cvec, _py_norm(cvec)) for cid, cvec in cents],)],
+            "__cents array<struct<cid:int,vec:array<double>,nrm:double>>")
 
         def with_scores(df: DataFrame, vec: Column) -> DataFrame:
             return (df.join(F.broadcast(cent_df))
+                    .withColumn("__vn", norm(vec))
                     .withColumn("__scores", F.transform(
                         F.col("__cents"),
                         lambda c: F.struct(
-                            F.round(cosine(vec, c["vec"]), 6).alias("cos"),
+                            F.round(cosine_from_norms(
+                                vec, c["vec"], F.col("__vn"), c["nrm"]),
+                                6).alias("cos"),
                             c["cid"].alias("cid"))))
-                    .drop("__cents"))
+                    .drop("__cents", "__vn"))
     return with_scores
 
 
